@@ -1,0 +1,33 @@
+"""Test configuration.
+
+Tests run on CPU with an 8-device virtual mesh — the JAX-native "fake
+backend" for exercising pjit/sharding paths without TPU hardware
+(SURVEY.md §4: the reference never tests distributed paths; we do).
+
+Note: the axon TPU plugin ignores JAX_PLATFORMS, so the platform must be
+forced through jax.config before first backend use.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True)
+def _seed_prng():
+    # RNG isolation (reference test/conftest.py:101 prevent_leaking_rng)
+    np.random.seed(0)
+    yield

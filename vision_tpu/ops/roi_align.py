@@ -1,0 +1,169 @@
+"""RoIAlign — deterministic gather-based bilinear sampling, channels-last.
+
+Reference semantics: ``torchvision/csrc/ops/cpu/roi_align_kernel.cpp`` /
+``cuda/roi_align_kernel.cu`` (forward), transcribed the way the reference's
+own pure-Python deterministic path does (``torchvision/ops/roi_align.py:
+115-200``) — which is already the XLA-shaped formulation: a fixed grid of
+sampling points per pooled bin, 4-corner bilinear gather, masked average.
+
+TPU design notes:
+* layout is NHWC; the channel axis rides the 128-lane dimension through the
+  gathers, so the op vectorizes on the VPU without transposes.
+* backward = XLA autodiff of the gather (a scatter-add) — deterministic,
+  unlike the reference CUDA ``atomicAdd`` backward (the reason the reference
+  keeps a separate deterministic path, ``ops/roi_align.py:108``).
+* ``sampling_ratio <= 0`` (adaptive) is supported via the same
+  sample-everything-and-mask trick as the reference pure path; it
+  materializes O(H*W) samples per bin, so production configs should pass a
+  positive ``sampling_ratio`` (detection uses 2).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["roi_align"]
+
+
+def _bilinear_gather(inp, batch_ind, y, x, yvalid, xvalid):
+    """4-corner bilinear sample.
+
+    inp: [N, H, W, C]; batch_ind: [K]; y: [K, PH, IY]; x: [K, PW, IX];
+    yvalid/xvalid: same shapes as y/x, marks samples inside [-1, size].
+    Returns [K, PH, PW, IY, IX, C].
+    """
+    _, height, width, _ = inp.shape
+
+    # CUDA kernel: samples with y < -1 or y > height contribute exactly 0.
+    yz = yvalid & (y >= -1.0) & (y <= height)
+    xz = xvalid & (x >= -1.0) & (x <= width)
+
+    y = jnp.clip(y, 0.0)
+    x = jnp.clip(x, 0.0)
+    y_low = y.astype(jnp.int32)
+    x_low = x.astype(jnp.int32)
+    y_high = jnp.where(y_low >= height - 1, height - 1, y_low + 1)
+    y_low = jnp.minimum(y_low, height - 1)
+    y = jnp.where(y_low >= height - 1, y_low.astype(y.dtype), y)
+    x_high = jnp.where(x_low >= width - 1, width - 1, x_low + 1)
+    x_low = jnp.minimum(x_low, width - 1)
+    x = jnp.where(x_low >= width - 1, x_low.astype(x.dtype), x)
+
+    ly = y - y_low
+    lx = x - x_low
+    hy = 1.0 - ly
+    hx = 1.0 - lx
+
+    b = batch_ind[:, None, None, None, None]
+
+    def gather(yy, xx):
+        # yy: [K, PH, IY] -> [K, PH, 1, IY, 1]; xx: [K, PW, IX] -> [K, 1, PW, 1, IX]
+        return inp[
+            b, yy[:, :, None, :, None], xx[:, None, :, None, :], :
+        ]  # [K, PH, PW, IY, IX, C]
+
+    v1 = gather(y_low, x_low)
+    v2 = gather(y_low, x_high)
+    v3 = gather(y_high, x_low)
+    v4 = gather(y_high, x_high)
+
+    # zero weights for out-of-range samples (broadcast into [K,PH,PW,IY,IX,1])
+    wy = jnp.where(yz, 1.0, 0.0)[:, :, None, :, None]
+    wx = jnp.where(xz, 1.0, 0.0)[:, None, :, None, :]
+
+    def w(a, bq):
+        # a: [K, PH, IY], bq: [K, PW, IX]
+        return (a[:, :, None, :, None] * bq[:, None, :, None, :] * wy * wx)[
+            ..., None
+        ]
+
+    return w(hy, hx) * v1 + w(hy, lx) * v2 + w(ly, hx) * v3 + w(ly, lx) * v4
+
+
+def roi_align(
+    inp: jax.Array,
+    rois: jax.Array,
+    output_size: Tuple[int, int],
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = -1,
+    aligned: bool = False,
+) -> jax.Array:
+    """RoIAlign forward (reference ``torchvision.ops.roi_align``,
+    ``ops/roi_align.py:204``).
+
+    Args:
+        inp: feature map ``[N, H, W, C]`` (channels-last).
+        rois: ``[K, 5]`` rows of ``(batch_index, x1, y1, x2, y2)``.
+        output_size: ``(PH, PW)``.
+    Returns ``[K, PH, PW, C]``.
+    """
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    pooled_h, pooled_w = output_size
+    _, height, width, _ = inp.shape
+    k = rois.shape[0]
+
+    orig_dtype = inp.dtype
+    inp = inp.astype(jnp.float32)
+    rois = rois.astype(jnp.float32)
+
+    batch_ind = rois[:, 0].astype(jnp.int32)
+    offset = 0.5 if aligned else 0.0
+    start_w = rois[:, 1] * spatial_scale - offset
+    start_h = rois[:, 2] * spatial_scale - offset
+    end_w = rois[:, 3] * spatial_scale - offset
+    end_h = rois[:, 4] * spatial_scale - offset
+
+    roi_w = end_w - start_w
+    roi_h = end_h - start_h
+    if not aligned:
+        roi_w = jnp.clip(roi_w, 1.0)
+        roi_h = jnp.clip(roi_h, 1.0)
+
+    bin_h = roi_h / pooled_h
+    bin_w = roi_w / pooled_w
+
+    ph = jnp.arange(pooled_h, dtype=jnp.float32)
+    pw = jnp.arange(pooled_w, dtype=jnp.float32)
+
+    if sampling_ratio > 0:
+        grid_h = grid_w = float(sampling_ratio)
+        iy = jnp.arange(sampling_ratio, dtype=jnp.float32)
+        ix = jnp.arange(sampling_ratio, dtype=jnp.float32)
+        yvalid = jnp.ones((k, pooled_h, sampling_ratio), dtype=bool)
+        xvalid = jnp.ones((k, pooled_w, sampling_ratio), dtype=bool)
+        count = jnp.maximum(grid_h * grid_w, 1.0)
+        grid_h_k = grid_h
+        grid_w_k = grid_w
+    else:
+        # adaptive: grid = ceil(roi_size / pooled); sample the max possible
+        # grid (H resp. W points) and mask — reference ops/roi_align.py:160-170
+        grid_h_arr = jnp.ceil(roi_h / pooled_h)  # [K]
+        grid_w_arr = jnp.ceil(roi_w / pooled_w)
+        iy = jnp.arange(height, dtype=jnp.float32)
+        ix = jnp.arange(width, dtype=jnp.float32)
+        yvalid = iy[None, :] < grid_h_arr[:, None]  # [K, IY]
+        xvalid = ix[None, :] < grid_w_arr[:, None]
+        yvalid = jnp.broadcast_to(yvalid[:, None, :], (k, pooled_h, height))
+        xvalid = jnp.broadcast_to(xvalid[:, None, :], (k, pooled_w, width))
+        count = jnp.clip(grid_h_arr * grid_w_arr, 1.0)[:, None, None, None]
+        grid_h_k = grid_h_arr[:, None, None]
+        grid_w_k = grid_w_arr[:, None, None]
+
+    y = (
+        start_h[:, None, None]
+        + ph[None, :, None] * bin_h[:, None, None]
+        + (iy[None, None, :] + 0.5) * (bin_h[:, None, None] / grid_h_k)
+    )  # [K, PH, IY]
+    x = (
+        start_w[:, None, None]
+        + pw[None, :, None] * bin_w[:, None, None]
+        + (ix[None, None, :] + 0.5) * (bin_w[:, None, None] / grid_w_k)
+    )  # [K, PW, IX]
+
+    val = _bilinear_gather(inp, batch_ind, y, x, yvalid, xvalid)
+    out = jnp.sum(val, axis=(3, 4)) / count  # [K, PH, PW, C]
+    return out.astype(orig_dtype)
