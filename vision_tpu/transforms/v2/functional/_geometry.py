@@ -1,0 +1,1152 @@
+"""Geometric functionals (reference
+``torchvision/transforms/v2/functional/_geometry.py``, 3041 LoC).
+
+Channels-last images ``(..., H, W, C)``; masks ``(..., H, W)``; boxes carry
+(format, canvas_size) metadata. Every kernel is a pure jittable function of
+static shapes. Affine-family image kernels share one inverse-warp sampler
+(`_affine_grid_sample`) replicating torch's
+``_gen_affine_grid`` + ``grid_sample(align_corners=False, padding=zeros)``
++ mask-based fill (``transforms/_functional_tensor.py``
+``_apply_grid_transform``).
+"""
+
+from __future__ import annotations
+
+import math
+import numbers
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision_tpu import tv_tensors
+from vision_tpu.ops.boxes import box_convert
+from vision_tpu.transforms.v2.functional._meta import (
+    clamp_bounding_boxes,
+    clamp_keypoints,
+)
+from vision_tpu.transforms.v2.functional._resample import resize_2d
+from vision_tpu.tv_tensors import (
+    BoundingBoxes,
+    BoundingBoxFormat,
+    Image,
+    KeyPoints,
+    Mask,
+    Video,
+)
+
+__all__ = [
+    "resize",
+    "resize_image",
+    "resize_mask",
+    "resize_bounding_boxes",
+    "resize_keypoints",
+    "horizontal_flip",
+    "horizontal_flip_image",
+    "horizontal_flip_mask",
+    "horizontal_flip_bounding_boxes",
+    "horizontal_flip_keypoints",
+    "vertical_flip",
+    "vertical_flip_image",
+    "vertical_flip_mask",
+    "vertical_flip_bounding_boxes",
+    "vertical_flip_keypoints",
+    "crop",
+    "crop_image",
+    "crop_mask",
+    "crop_bounding_boxes",
+    "crop_keypoints",
+    "center_crop",
+    "center_crop_image",
+    "pad",
+    "pad_image",
+    "resized_crop",
+    "resized_crop_image",
+    "affine",
+    "affine_image",
+    "affine_bounding_boxes",
+    "affine_keypoints",
+    "affine_mask",
+    "rotate",
+    "rotate_image",
+    "rotate_bounding_boxes",
+    "rotate_mask",
+    "perspective",
+    "perspective_image",
+    "perspective_bounding_boxes",
+    "perspective_mask",
+    "elastic",
+    "elastic_image",
+    "five_crop",
+    "ten_crop",
+]
+
+_InterpT = str
+
+
+def _is_image_like(inpt) -> bool:
+    return isinstance(inpt, (jax.Array, np.ndarray)) and not isinstance(
+        inpt, tv_tensors.TVTensor
+    )
+
+
+# ======================================================================
+# resize
+# ======================================================================
+def _compute_resized_output_size(
+    canvas_size: Tuple[int, int],
+    size: Union[int, Sequence[int], None],
+    max_size: Optional[int] = None,
+) -> Tuple[int, int]:
+    """reference ``_geometry.py`` ``_compute_resized_output_size`` semantics:
+    int / [s] -> shorter edge s (aspect preserved, max_size cap);
+    (h, w) -> exact."""
+    h, w = canvas_size
+    if isinstance(size, int):
+        size = [size]
+    elif isinstance(size, (list, tuple)) and len(size) == 2:
+        return int(size[0]), int(size[1])
+    (requested,) = size
+    short, long = (w, h) if w <= h else (h, w)
+    new_short = requested
+    new_long = int(requested * long / short)
+    if max_size is not None:
+        if max_size <= requested:
+            raise ValueError(f"max_size {max_size} must be > size {requested}")
+        if new_long > max_size:
+            new_short = int(max_size * new_short / new_long)
+            new_long = max_size
+    new_h, new_w = (new_long, new_short) if w <= h else (new_short, new_long)
+    return new_h, new_w
+
+
+def resize_image(
+    image: jax.Array,
+    size: Union[int, Sequence[int], None],
+    interpolation: _InterpT = "bilinear",
+    max_size: Optional[int] = None,
+    antialias: bool = True,
+) -> jax.Array:
+    """reference ``_geometry.py:285`` resize_image."""
+    h, w = image.shape[-3], image.shape[-2]
+    new_h, new_w = _compute_resized_output_size((h, w), size, max_size)
+    if (new_h, new_w) == (h, w) and interpolation != "area":
+        return image
+    return resize_2d(image, (new_h, new_w), mode=interpolation, antialias=antialias)
+
+
+def resize_mask(
+    mask: jax.Array, size, max_size: Optional[int] = None
+) -> jax.Array:
+    """Masks resize with nearest, no channel axis (reference resize_mask)."""
+    h, w = mask.shape[-2], mask.shape[-1]
+    new_h, new_w = _compute_resized_output_size((h, w), size, max_size)
+    if (new_h, new_w) == (h, w):
+        return mask
+    out = resize_2d(
+        mask[..., None], (new_h, new_w), mode="nearest", antialias=False
+    )
+    return out[..., 0]
+
+
+def resize_bounding_boxes(
+    boxes: jax.Array,
+    format: BoundingBoxFormat,
+    canvas_size: Tuple[int, int],
+    size,
+    max_size: Optional[int] = None,
+) -> Tuple[jax.Array, Tuple[int, int]]:
+    """reference ``_geometry.py:534``: scale coordinates by the ratios."""
+    old_h, old_w = canvas_size
+    new_h, new_w = _compute_resized_output_size(canvas_size, size, max_size)
+    rw, rh = new_w / old_w, new_h / old_h
+    b = boxes.astype(jnp.float32)
+    if format in (BoundingBoxFormat.XYXYXYXY,):
+        scale = jnp.array([rw, rh] * 4, dtype=jnp.float32)
+        out = b * scale
+    elif format in (BoundingBoxFormat.XYWHR, BoundingBoxFormat.CXCYWHR):
+        # xy scales per-axis; w/h scale... rotated boxes under anisotropic
+        # scale are approximated like the reference (scale w by rw, h by rh)
+        out = b * jnp.array([rw, rh, rw, rh, 1.0], dtype=jnp.float32)
+    else:
+        out = b * jnp.array([rw, rh, rw, rh], dtype=jnp.float32)
+    return out.astype(boxes.dtype), (new_h, new_w)
+
+
+def resize_keypoints(
+    kp: jax.Array, canvas_size: Tuple[int, int], size, max_size=None
+) -> Tuple[jax.Array, Tuple[int, int]]:
+    old_h, old_w = canvas_size
+    new_h, new_w = _compute_resized_output_size(canvas_size, size, max_size)
+    scale = jnp.array([new_w / old_w, new_h / old_h], dtype=jnp.float32)
+    return (kp.astype(jnp.float32) * scale).astype(kp.dtype), (new_h, new_w)
+
+
+def resize(
+    inpt,
+    size,
+    interpolation: _InterpT = "bilinear",
+    max_size: Optional[int] = None,
+    antialias: bool = True,
+):
+    """Public dispatching resize (reference ``_geometry.py:249``)."""
+    if _is_image_like(inpt):
+        return resize_image(inpt, size, interpolation, max_size, antialias)
+    if isinstance(inpt, (Image, Video)):
+        return type(inpt)(
+            resize_image(inpt.data, size, interpolation, max_size, antialias)
+        )
+    if isinstance(inpt, Mask):
+        return Mask(resize_mask(inpt.data, size, max_size))
+    if isinstance(inpt, BoundingBoxes):
+        out, cs = resize_bounding_boxes(
+            inpt.data, inpt.format, inpt.canvas_size, size, max_size
+        )
+        return BoundingBoxes(
+            out, format=inpt.format, canvas_size=cs, clamping_mode=inpt.clamping_mode
+        )
+    if isinstance(inpt, KeyPoints):
+        out, cs = resize_keypoints(inpt.data, inpt.canvas_size, size, max_size)
+        return KeyPoints(out, canvas_size=cs)
+    raise TypeError(f"resize: unsupported type {type(inpt).__name__}")
+
+
+# ======================================================================
+# flips
+# ======================================================================
+def horizontal_flip_image(image: jax.Array) -> jax.Array:
+    return image[..., :, ::-1, :]
+
+
+def horizontal_flip_mask(mask: jax.Array) -> jax.Array:
+    return mask[..., :, ::-1]
+
+
+def horizontal_flip_bounding_boxes(
+    boxes: jax.Array, format: BoundingBoxFormat, canvas_size: Tuple[int, int]
+) -> jax.Array:
+    """reference ``_geometry.py:96-120`` incl. rotated formats."""
+    w = canvas_size[1]
+    b = boxes
+    if format == BoundingBoxFormat.XYXY:
+        x1, y1, x2, y2 = jnp.split(b, 4, axis=-1)
+        return jnp.concatenate([w - x2, y1, w - x1, y2], axis=-1)
+    if format == BoundingBoxFormat.XYWH:
+        x, y, bw, bh = jnp.split(b, 4, axis=-1)
+        return jnp.concatenate([w - x - bw, y, bw, bh], axis=-1)
+    if format == BoundingBoxFormat.CXCYWH:
+        cx, cy, bw, bh = jnp.split(b, 4, axis=-1)
+        return jnp.concatenate([w - cx, cy, bw, bh], axis=-1)
+    if format == BoundingBoxFormat.CXCYWHR:
+        cx, cy, bw, bh, r = jnp.split(b, 5, axis=-1)
+        return jnp.concatenate([w - cx, cy, bw, bh, -r], axis=-1)
+    if format == BoundingBoxFormat.XYWHR:
+        x, y, bw, bh, r = jnp.split(b, 5, axis=-1)
+        return jnp.concatenate([w - x, y, bw, bh, 180.0 - r], axis=-1)
+    if format == BoundingBoxFormat.XYXYXYXY:
+        pts = b.reshape(*b.shape[:-1], 4, 2)
+        flipped = jnp.stack([w - pts[..., 0], pts[..., 1]], axis=-1)
+        return flipped.reshape(b.shape)
+    raise ValueError(f"unsupported format {format}")
+
+
+def horizontal_flip_keypoints(
+    kp: jax.Array, canvas_size: Tuple[int, int]
+) -> jax.Array:
+    w = canvas_size[1]
+    return jnp.stack([w - 1 - kp[..., 0], kp[..., 1]], axis=-1).astype(kp.dtype)
+
+
+def vertical_flip_image(image: jax.Array) -> jax.Array:
+    return image[..., ::-1, :, :]
+
+
+def vertical_flip_mask(mask: jax.Array) -> jax.Array:
+    return mask[..., ::-1, :]
+
+
+def vertical_flip_bounding_boxes(
+    boxes: jax.Array, format: BoundingBoxFormat, canvas_size: Tuple[int, int]
+) -> jax.Array:
+    h = canvas_size[0]
+    b = boxes
+    if format == BoundingBoxFormat.XYXY:
+        x1, y1, x2, y2 = jnp.split(b, 4, axis=-1)
+        return jnp.concatenate([x1, h - y2, x2, h - y1], axis=-1)
+    if format == BoundingBoxFormat.XYWH:
+        x, y, bw, bh = jnp.split(b, 4, axis=-1)
+        return jnp.concatenate([x, h - y - bh, bw, bh], axis=-1)
+    if format == BoundingBoxFormat.CXCYWH:
+        cx, cy, bw, bh = jnp.split(b, 4, axis=-1)
+        return jnp.concatenate([cx, h - cy, bw, bh], axis=-1)
+    if format == BoundingBoxFormat.CXCYWHR:
+        cx, cy, bw, bh, r = jnp.split(b, 5, axis=-1)
+        return jnp.concatenate([cx, h - cy, bw, bh, -r], axis=-1)
+    if format == BoundingBoxFormat.XYWHR:
+        x, y, bw, bh, r = jnp.split(b, 5, axis=-1)
+        return jnp.concatenate([x, h - y, bw, bh, -r], axis=-1)
+    if format == BoundingBoxFormat.XYXYXYXY:
+        pts = b.reshape(*b.shape[:-1], 4, 2)
+        flipped = jnp.stack([pts[..., 0], h - pts[..., 1]], axis=-1)
+        return flipped.reshape(b.shape)
+    raise ValueError(f"unsupported format {format}")
+
+
+def vertical_flip_keypoints(kp: jax.Array, canvas_size: Tuple[int, int]) -> jax.Array:
+    h = canvas_size[0]
+    return jnp.stack([kp[..., 0], h - 1 - kp[..., 1]], axis=-1).astype(kp.dtype)
+
+
+def _dispatch_flip(inpt, image_k, mask_k, boxes_k, kp_k):
+    if _is_image_like(inpt):
+        return image_k(inpt)
+    if isinstance(inpt, (Image, Video)):
+        return type(inpt)(image_k(inpt.data))
+    if isinstance(inpt, Mask):
+        return Mask(mask_k(inpt.data))
+    if isinstance(inpt, BoundingBoxes):
+        out = boxes_k(inpt.data, inpt.format, inpt.canvas_size)
+        return tv_tensors.wrap(out, like=inpt)
+    if isinstance(inpt, KeyPoints):
+        return KeyPoints(kp_k(inpt.data, inpt.canvas_size), canvas_size=inpt.canvas_size)
+    raise TypeError(f"unsupported type {type(inpt).__name__}")
+
+
+def horizontal_flip(inpt):
+    return _dispatch_flip(
+        inpt,
+        horizontal_flip_image,
+        horizontal_flip_mask,
+        horizontal_flip_bounding_boxes,
+        horizontal_flip_keypoints,
+    )
+
+
+def vertical_flip(inpt):
+    return _dispatch_flip(
+        inpt,
+        vertical_flip_image,
+        vertical_flip_mask,
+        vertical_flip_bounding_boxes,
+        vertical_flip_keypoints,
+    )
+
+
+# ======================================================================
+# crop / pad
+# ======================================================================
+def crop_image(
+    image: jax.Array, top: int, left: int, height: int, width: int
+) -> jax.Array:
+    """reference crop_image: out-of-bounds regions are zero-padded."""
+    h, w = image.shape[-3], image.shape[-2]
+    pad_top = max(-top, 0)
+    pad_left = max(-left, 0)
+    pad_bottom = max(top + height - h, 0)
+    pad_right = max(left + width - w, 0)
+    if pad_top or pad_left or pad_bottom or pad_right:
+        cfg = [(0, 0)] * (image.ndim - 3) + [
+            (pad_top, pad_bottom),
+            (pad_left, pad_right),
+            (0, 0),
+        ]
+        image = jnp.pad(image, cfg)
+        top += pad_top
+        left += pad_left
+    return image[..., top : top + height, left : left + width, :]
+
+
+def crop_mask(mask: jax.Array, top, left, height, width) -> jax.Array:
+    out = crop_image(mask[..., None], top, left, height, width)
+    return out[..., 0]
+
+
+def crop_bounding_boxes(
+    boxes: jax.Array,
+    format: BoundingBoxFormat,
+    top: int,
+    left: int,
+    height: int,
+    width: int,
+) -> Tuple[jax.Array, Tuple[int, int]]:
+    b = boxes.astype(jnp.float32)
+    if format == BoundingBoxFormat.XYXYXYXY:
+        shift = jnp.array([left, top] * 4, dtype=jnp.float32)
+        out = b - shift
+    elif format in (BoundingBoxFormat.XYWHR, BoundingBoxFormat.CXCYWHR):
+        shift = jnp.array([left, top, 0, 0, 0], dtype=jnp.float32)
+        out = b - shift
+    elif format in (BoundingBoxFormat.XYWH, BoundingBoxFormat.CXCYWH):
+        shift = jnp.array([left, top, 0, 0], dtype=jnp.float32)
+        out = b - shift
+    else:
+        shift = jnp.array([left, top, left, top], dtype=jnp.float32)
+        out = b - shift
+    return out.astype(boxes.dtype), (height, width)
+
+
+def crop_keypoints(
+    kp: jax.Array, top: int, left: int, height: int, width: int
+) -> Tuple[jax.Array, Tuple[int, int]]:
+    return kp - jnp.array([left, top], dtype=kp.dtype), (height, width)
+
+
+def crop(inpt, top: int, left: int, height: int, width: int):
+    if _is_image_like(inpt):
+        return crop_image(inpt, top, left, height, width)
+    if isinstance(inpt, (Image, Video)):
+        return type(inpt)(crop_image(inpt.data, top, left, height, width))
+    if isinstance(inpt, Mask):
+        return Mask(crop_mask(inpt.data, top, left, height, width))
+    if isinstance(inpt, BoundingBoxes):
+        out, cs = crop_bounding_boxes(
+            inpt.data, inpt.format, top, left, height, width
+        )
+        bb = BoundingBoxes(
+            out, format=inpt.format, canvas_size=cs, clamping_mode=inpt.clamping_mode
+        )
+        return clamp_bounding_boxes(bb)
+    if isinstance(inpt, KeyPoints):
+        out, cs = crop_keypoints(inpt.data, top, left, height, width)
+        return clamp_keypoints(KeyPoints(out, canvas_size=cs))
+    raise TypeError(f"crop: unsupported type {type(inpt).__name__}")
+
+
+def center_crop_image(image: jax.Array, output_size) -> jax.Array:
+    """reference center_crop (``_geometry.py`` center_crop_image): pads with
+    0 if the image is smaller than the crop."""
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    elif len(output_size) == 1:
+        output_size = (output_size[0], output_size[0])
+    crop_h, crop_w = output_size
+    h, w = image.shape[-3], image.shape[-2]
+    top = int(round((h - crop_h) / 2.0))
+    left = int(round((w - crop_w) / 2.0))
+    return crop_image(image, top, left, crop_h, crop_w)
+
+
+def center_crop(inpt, output_size):
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    elif len(output_size) == 1:
+        output_size = (output_size[0], output_size[0])
+    crop_h, crop_w = output_size
+
+    if _is_image_like(inpt) or isinstance(inpt, (Image, Video, Mask)):
+        if isinstance(inpt, Mask):
+            h, w = inpt.shape[-2:]
+        elif _is_image_like(inpt):
+            h, w = inpt.shape[-3], inpt.shape[-2]
+        else:
+            h, w = inpt.shape[-3], inpt.shape[-2]
+    else:
+        from vision_tpu.transforms.v2.functional._meta import get_size
+
+        h, w = get_size(inpt)
+    top = int(round((h - crop_h) / 2.0))
+    left = int(round((w - crop_w) / 2.0))
+    return crop(inpt, top, left, crop_h, crop_w)
+
+
+def _parse_pad(padding) -> Tuple[int, int, int, int]:
+    """-> (left, top, right, bottom), torch conventions."""
+    if isinstance(padding, numbers.Number):
+        return (padding,) * 4
+    if len(padding) == 1:
+        return (padding[0],) * 4
+    if len(padding) == 2:
+        l, t = padding
+        return (l, t, l, t)
+    if len(padding) == 4:
+        return tuple(padding)
+    raise ValueError(f"invalid padding {padding}")
+
+
+def pad_image(
+    image: jax.Array,
+    padding,
+    fill=0,
+    padding_mode: str = "constant",
+) -> jax.Array:
+    left, top, right, bottom = _parse_pad(padding)
+    cfg = [(0, 0)] * (image.ndim - 3) + [(top, bottom), (left, right), (0, 0)]
+    if padding_mode == "constant":
+        if fill is None:
+            fill = 0
+        if isinstance(fill, (list, tuple)):
+            chans = [
+                jnp.pad(
+                    image[..., c : c + 1],
+                    cfg,
+                    constant_values=fill[c if len(fill) > 1 else 0],
+                )
+                for c in range(image.shape[-1])
+            ]
+            return jnp.concatenate(chans, axis=-1)
+        return jnp.pad(image, cfg, constant_values=fill)
+    mode = {"edge": "edge", "reflect": "reflect", "symmetric": "symmetric"}[
+        padding_mode
+    ]
+    return jnp.pad(image, cfg, mode=mode)
+
+
+def pad(inpt, padding, fill=0, padding_mode: str = "constant"):
+    left, top, right, bottom = _parse_pad(padding)
+    if _is_image_like(inpt):
+        return pad_image(inpt, padding, fill, padding_mode)
+    if isinstance(inpt, (Image, Video)):
+        return type(inpt)(pad_image(inpt.data, padding, fill, padding_mode))
+    if isinstance(inpt, Mask):
+        out = pad_image(inpt.data[..., None], padding, fill, padding_mode)
+        return Mask(out[..., 0])
+    if isinstance(inpt, BoundingBoxes):
+        h, w = inpt.canvas_size
+        new_cs = (h + top + bottom, w + left + right)
+        out, _ = crop_bounding_boxes(
+            inpt.data, inpt.format, -top, -left, *new_cs
+        )
+        bb = BoundingBoxes(
+            out,
+            format=inpt.format,
+            canvas_size=new_cs,
+            clamping_mode=inpt.clamping_mode,
+        )
+        return clamp_bounding_boxes(bb)
+    if isinstance(inpt, KeyPoints):
+        h, w = inpt.canvas_size
+        new_cs = (h + top + bottom, w + left + right)
+        out = inpt.data + jnp.array([left, top], dtype=inpt.dtype)
+        return KeyPoints(out, canvas_size=new_cs)
+    raise TypeError(f"pad: unsupported type {type(inpt).__name__}")
+
+
+def resized_crop_image(
+    image, top, left, height, width, size, interpolation="bilinear", antialias=True
+):
+    """reference ``_geometry.py:2688``: crop then resize."""
+    image = crop_image(image, top, left, height, width)
+    return resize_image(image, size, interpolation, antialias=antialias)
+
+
+def resized_crop(
+    inpt, top, left, height, width, size, interpolation="bilinear", antialias=True
+):
+    if _is_image_like(inpt):
+        return resized_crop_image(
+            inpt, top, left, height, width, size, interpolation, antialias
+        )
+    out = crop(inpt, top, left, height, width)
+    return resize(out, size, interpolation, antialias=antialias)
+
+
+# ======================================================================
+# affine family
+# ======================================================================
+def _get_inverse_affine_matrix(
+    center: List[float],
+    angle: float,
+    translate: List[float],
+    scale: float,
+    shear: List[float],
+    inverted: bool = True,
+) -> List[float]:
+    """reference ``transforms/functional.py:1006`` — the PIL-convention
+    inverse affine matrix (pure Python floats, computed at trace time)."""
+    rot = math.radians(angle)
+    sx = math.radians(shear[0])
+    sy = math.radians(shear[1])
+    cx, cy = center
+    tx, ty = translate
+
+    a = math.cos(rot - sy) / math.cos(sy)
+    b = -math.cos(rot - sy) * math.tan(sx) / math.cos(sy) - math.sin(rot)
+    c = math.sin(rot - sy) / math.cos(sy)
+    d = -math.sin(rot - sy) * math.tan(sx) / math.cos(sy) + math.cos(rot)
+
+    if inverted:
+        matrix = [d, -b, 0.0, -c, a, 0.0]
+        matrix = [x / scale for x in matrix]
+        matrix[2] += matrix[0] * (-cx - tx) + matrix[1] * (-cy - ty)
+        matrix[5] += matrix[3] * (-cx - tx) + matrix[4] * (-cy - ty)
+        matrix[2] += cx
+        matrix[5] += cy
+    else:
+        matrix = [a, b, 0.0, c, d, 0.0]
+        matrix = [x * scale for x in matrix]
+        matrix[2] += matrix[0] * (-cx) + matrix[1] * (-cy)
+        matrix[5] += matrix[3] * (-cx) + matrix[4] * (-cy)
+        matrix[2] += cx + tx
+        matrix[5] += cy + ty
+    return matrix
+
+
+def _sample_bilinear_zero_pad(image, src_y, src_x):
+    """grid_sample(bilinear, zeros, align_corners=False) equivalent:
+    image (..., H, W, C); src_y/src_x (OH, OW) in pixel coords."""
+    h, w = image.shape[-3], image.shape[-2]
+    y0 = jnp.floor(src_y).astype(jnp.int32)
+    x0 = jnp.floor(src_x).astype(jnp.int32)
+    y1, x1 = y0 + 1, x0 + 1
+    ly, lx = src_y - y0, src_x - x0
+
+    def corner(yy, xx, wy, wx):
+        valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        yc = jnp.clip(yy, 0, h - 1)
+        xc = jnp.clip(xx, 0, w - 1)
+        v = image[..., yc, xc, :]  # (..., OH, OW, C)
+        wgt = (wy * wx * valid)[..., None]
+        return v * wgt
+
+    return (
+        corner(y0, x0, 1 - ly, 1 - lx)
+        + corner(y0, x1, 1 - ly, lx)
+        + corner(y1, x0, ly, 1 - lx)
+        + corner(y1, x1, ly, lx)
+    )
+
+
+def _sample_nearest_zero_pad(image, src_y, src_x):
+    """grid_sample(nearest, zeros, align_corners=False): torch rounds the
+    unnormalized source coordinate with nearbyint (round-half-to-even),
+    which jnp.round matches."""
+    h, w = image.shape[-3], image.shape[-2]
+    yy = jnp.round(src_y).astype(jnp.int32)
+    xx = jnp.round(src_x).astype(jnp.int32)
+    valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+    yc = jnp.clip(yy, 0, h - 1)
+    xc = jnp.clip(xx, 0, w - 1)
+    v = image[..., yc, xc, :]
+    return v * valid[..., None]
+
+
+def _affine_grid_sample(
+    image: jax.Array,
+    matrix: Sequence[float],
+    out_size: Tuple[int, int],
+    interpolation: str = "bilinear",
+    fill=None,
+) -> jax.Array:
+    """Inverse-warp with the 6-coeff matrix in the torchvision convention:
+    centered output pixel coords -> centered source coords."""
+    h, w = image.shape[-3], image.shape[-2]
+    oh, ow = out_size
+    m0, m1, m2, m3, m4, m5 = [float(m) for m in matrix]
+
+    # centered output pixel coordinates (torch _gen_affine_grid)
+    ys = jnp.arange(oh, dtype=jnp.float32) - oh * 0.5 + 0.5
+    xs = jnp.arange(ow, dtype=jnp.float32) - ow * 0.5 + 0.5
+    yg, xg = jnp.meshgrid(ys, xs, indexing="ij")  # (OH, OW)
+
+    # Bit-match torch: theta is rescaled by [0.5w, 0.5h] into normalized
+    # coords (float32), then grid_sample unnormalizes ((g+1)*size - 1)/2.
+    # Replicating this float32 round-trip keeps nearest-mode rounding
+    # decisions at exact .5 boundaries identical to the reference.
+    r0 = np.float32(m0) / np.float32(0.5 * w)
+    r1 = np.float32(m1) / np.float32(0.5 * w)
+    r2 = np.float32(m2) / np.float32(0.5 * w)
+    r3 = np.float32(m3) / np.float32(0.5 * h)
+    r4 = np.float32(m4) / np.float32(0.5 * h)
+    r5 = np.float32(m5) / np.float32(0.5 * h)
+    gx = r0 * xg + r1 * yg + r2
+    gy = r3 * xg + r4 * yg + r5
+    src_x = ((gx + 1.0) * w - 1.0) * 0.5
+    src_y = ((gy + 1.0) * h - 1.0) * 0.5
+
+    orig_dtype = image.dtype
+    img = image.astype(jnp.float32)
+
+    if fill is not None:
+        ones = jnp.ones(img.shape[:-1] + (1,), dtype=jnp.float32)
+        img = jnp.concatenate([img, ones], axis=-1)
+
+    if interpolation == "nearest":
+        out = _sample_nearest_zero_pad(img, src_y, src_x)
+    else:
+        out = _sample_bilinear_zero_pad(img, src_y, src_x)
+
+    if fill is not None:
+        mask = out[..., -1:]
+        out = out[..., :-1]
+        if isinstance(fill, (list, tuple)):
+            fill_arr = jnp.array(fill, dtype=jnp.float32)
+        else:
+            fill_arr = jnp.full((out.shape[-1],), float(fill), dtype=jnp.float32)
+        if interpolation == "nearest":
+            keep = mask >= 0.5
+            out = jnp.where(keep, out, fill_arr)
+        else:
+            out = out * mask + (1.0 - mask) * fill_arr
+
+    if jnp.issubdtype(orig_dtype, jnp.integer):
+        info = jnp.iinfo(orig_dtype)
+        out = jnp.clip(jnp.round(out), info.min, info.max)
+    return out.astype(orig_dtype)
+
+
+def affine_image(
+    image: jax.Array,
+    angle: float,
+    translate: List[float],
+    scale: float,
+    shear: List[float],
+    interpolation: str = "nearest",
+    fill=None,
+    center: Optional[List[float]] = None,
+) -> jax.Array:
+    """reference affine_image (``_geometry.py``): rotation about center with
+    translate/scale/shear in the PIL convention."""
+    h, w = image.shape[-3], image.shape[-2]
+    if center is None:
+        center_f = [0.0, 0.0]
+    else:
+        center_f = [c - s * 0.5 for c, s in zip(center, (w, h))]
+    translate_f = [float(t) for t in translate]
+    matrix = _get_inverse_affine_matrix(
+        center_f, angle, translate_f, scale, list(map(float, shear))
+    )
+    return _affine_grid_sample(image, matrix, (h, w), interpolation, fill)
+
+
+def _affine_bounding_boxes_with_expand(
+    boxes: jax.Array,
+    format: BoundingBoxFormat,
+    canvas_size: Tuple[int, int],
+    angle: float,
+    translate,
+    scale: float,
+    shear,
+    center=None,
+    expand: bool = False,
+) -> Tuple[jax.Array, Tuple[int, int]]:
+    """Transform the 4 corners with the forward matrix, take the envelope
+    (reference ``_affine_bounding_boxes_with_expand``)."""
+    h, w = canvas_size
+    if center is None:
+        center = [w * 0.5, h * 0.5]
+    dtype = boxes.dtype
+    fmt_name = format.value.lower()
+    xyxy = box_convert(boxes.astype(jnp.float32), fmt_name, "xyxy")
+
+    m = _get_inverse_affine_matrix(
+        center, angle, [float(t) for t in translate], scale,
+        list(map(float, shear)), inverted=False,
+    )
+    M = jnp.array([[m[0], m[1], m[2]], [m[3], m[4], m[5]]], dtype=jnp.float32)
+
+    x1, y1, x2, y2 = (xyxy[..., i] for i in range(4))
+    corners = jnp.stack(
+        [
+            jnp.stack([x1, y1], -1),
+            jnp.stack([x2, y1], -1),
+            jnp.stack([x2, y2], -1),
+            jnp.stack([x1, y2], -1),
+        ],
+        axis=-2,
+    )  # [..., 4, 2]
+    ones = jnp.ones(corners.shape[:-1] + (1,), dtype=jnp.float32)
+    pts = jnp.concatenate([corners, ones], axis=-1)  # [..., 4, 3]
+    tp = pts @ M.T  # [..., 4, 2]
+
+    out_x1 = jnp.min(tp[..., 0], axis=-1)
+    out_y1 = jnp.min(tp[..., 1], axis=-1)
+    out_x2 = jnp.max(tp[..., 0], axis=-1)
+    out_y2 = jnp.max(tp[..., 1], axis=-1)
+    out = jnp.stack([out_x1, out_y1, out_x2, out_y2], axis=-1)
+
+    new_canvas = canvas_size
+    if expand:
+        # transform the image frame corners to get the new canvas + offset
+        frame = np.array(
+            [[0.0, 0.0, 1.0], [0.0, h, 1.0], [w, h, 1.0], [w, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+        Mn = np.array([[m[0], m[1], m[2]], [m[3], m[4], m[5]]], dtype=np.float32)
+        new_pts = frame @ Mn.T
+        tr = new_pts.min(axis=0)
+        new_w = int(np.ceil(new_pts[:, 0].max() - tr[0]))
+        new_h = int(np.ceil(new_pts[:, 1].max() - tr[1]))
+        out = out - jnp.array([tr[0], tr[1], tr[0], tr[1]], dtype=jnp.float32)
+        new_canvas = (new_h, new_w)
+
+    out = box_convert(out, "xyxy", fmt_name).astype(dtype)
+    return out, new_canvas
+
+
+def affine_bounding_boxes(
+    boxes, format, canvas_size, angle, translate, scale, shear, center=None
+):
+    out, _ = _affine_bounding_boxes_with_expand(
+        boxes, format, canvas_size, angle, translate, scale, shear, center, False
+    )
+    return out
+
+
+def affine_keypoints(
+    kp, canvas_size, angle, translate, scale, shear, center=None
+):
+    h, w = canvas_size
+    if center is None:
+        center = [w * 0.5, h * 0.5]
+    m = _get_inverse_affine_matrix(
+        center, angle, [float(t) for t in translate], scale,
+        list(map(float, shear)), inverted=False,
+    )
+    M = jnp.array([[m[0], m[1], m[2]], [m[3], m[4], m[5]]], dtype=jnp.float32)
+    ones = jnp.ones(kp.shape[:-1] + (1,), dtype=jnp.float32)
+    pts = jnp.concatenate([kp.astype(jnp.float32), ones], axis=-1)
+    return (pts @ M.T).astype(kp.dtype)
+
+
+def affine_mask(mask, angle, translate, scale, shear, fill=None, center=None):
+    out = affine_image(
+        mask[..., None], angle, translate, scale, shear, "nearest", fill, center
+    )
+    return out[..., 0]
+
+
+def affine(
+    inpt,
+    angle: float,
+    translate: List[float],
+    scale: float,
+    shear: List[float],
+    interpolation: str = "nearest",
+    fill=None,
+    center=None,
+):
+    """Public affine (reference ``_geometry.py`` ``affine``)."""
+    if _is_image_like(inpt):
+        return affine_image(inpt, angle, translate, scale, shear, interpolation, fill, center)
+    if isinstance(inpt, (Image, Video)):
+        return type(inpt)(
+            affine_image(inpt.data, angle, translate, scale, shear, interpolation, fill, center)
+        )
+    if isinstance(inpt, Mask):
+        return Mask(affine_mask(inpt.data, angle, translate, scale, shear, fill, center))
+    if isinstance(inpt, BoundingBoxes):
+        out = affine_bounding_boxes(
+            inpt.data, inpt.format, inpt.canvas_size, angle, translate, scale, shear, center
+        )
+        return clamp_bounding_boxes(tv_tensors.wrap(out, like=inpt))
+    if isinstance(inpt, KeyPoints):
+        out = affine_keypoints(
+            inpt.data, inpt.canvas_size, angle, translate, scale, shear, center
+        )
+        return clamp_keypoints(KeyPoints(out, canvas_size=inpt.canvas_size))
+    raise TypeError(f"affine: unsupported type {type(inpt).__name__}")
+
+
+def _rotate_expand_size(w: int, h: int, angle: float) -> Tuple[int, int]:
+    rot = math.radians(angle)
+    abs_cos, abs_sin = abs(math.cos(rot)), abs(math.sin(rot))
+    new_w = int(math.ceil(w * abs_cos + h * abs_sin - 1e-7))
+    new_h = int(math.ceil(w * abs_sin + h * abs_cos - 1e-7))
+    return new_h, new_w
+
+
+def rotate_image(
+    image: jax.Array,
+    angle: float,
+    interpolation: str = "nearest",
+    expand: bool = False,
+    center=None,
+    fill=None,
+) -> jax.Array:
+    """reference rotate_image. ``expand=True`` grows the canvas to fit."""
+    h, w = image.shape[-3], image.shape[-2]
+    if center is None:
+        center_f = [0.0, 0.0]
+    else:
+        center_f = [c - s * 0.5 for c, s in zip(center, (w, h))]
+    matrix = _get_inverse_affine_matrix(center_f, -angle, [0.0, 0.0], 1.0, [0.0, 0.0])
+    out_size = _rotate_expand_size(w, h, angle) if expand else (h, w)
+    return _affine_grid_sample(image, matrix, out_size, interpolation, fill)
+
+
+def rotate_mask(mask, angle, expand=False, center=None, fill=None):
+    out = rotate_image(mask[..., None], angle, "nearest", expand, center, fill)
+    return out[..., 0]
+
+
+def rotate_bounding_boxes(
+    boxes, format, canvas_size, angle, expand=False, center=None
+):
+    return _affine_bounding_boxes_with_expand(
+        boxes, format, canvas_size, -angle, [0.0, 0.0], 1.0, [0.0, 0.0],
+        center, expand,
+    )
+
+
+def rotate(
+    inpt,
+    angle: float,
+    interpolation: str = "nearest",
+    expand: bool = False,
+    center=None,
+    fill=None,
+):
+    if _is_image_like(inpt):
+        return rotate_image(inpt, angle, interpolation, expand, center, fill)
+    if isinstance(inpt, (Image, Video)):
+        return type(inpt)(
+            rotate_image(inpt.data, angle, interpolation, expand, center, fill)
+        )
+    if isinstance(inpt, Mask):
+        return Mask(rotate_mask(inpt.data, angle, expand, center, fill))
+    if isinstance(inpt, BoundingBoxes):
+        out, cs = rotate_bounding_boxes(
+            inpt.data, inpt.format, inpt.canvas_size, angle, expand, center
+        )
+        bb = BoundingBoxes(
+            out, format=inpt.format, canvas_size=cs, clamping_mode=inpt.clamping_mode
+        )
+        return clamp_bounding_boxes(bb)
+    if isinstance(inpt, KeyPoints):
+        out = affine_keypoints(
+            inpt.data, inpt.canvas_size, -angle, [0.0, 0.0], 1.0, [0.0, 0.0], center
+        )
+        cs = inpt.canvas_size
+        if expand:
+            cs = _rotate_expand_size(cs[1], cs[0], angle)
+        return clamp_keypoints(KeyPoints(out, canvas_size=cs))
+    raise TypeError(f"rotate: unsupported type {type(inpt).__name__}")
+
+
+# ======================================================================
+# perspective / elastic
+# ======================================================================
+def _perspective_coeffs(
+    startpoints: Sequence[Sequence[float]], endpoints: Sequence[Sequence[float]]
+) -> List[float]:
+    """Solve the 8-dof homography mapping endpoints -> startpoints
+    (reference ``transforms/functional.py`` ``_get_perspective_coeffs``)."""
+    a = np.zeros((2 * len(startpoints), 8), dtype=np.float64)
+    b = []
+    for i, (p1, p2) in enumerate(zip(endpoints, startpoints)):
+        a[2 * i, :] = [p1[0], p1[1], 1, 0, 0, 0, -p2[0] * p1[0], -p2[0] * p1[1]]
+        a[2 * i + 1, :] = [0, 0, 0, p1[0], p1[1], 1, -p2[1] * p1[0], -p2[1] * p1[1]]
+        b.extend([p2[0], p2[1]])
+    res = np.linalg.lstsq(a, np.array(b, dtype=np.float64), rcond=None)[0]
+    return [float(c) for c in res]
+
+
+def perspective_image(
+    image: jax.Array,
+    startpoints=None,
+    endpoints=None,
+    interpolation: str = "bilinear",
+    fill=None,
+    coefficients: Optional[Sequence[float]] = None,
+) -> jax.Array:
+    """reference perspective_image: inverse-warp with homography
+    x_src = (c0 x + c1 y + c2) / (c6 x + c7 y + 1)."""
+    if coefficients is None:
+        coefficients = _perspective_coeffs(startpoints, endpoints)
+    c = [float(v) for v in coefficients]
+    h, w = image.shape[-3], image.shape[-2]
+    # torch builds the grid over pixel coords 0.5-centered
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+    yg, xg = jnp.meshgrid(ys, xs, indexing="ij")
+    den = c[6] * xg + c[7] * yg + 1.0
+    src_x = (c[0] * xg + c[1] * yg + c[2]) / den - 0.5
+    src_y = (c[3] * xg + c[4] * yg + c[5]) / den - 0.5
+
+    orig_dtype = image.dtype
+    img = image.astype(jnp.float32)
+    if fill is not None:
+        ones = jnp.ones(img.shape[:-1] + (1,), dtype=jnp.float32)
+        img = jnp.concatenate([img, ones], axis=-1)
+    if interpolation == "nearest":
+        out = _sample_nearest_zero_pad(img, src_y, src_x)
+    else:
+        out = _sample_bilinear_zero_pad(img, src_y, src_x)
+    if fill is not None:
+        mask = out[..., -1:]
+        out = out[..., :-1]
+        fill_arr = (
+            jnp.array(fill, dtype=jnp.float32)
+            if isinstance(fill, (list, tuple))
+            else jnp.full((out.shape[-1],), float(fill), dtype=jnp.float32)
+        )
+        if interpolation == "nearest":
+            out = jnp.where(mask >= 0.5, out, fill_arr)
+        else:
+            out = out * mask + (1.0 - mask) * fill_arr
+    if jnp.issubdtype(orig_dtype, jnp.integer):
+        info = jnp.iinfo(orig_dtype)
+        out = jnp.clip(jnp.round(out), info.min, info.max)
+    return out.astype(orig_dtype)
+
+
+def perspective_mask(mask, startpoints=None, endpoints=None, fill=None, coefficients=None):
+    out = perspective_image(
+        mask[..., None], startpoints, endpoints, "nearest", fill, coefficients
+    )
+    return out[..., 0]
+
+
+def perspective_bounding_boxes(
+    boxes, format, canvas_size, startpoints=None, endpoints=None, coefficients=None
+):
+    """Transform corners with the FORWARD homography (the inverse of the
+    image warp coefficients), envelope bbox (reference
+    perspective_bounding_boxes)."""
+    if coefficients is None:
+        coefficients = _perspective_coeffs(startpoints, endpoints)
+    c = coefficients
+    # invert the homography (image coeffs map dst->src; boxes need src->dst)
+    M = np.array(
+        [[c[0], c[1], c[2]], [c[3], c[4], c[5]], [c[6], c[7], 1.0]],
+        dtype=np.float64,
+    )
+    Minv = np.linalg.inv(M)
+    dtype = boxes.dtype
+    fmt_name = format.value.lower()
+    xyxy = box_convert(boxes.astype(jnp.float32), fmt_name, "xyxy")
+    x1, y1, x2, y2 = (xyxy[..., i] for i in range(4))
+    corners = jnp.stack(
+        [
+            jnp.stack([x1, y1], -1),
+            jnp.stack([x2, y1], -1),
+            jnp.stack([x2, y2], -1),
+            jnp.stack([x1, y2], -1),
+        ],
+        axis=-2,
+    )
+    ones = jnp.ones(corners.shape[:-1] + (1,), dtype=jnp.float32)
+    pts = jnp.concatenate([corners + 0.5, ones], axis=-1)  # pixel centers
+    Mj = jnp.array(Minv, dtype=jnp.float32)
+    tp = pts @ Mj.T
+    tp = tp[..., :2] / tp[..., 2:3] - 0.5
+    out = jnp.stack(
+        [
+            jnp.min(tp[..., 0], axis=-1),
+            jnp.min(tp[..., 1], axis=-1),
+            jnp.max(tp[..., 0], axis=-1),
+            jnp.max(tp[..., 1], axis=-1),
+        ],
+        axis=-1,
+    )
+    return box_convert(out, "xyxy", fmt_name).astype(dtype)
+
+
+def perspective(
+    inpt,
+    startpoints=None,
+    endpoints=None,
+    interpolation: str = "bilinear",
+    fill=None,
+    coefficients=None,
+):
+    if _is_image_like(inpt):
+        return perspective_image(
+            inpt, startpoints, endpoints, interpolation, fill, coefficients
+        )
+    if isinstance(inpt, (Image, Video)):
+        return type(inpt)(
+            perspective_image(
+                inpt.data, startpoints, endpoints, interpolation, fill, coefficients
+            )
+        )
+    if isinstance(inpt, Mask):
+        return Mask(
+            perspective_mask(inpt.data, startpoints, endpoints, fill, coefficients)
+        )
+    if isinstance(inpt, BoundingBoxes):
+        out = perspective_bounding_boxes(
+            inpt.data, inpt.format, inpt.canvas_size, startpoints, endpoints, coefficients
+        )
+        return clamp_bounding_boxes(tv_tensors.wrap(out, like=inpt))
+    raise TypeError(f"perspective: unsupported type {type(inpt).__name__}")
+
+
+def elastic_image(
+    image: jax.Array,
+    displacement: jax.Array,
+    interpolation: str = "bilinear",
+    fill=None,
+) -> jax.Array:
+    """reference elastic_image: displacement [1, H, W, 2] in normalized
+    [-1, 1] grid units added to the base grid."""
+    h, w = image.shape[-3], image.shape[-2]
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    yg, xg = jnp.meshgrid(ys, xs, indexing="ij")
+    d = displacement.reshape(h, w, 2).astype(jnp.float32)
+    # normalized displacement -> pixel displacement
+    src_x = xg + d[..., 0] * (w * 0.5)
+    src_y = yg + d[..., 1] * (h * 0.5)
+
+    orig_dtype = image.dtype
+    img = image.astype(jnp.float32)
+    if fill is not None:
+        ones = jnp.ones(img.shape[:-1] + (1,), dtype=jnp.float32)
+        img = jnp.concatenate([img, ones], axis=-1)
+    if interpolation == "nearest":
+        out = _sample_nearest_zero_pad(img, src_y, src_x)
+    else:
+        out = _sample_bilinear_zero_pad(img, src_y, src_x)
+    if fill is not None:
+        mask = out[..., -1:]
+        out = out[..., :-1]
+        fill_arr = (
+            jnp.array(fill, dtype=jnp.float32)
+            if isinstance(fill, (list, tuple))
+            else jnp.full((out.shape[-1],), float(fill), dtype=jnp.float32)
+        )
+        if interpolation == "nearest":
+            out = jnp.where(mask >= 0.5, out, fill_arr)
+        else:
+            out = out * mask + (1.0 - mask) * fill_arr
+    if jnp.issubdtype(orig_dtype, jnp.integer):
+        info = jnp.iinfo(orig_dtype)
+        out = jnp.clip(jnp.round(out), info.min, info.max)
+    return out.astype(orig_dtype)
+
+
+def elastic(inpt, displacement, interpolation: str = "bilinear", fill=None):
+    if _is_image_like(inpt):
+        return elastic_image(inpt, displacement, interpolation, fill)
+    if isinstance(inpt, (Image, Video)):
+        return type(inpt)(elastic_image(inpt.data, displacement, interpolation, fill))
+    if isinstance(inpt, Mask):
+        out = elastic_image(inpt.data[..., None], displacement, "nearest", fill)
+        return Mask(out[..., 0])
+    raise TypeError(f"elastic: unsupported type {type(inpt).__name__}")
+
+
+# ======================================================================
+# five/ten crop
+# ======================================================================
+def five_crop(inpt, size):
+    """reference five_crop: (tl, tr, bl, br, center)."""
+    if isinstance(size, int):
+        size = (size, size)
+    elif len(size) == 1:
+        size = (size[0], size[0])
+    crop_h, crop_w = size
+    if isinstance(inpt, tv_tensors.TVTensor):
+        h, w = inpt.shape[-3], inpt.shape[-2]
+    else:
+        h, w = inpt.shape[-3], inpt.shape[-2]
+    if crop_w > w or crop_h > h:
+        raise ValueError(f"crop size {size} larger than image ({h}, {w})")
+    tl = crop(inpt, 0, 0, crop_h, crop_w)
+    tr = crop(inpt, 0, w - crop_w, crop_h, crop_w)
+    bl = crop(inpt, h - crop_h, 0, crop_h, crop_w)
+    br = crop(inpt, h - crop_h, w - crop_w, crop_h, crop_w)
+    c = center_crop(inpt, (crop_h, crop_w))
+    return tl, tr, bl, br, c
+
+
+def ten_crop(inpt, size, vertical_flip: bool = False):
+    """reference ten_crop: five_crop + flipped five_crop."""
+    first = five_crop(inpt, size)
+    flipped = (
+        globals()["vertical_flip"](inpt) if vertical_flip else horizontal_flip(inpt)
+    )
+    second = five_crop(flipped, size)
+    return first + second
