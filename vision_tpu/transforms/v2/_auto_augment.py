@@ -1,0 +1,492 @@
+"""AutoAugment family (reference
+``torchvision/transforms/v2/_auto_augment.py``, 646 LoC): AutoAugment,
+RandAugment, TrivialAugmentWide, AugMix.
+
+The policy tables are the published constants from the respective papers
+(AutoAugment: Cubuk et al. 2018; RandAugment: Cubuk et al. 2019;
+TrivialAugment: Müller & Hutter 2021; AugMix: Hendrycks et al. 2020).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision_tpu import tv_tensors
+from vision_tpu.transforms.v2 import functional as F
+from vision_tpu.transforms.v2._transform import Transform
+
+__all__ = ["AutoAugment", "RandAugment", "TrivialAugmentWide", "AugMix"]
+
+_IMG_TYPES = (tv_tensors.Image, tv_tensors.Video, jax.Array, np.ndarray)
+
+
+class _AutoAugmentBase(Transform):
+    _transformed_types = _IMG_TYPES
+
+    def __init__(self, interpolation: str = "nearest", fill=None):
+        super().__init__()
+        self.interpolation = interpolation
+        self.fill = fill
+
+    def _apply_op(self, img, op_name: str, magnitude: float):
+        """reference ``_auto_augment.py`` ``_apply_image_or_video_transform``."""
+        interp, fill = self.interpolation, self.fill
+        if op_name == "ShearX":
+            return F.affine(
+                img, 0.0, [0, 0], 1.0,
+                [math.degrees(math.atan(magnitude)), 0.0],
+                interp, fill, center=[0, 0],
+            )
+        if op_name == "ShearY":
+            return F.affine(
+                img, 0.0, [0, 0], 1.0,
+                [0.0, math.degrees(math.atan(magnitude))],
+                interp, fill, center=[0, 0],
+            )
+        if op_name == "TranslateX":
+            return F.affine(
+                img, 0.0, [int(magnitude), 0], 1.0, [0.0, 0.0], interp, fill
+            )
+        if op_name == "TranslateY":
+            return F.affine(
+                img, 0.0, [0, int(magnitude)], 1.0, [0.0, 0.0], interp, fill
+            )
+        if op_name == "Rotate":
+            return F.rotate(img, magnitude, interp, fill=fill)
+        if op_name == "Brightness":
+            return F.adjust_brightness(img, 1.0 + magnitude)
+        if op_name == "Color":
+            return F.adjust_saturation(img, 1.0 + magnitude)
+        if op_name == "Contrast":
+            return F.adjust_contrast(img, 1.0 + magnitude)
+        if op_name == "Sharpness":
+            return F.adjust_sharpness(img, 1.0 + magnitude)
+        if op_name == "Posterize":
+            return F.posterize(img, int(magnitude))
+        if op_name == "Solarize":
+            arr = img.data if isinstance(img, tv_tensors.TVTensor) else img
+            bound = 255.0 if jnp.issubdtype(arr.dtype, jnp.integer) else 1.0
+            return F.solarize(img, magnitude * bound / 255.0 if bound == 1.0 else magnitude)
+        if op_name == "AutoContrast":
+            return F.autocontrast(img)
+        if op_name == "Equalize":
+            return F.equalize(img)
+        if op_name == "Invert":
+            return F.invert(img)
+        if op_name == "Identity":
+            return img
+        raise ValueError(f"unknown op {op_name}")
+
+
+def _imagenet_policy():
+    """reference ``_auto_augment.py`` AutoAugmentPolicy.IMAGENET table."""
+    return [
+        (("Posterize", 0.4, 8), ("Rotate", 0.6, 9)),
+        (("Solarize", 0.6, 5), ("AutoContrast", 0.6, None)),
+        (("Equalize", 0.8, None), ("Equalize", 0.6, None)),
+        (("Posterize", 0.6, 7), ("Posterize", 0.6, 6)),
+        (("Equalize", 0.4, None), ("Solarize", 0.2, 4)),
+        (("Equalize", 0.4, None), ("Rotate", 0.8, 8)),
+        (("Solarize", 0.6, 3), ("Equalize", 0.6, None)),
+        (("Posterize", 0.8, 5), ("Equalize", 1.0, None)),
+        (("Rotate", 0.2, 3), ("Solarize", 0.6, 8)),
+        (("Equalize", 0.6, None), ("Posterize", 0.4, 6)),
+        (("Rotate", 0.8, 8), ("Color", 0.4, 0)),
+        (("Rotate", 0.4, 9), ("Equalize", 0.6, None)),
+        (("Equalize", 0.0, None), ("Equalize", 0.8, None)),
+        (("Invert", 0.6, None), ("Equalize", 1.0, None)),
+        (("Color", 0.6, 4), ("Contrast", 1.0, 8)),
+        (("Rotate", 0.8, 8), ("Color", 1.0, 2)),
+        (("Color", 0.8, 8), ("Solarize", 0.8, 7)),
+        (("Sharpness", 0.4, 7), ("Invert", 0.6, None)),
+        (("ShearX", 0.6, 5), ("Equalize", 1.0, None)),
+        (("Color", 0.4, 0), ("Equalize", 0.6, None)),
+        (("Equalize", 0.4, None), ("Solarize", 0.2, 4)),
+        (("Solarize", 0.6, 5), ("AutoContrast", 0.6, None)),
+        (("Invert", 0.6, None), ("Equalize", 1.0, None)),
+        (("Color", 0.6, 4), ("Contrast", 1.0, 8)),
+        (("Equalize", 0.8, None), ("Equalize", 0.6, None)),
+    ]
+
+
+def _cifar10_policy():
+    return [
+        (("Invert", 0.1, None), ("Contrast", 0.2, 6)),
+        (("Rotate", 0.7, 2), ("TranslateX", 0.3, 9)),
+        (("Sharpness", 0.8, 1), ("Sharpness", 0.9, 3)),
+        (("ShearY", 0.5, 8), ("TranslateY", 0.7, 9)),
+        (("AutoContrast", 0.5, None), ("Equalize", 0.9, None)),
+        (("ShearY", 0.2, 7), ("Posterize", 0.3, 7)),
+        (("Color", 0.4, 3), ("Brightness", 0.6, 7)),
+        (("Sharpness", 0.3, 9), ("Brightness", 0.7, 9)),
+        (("Equalize", 0.6, None), ("Equalize", 0.5, None)),
+        (("Contrast", 0.6, 7), ("Sharpness", 0.6, 5)),
+        (("Color", 0.7, 7), ("TranslateX", 0.5, 8)),
+        (("Equalize", 0.3, None), ("AutoContrast", 0.4, None)),
+        (("TranslateY", 0.4, 3), ("Sharpness", 0.2, 6)),
+        (("Brightness", 0.9, 6), ("Color", 0.2, 8)),
+        (("Solarize", 0.5, 2), ("Invert", 0.0, None)),
+        (("Equalize", 0.2, None), ("AutoContrast", 0.6, None)),
+        (("Equalize", 0.2, None), ("Equalize", 0.6, None)),
+        (("Color", 0.9, 9), ("Equalize", 0.6, None)),
+        (("AutoContrast", 0.8, None), ("Solarize", 0.2, 8)),
+        (("Brightness", 0.1, 3), ("Color", 0.7, 0)),
+        (("Solarize", 0.4, 5), ("AutoContrast", 0.9, None)),
+        (("TranslateY", 0.9, 9), ("TranslateY", 0.7, 9)),
+        (("AutoContrast", 0.9, None), ("Solarize", 0.8, 3)),
+        (("Equalize", 0.8, None), ("Invert", 0.1, None)),
+        (("TranslateY", 0.7, 9), ("AutoContrast", 0.9, None)),
+    ]
+
+
+def _svhn_policy():
+    return [
+        (("ShearX", 0.9, 4), ("Invert", 0.2, None)),
+        (("ShearY", 0.9, 8), ("Invert", 0.7, None)),
+        (("Equalize", 0.6, None), ("Solarize", 0.6, 6)),
+        (("Invert", 0.9, None), ("Equalize", 0.6, None)),
+        (("Equalize", 0.6, None), ("Rotate", 0.9, 3)),
+        (("ShearX", 0.9, 4), ("AutoContrast", 0.8, None)),
+        (("ShearY", 0.9, 8), ("Invert", 0.4, None)),
+        (("ShearY", 0.9, 5), ("Solarize", 0.2, 6)),
+        (("Invert", 0.9, None), ("AutoContrast", 0.8, None)),
+        (("Equalize", 0.6, None), ("Rotate", 0.9, 3)),
+        (("ShearX", 0.9, 4), ("Solarize", 0.3, 3)),
+        (("ShearY", 0.8, 8), ("Invert", 0.7, None)),
+        (("Equalize", 0.9, None), ("TranslateY", 0.6, 6)),
+        (("ShearX", 0.9, 4), ("AutoContrast", 0.8, None)),
+        (("ShearY", 0.8, 8), ("Solarize", 0.7, 2)),
+        (("Invert", 0.7, None), ("TranslateY", 0.6, 6)),
+        (("ShearY", 0.6, 7), ("Solarize", 0.4, 8)),
+        (("Invert", 0.8, None), ("TranslateY", 0.0, 2)),
+        (("ShearY", 0.7, 6), ("Solarize", 0.4, 8)),
+        (("Invert", 0.6, None), ("Rotate", 0.8, 4)),
+        (("ShearY", 0.3, 7), ("TranslateX", 0.9, 3)),
+        (("ShearX", 0.1, 6), ("Invert", 0.6, None)),
+        (("Solarize", 0.7, 2), ("TranslateY", 0.6, 7)),
+        (("ShearY", 0.8, 4), ("Invert", 0.8, None)),
+        (("ShearX", 0.7, 9), ("TranslateY", 0.8, 3)),
+    ]
+
+
+class AutoAugment(_AutoAugmentBase):
+    """reference ``_auto_augment.py:229``."""
+
+    def __init__(self, policy: str = "imagenet", interpolation="nearest", fill=None):
+        super().__init__(interpolation, fill)
+        self.policy = policy
+        self._policies = {
+            "imagenet": _imagenet_policy,
+            "cifar10": _cifar10_policy,
+            "svhn": _svhn_policy,
+        }[policy]()
+
+    def _augmentation_space(self, num_bins: int, image_size):
+        h, w = image_size
+        return {
+            "ShearX": (np.linspace(0.0, 0.3, num_bins), True),
+            "ShearY": (np.linspace(0.0, 0.3, num_bins), True),
+            "TranslateX": (np.linspace(0.0, 150.0 / 331.0 * w, num_bins), True),
+            "TranslateY": (np.linspace(0.0, 150.0 / 331.0 * h, num_bins), True),
+            "Rotate": (np.linspace(0.0, 30.0, num_bins), True),
+            "Brightness": (np.linspace(0.0, 0.9, num_bins), True),
+            "Color": (np.linspace(0.0, 0.9, num_bins), True),
+            "Contrast": (np.linspace(0.0, 0.9, num_bins), True),
+            "Sharpness": (np.linspace(0.0, 0.9, num_bins), True),
+            "Posterize": (
+                8 - (np.arange(num_bins) / ((num_bins - 1) / 4)).round(),
+                False,
+            ),
+            "Solarize": (np.linspace(255.0, 0.0, num_bins), False),
+            "AutoContrast": (np.array(0.0), False),
+            "Equalize": (np.array(0.0), False),
+            "Invert": (np.array(0.0), False),
+        }
+
+    def __call__(self, *inputs, key: Optional[jax.Array] = None):
+        sample = inputs if len(inputs) > 1 else inputs[0]
+        if key is None:
+            key = self._next_key()
+        from vision_tpu.transforms.v2._geometry import _query_size
+
+        flat, spec = jax.tree_util.tree_flatten(
+            sample, is_leaf=lambda x: isinstance(x, tv_tensors.TVTensor)
+        )
+        needs = self._needs_transform_list(flat)
+        size = _query_size(flat)
+        k1, *op_keys = jax.random.split(key, 6)
+        policy_idx = int(jax.random.randint(k1, (), 0, len(self._policies)))
+        policy = self._policies[policy_idx]
+        space = self._augmentation_space(10, size)
+
+        out = []
+        for x, n in zip(flat, needs):
+            if not n:
+                out.append(x)
+                continue
+            img = x
+            for (op_name, p, magnitude_id), kp, ks in zip(
+                policy, op_keys[:2], op_keys[2:4]
+            ):
+                if float(jax.random.uniform(kp)) > p:
+                    continue
+                magnitudes, signed = space[op_name]
+                if magnitude_id is not None and magnitudes.ndim > 0:
+                    magnitude = float(magnitudes[magnitude_id])
+                else:
+                    magnitude = 0.0
+                if signed and float(jax.random.uniform(ks)) > 0.5:
+                    magnitude = -magnitude
+                img = self._apply_op(img, op_name, magnitude)
+            out.append(img)
+        return jax.tree_util.tree_unflatten(spec, out)
+
+
+class RandAugment(_AutoAugmentBase):
+    """reference ``_auto_augment.py:410``."""
+
+    def __init__(
+        self,
+        num_ops: int = 2,
+        magnitude: int = 9,
+        num_magnitude_bins: int = 31,
+        interpolation="nearest",
+        fill=None,
+    ):
+        super().__init__(interpolation, fill)
+        self.num_ops = num_ops
+        self.magnitude = magnitude
+        self.num_magnitude_bins = num_magnitude_bins
+
+    def _augmentation_space(self, num_bins: int, image_size):
+        h, w = image_size
+        return {
+            "Identity": (np.array(0.0), False),
+            "ShearX": (np.linspace(0.0, 0.3, num_bins), True),
+            "ShearY": (np.linspace(0.0, 0.3, num_bins), True),
+            "TranslateX": (np.linspace(0.0, 150.0 / 331.0 * w, num_bins), True),
+            "TranslateY": (np.linspace(0.0, 150.0 / 331.0 * h, num_bins), True),
+            "Rotate": (np.linspace(0.0, 30.0, num_bins), True),
+            "Brightness": (np.linspace(0.0, 0.9, num_bins), True),
+            "Color": (np.linspace(0.0, 0.9, num_bins), True),
+            "Contrast": (np.linspace(0.0, 0.9, num_bins), True),
+            "Sharpness": (np.linspace(0.0, 0.9, num_bins), True),
+            "Posterize": (
+                8 - (np.arange(num_bins) / ((num_bins - 1) / 4)).round(),
+                False,
+            ),
+            "Solarize": (np.linspace(255.0, 0.0, num_bins), False),
+            "AutoContrast": (np.array(0.0), False),
+            "Equalize": (np.array(0.0), False),
+        }
+
+    def __call__(self, *inputs, key: Optional[jax.Array] = None):
+        sample = inputs if len(inputs) > 1 else inputs[0]
+        if key is None:
+            key = self._next_key()
+        from vision_tpu.transforms.v2._geometry import _query_size
+
+        flat, spec = jax.tree_util.tree_flatten(
+            sample, is_leaf=lambda x: isinstance(x, tv_tensors.TVTensor)
+        )
+        needs = self._needs_transform_list(flat)
+        size = _query_size(flat)
+        space = self._augmentation_space(self.num_magnitude_bins, size)
+        names = list(space.keys())
+
+        out = []
+        for x, n in zip(flat, needs):
+            if not n:
+                out.append(x)
+                continue
+            img = x
+            for k in jax.random.split(key, self.num_ops):
+                k1, k2 = jax.random.split(k)
+                op_name = names[int(jax.random.randint(k1, (), 0, len(names)))]
+                magnitudes, signed = space[op_name]
+                magnitude = (
+                    float(magnitudes[self.magnitude]) if magnitudes.ndim > 0 else 0.0
+                )
+                if signed and float(jax.random.uniform(k2)) > 0.5:
+                    magnitude = -magnitude
+                img = self._apply_op(img, op_name, magnitude)
+            out.append(img)
+        return jax.tree_util.tree_unflatten(spec, out)
+
+
+class TrivialAugmentWide(_AutoAugmentBase):
+    """reference ``_auto_augment.py:489``."""
+
+    def __init__(self, num_magnitude_bins: int = 31, interpolation="nearest", fill=None):
+        super().__init__(interpolation, fill)
+        self.num_magnitude_bins = num_magnitude_bins
+
+    def _augmentation_space(self, num_bins: int):
+        return {
+            "Identity": (np.array(0.0), False),
+            "ShearX": (np.linspace(0.0, 0.99, num_bins), True),
+            "ShearY": (np.linspace(0.0, 0.99, num_bins), True),
+            "TranslateX": (np.linspace(0.0, 32.0, num_bins), True),
+            "TranslateY": (np.linspace(0.0, 32.0, num_bins), True),
+            "Rotate": (np.linspace(0.0, 135.0, num_bins), True),
+            "Brightness": (np.linspace(0.0, 0.99, num_bins), True),
+            "Color": (np.linspace(0.0, 0.99, num_bins), True),
+            "Contrast": (np.linspace(0.0, 0.99, num_bins), True),
+            "Sharpness": (np.linspace(0.0, 0.99, num_bins), True),
+            "Posterize": (
+                8 - (np.arange(num_bins) / ((num_bins - 1) / 6)).round(),
+                False,
+            ),
+            "Solarize": (np.linspace(255.0, 0.0, num_bins), False),
+            "AutoContrast": (np.array(0.0), False),
+            "Equalize": (np.array(0.0), False),
+        }
+
+    def __call__(self, *inputs, key: Optional[jax.Array] = None):
+        sample = inputs if len(inputs) > 1 else inputs[0]
+        if key is None:
+            key = self._next_key()
+        flat, spec = jax.tree_util.tree_flatten(
+            sample, is_leaf=lambda x: isinstance(x, tv_tensors.TVTensor)
+        )
+        needs = self._needs_transform_list(flat)
+        space = self._augmentation_space(self.num_magnitude_bins)
+        names = list(space.keys())
+        k1, k2, k3 = jax.random.split(key, 3)
+        op_name = names[int(jax.random.randint(k1, (), 0, len(names)))]
+        magnitudes, signed = space[op_name]
+        if magnitudes.ndim > 0:
+            magnitude = float(
+                magnitudes[int(jax.random.randint(k2, (), 0, len(magnitudes)))]
+            )
+        else:
+            magnitude = 0.0
+        if signed and float(jax.random.uniform(k3)) > 0.5:
+            magnitude = -magnitude
+        out = [
+            self._apply_op(x, op_name, magnitude) if n else x
+            for x, n in zip(flat, needs)
+        ]
+        return jax.tree_util.tree_unflatten(spec, out)
+
+
+class AugMix(_AutoAugmentBase):
+    """reference ``_auto_augment.py:570``: mixture of augmentation chains."""
+
+    def __init__(
+        self,
+        severity: int = 3,
+        mixture_width: int = 3,
+        chain_depth: int = -1,
+        alpha: float = 1.0,
+        all_ops: bool = True,
+        interpolation: str = "bilinear",
+        fill=None,
+    ):
+        super().__init__(interpolation, fill)
+        if not (1 <= severity <= 10):
+            raise ValueError(f"severity must be in [1, 10], got {severity}")
+        self.severity = severity
+        self.mixture_width = mixture_width
+        self.chain_depth = chain_depth
+        self.alpha = alpha
+        self.all_ops = all_ops
+
+    def _augmentation_space(self, num_bins: int, image_size):
+        h, w = image_size
+        s = {
+            "ShearX": (np.linspace(0.0, 0.3, num_bins), True),
+            "ShearY": (np.linspace(0.0, 0.3, num_bins), True),
+            "TranslateX": (np.linspace(0.0, w / 3.0, num_bins), True),
+            "TranslateY": (np.linspace(0.0, h / 3.0, num_bins), True),
+            "Rotate": (np.linspace(0.0, 30.0, num_bins), True),
+            "Posterize": (
+                4 - (np.arange(num_bins) / ((num_bins - 1) / 4)).round(),
+                False,
+            ),
+            "Solarize": (np.linspace(255.0, 0.0, num_bins), False),
+            "AutoContrast": (np.array(0.0), False),
+            "Equalize": (np.array(0.0), False),
+        }
+        if self.all_ops:
+            s.update(
+                {
+                    "Brightness": (np.linspace(0.0, 0.9, num_bins), True),
+                    "Color": (np.linspace(0.0, 0.9, num_bins), True),
+                    "Contrast": (np.linspace(0.0, 0.9, num_bins), True),
+                    "Sharpness": (np.linspace(0.0, 0.9, num_bins), True),
+                }
+            )
+        return s
+
+    def __call__(self, *inputs, key: Optional[jax.Array] = None):
+        sample = inputs if len(inputs) > 1 else inputs[0]
+        if key is None:
+            key = self._next_key()
+        from vision_tpu.transforms.v2._geometry import _query_size
+
+        flat, spec = jax.tree_util.tree_flatten(
+            sample, is_leaf=lambda x: isinstance(x, tv_tensors.TVTensor)
+        )
+        needs = self._needs_transform_list(flat)
+        size = _query_size(flat)
+        space = self._augmentation_space(11, size)  # wait: severity bins
+        names = list(space.keys())
+
+        kd, km = jax.random.split(key)
+        m = jax.random.dirichlet(
+            km, jnp.array([self.alpha] * self.mixture_width, jnp.float32)
+        )
+        mix_weight = float(jax.random.beta(kd, self.alpha, self.alpha))
+
+        out = []
+        for x, n in zip(flat, needs):
+            if not n:
+                out.append(x)
+                continue
+            arr = x.data if isinstance(x, tv_tensors.TVTensor) else x
+            orig_dtype = arr.dtype
+            f = arr.astype(jnp.float32)
+            mix = mix_weight * f
+            kk = key
+            for i in range(self.mixture_width):
+                kk, kc = jax.random.split(kk)
+                depth = (
+                    self.chain_depth
+                    if self.chain_depth > 0
+                    else int(jax.random.randint(kc, (), 1, 4))
+                )
+                aug = x
+                for k in jax.random.split(kc, depth):
+                    k1, k2, k3 = jax.random.split(k, 3)
+                    op_name = names[int(jax.random.randint(k1, (), 0, len(names)))]
+                    magnitudes, signed = space[op_name]
+                    if magnitudes.ndim > 0:
+                        magnitude = float(
+                            magnitudes[
+                                int(jax.random.randint(k2, (), 0, self.severity))
+                            ]
+                        )
+                    else:
+                        magnitude = 0.0
+                    if signed and float(jax.random.uniform(k3)) > 0.5:
+                        magnitude = -magnitude
+                    aug = self._apply_op(aug, op_name, magnitude)
+                aug_arr = aug.data if isinstance(aug, tv_tensors.TVTensor) else aug
+                mix = mix + (1.0 - mix_weight) * float(m[i]) * aug_arr.astype(
+                    jnp.float32
+                )
+            if jnp.issubdtype(orig_dtype, jnp.integer):
+                mix = jnp.clip(jnp.round(mix), 0, 255)
+            mix = mix.astype(orig_dtype)
+            out.append(
+                tv_tensors.wrap(mix, like=x)
+                if isinstance(x, tv_tensors.TVTensor)
+                else mix
+            )
+        return jax.tree_util.tree_unflatten(spec, out)
