@@ -1,0 +1,82 @@
+"""ResNet parity: torch reference (random weights) -> converter -> flax,
+logits must match (the reference validates builders against golden pkl
+outputs, ``test/test_models.py:134``; our golden source is a live torch
+transcription)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tests.torch_refs import randomize_bn_stats, torch_resnet18, torch_resnet50
+from vision_tpu._torch_convert import convert_torch_state_dict
+from vision_tpu.models import resnet as R
+
+
+def _convert_and_compare(torch_model, flax_model, atol=2e-4):
+    torch_model.eval()
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    variables = convert_torch_state_dict(sd, flax_model.variables)
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    out = np.asarray(
+        flax_model.module.apply(variables, jnp.asarray(x), train=False)
+    )
+    np.testing.assert_allclose(out, ref, atol=atol, rtol=1e-4)
+
+
+def test_resnet18_matches_torch():
+    tm = randomize_bn_stats(torch_resnet18(num_classes=10))
+    fm = R.resnet18(num_classes=10)
+    _convert_and_compare(tm, fm)
+
+
+def test_resnet50_matches_torch():
+    tm = randomize_bn_stats(torch_resnet50(num_classes=10))
+    fm = R.resnet50(num_classes=10)
+    _convert_and_compare(tm, fm)
+
+
+def test_resnet_param_counts():
+    """num_params metadata must match actual parameter count
+    (reference test_extended_models.py weight-meta validation)."""
+    for builder, enum in [
+        (R.resnet18, R.ResNet18_Weights),
+        (R.resnet50, R.ResNet50_Weights),
+    ]:
+        m = builder()
+        flat, _ = jax.tree_util.tree_flatten(m.variables["params"])
+        n = sum(int(np.prod(l.shape)) for l in flat)
+        assert n == enum.DEFAULT.meta["num_params"]
+
+
+def test_resnet_train_mode_updates_stats():
+    m = R.resnet18(num_classes=4)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    out, updates = m(x, train=True)
+    assert out.shape == (2, 4)
+    assert "batch_stats" in updates
+    # stats actually moved
+    before = m.variables["batch_stats"]["bn1"]["mean"]
+    after = updates["batch_stats"]["bn1"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_registry():
+    from vision_tpu.models import get_model, list_models
+
+    names = list_models()
+    assert "resnet50" in names and "resnext50_32x4d" in names
+    m = get_model("resnet18", num_classes=7)
+    x = jnp.zeros((1, 32, 32, 3))
+    assert m(x).shape == (1, 7)
+
+
+def test_return_features():
+    m = R.resnet18(num_classes=10)
+    x = jnp.zeros((1, 64, 64, 3))
+    _, feats = m(x, return_features=True)
+    assert set(feats.keys()) == {"layer1", "layer2", "layer3", "layer4"}
+    assert feats["layer4"].shape == (1, 2, 2, 512)

@@ -1,0 +1,433 @@
+"""ResNet family (reference ``torchvision/models/resnet.py``, 985 LoC):
+resnet18/34/50/101/152, resnext50_32x4d/101_32x8d/101_64x4d,
+wide_resnet50_2/101_2.
+
+flax.linen, NHWC. Module names mirror the torch module paths
+(``layer1.0.conv1`` …) so ``vision_tpu._torch_convert`` maps reference
+checkpoints mechanically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, List, Optional, Tuple, Type
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vision_tpu.models._api import Weights, WeightsEnum, register_model
+from vision_tpu.models._utils import VisionModel, build_model
+from vision_tpu.transforms._presets import ImageClassification
+
+__all__ = [
+    "ResNet",
+    "ResNet18_Weights",
+    "ResNet34_Weights",
+    "ResNet50_Weights",
+    "ResNet101_Weights",
+    "ResNet152_Weights",
+    "ResNeXt50_32X4D_Weights",
+    "ResNeXt101_32X8D_Weights",
+    "ResNeXt101_64X4D_Weights",
+    "Wide_ResNet50_2_Weights",
+    "Wide_ResNet101_2_Weights",
+    "resnet18",
+    "resnet34",
+    "resnet50",
+    "resnet101",
+    "resnet152",
+    "resnext50_32x4d",
+    "resnext101_32x8d",
+    "resnext101_64x4d",
+    "wide_resnet50_2",
+    "wide_resnet101_2",
+]
+
+
+def _bn(train: bool, name: str) -> nn.Module:
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+    )
+
+
+def _conv(
+    features: int,
+    kernel: int,
+    stride: int = 1,
+    groups: int = 1,
+    dilation: int = 1,
+    name: str = None,
+) -> nn.Module:
+    pad = dilation * (kernel - 1) // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        feature_group_count=groups,
+        kernel_dilation=(dilation, dilation),
+        use_bias=False,
+        name=name,
+    )
+
+
+class BasicBlock(nn.Module):
+    """reference ``resnet.py`` BasicBlock; expansion 1."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    dilation: int = 1
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        identity = x
+        out = _conv(self.planes, 3, self.stride, dilation=self.dilation, name="conv1")(x)
+        out = _bn(train, "bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, 1, dilation=self.dilation, name="conv2")(out)
+        out = _bn(train, "bn2")(out)
+        if self.downsample:
+            identity = _conv(self.planes * self.expansion, 1, self.stride, name="downsample.0")(x)
+            identity = _bn(train, "downsample.1")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """reference ``resnet.py`` Bottleneck; expansion 4; stride on conv2
+    (torch places stride at 3x3, the "ResNet V1.5" variant)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    dilation: int = 1
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        identity = x
+        out = _conv(width, 1, name="conv1")(x)
+        out = _bn(train, "bn1")(out)
+        out = nn.relu(out)
+        out = _conv(width, 3, self.stride, groups=self.groups, dilation=self.dilation, name="conv2")(out)
+        out = _bn(train, "bn2")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes * self.expansion, 1, name="conv3")(out)
+        out = _bn(train, "bn3")(out)
+        if self.downsample:
+            identity = _conv(self.planes * self.expansion, 1, self.stride, name="downsample.0")(x)
+            identity = _bn(train, "downsample.1")(identity)
+        return nn.relu(out + identity)
+
+
+class _ResLayer(nn.Module):
+    block: Type[nn.Module]
+    planes: int
+    num_blocks: int
+    stride: int
+    groups: int
+    base_width: int
+    dilation: int
+    prev_dilation: int
+    in_planes: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        expansion = self.block.expansion
+        needs_ds = self.stride != 1 or self.in_planes != self.planes * expansion
+        x = self.block(
+            planes=self.planes,
+            stride=self.stride,
+            downsample=needs_ds,
+            groups=self.groups,
+            base_width=self.base_width,
+            dilation=self.prev_dilation,
+            name="0",
+        )(x, train=train)
+        for i in range(1, self.num_blocks):
+            x = self.block(
+                planes=self.planes,
+                groups=self.groups,
+                base_width=self.base_width,
+                dilation=self.dilation,
+                name=str(i),
+            )(x, train=train)
+        return x
+
+
+class ResNet(nn.Module):
+    """reference ``resnet.py`` ResNet (builder ~:250)."""
+
+    block: Type[nn.Module]
+    layers: Tuple[int, int, int, int]
+    num_classes: int = 1000
+    groups: int = 1
+    width_per_group: int = 64
+    replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, False)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        return_features: bool = False,
+    ):
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+            name="conv1",
+        )(x)
+        x = _bn(train, "bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(
+            x, window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        )
+
+        features = {}
+        expansion = self.block.expansion
+        in_planes = 64
+        dilation = 1
+        for i, (planes, blocks) in enumerate(
+            zip((64, 128, 256, 512), self.layers)
+        ):
+            stride = 1 if i == 0 else 2
+            prev_dilation = dilation
+            if i > 0 and self.replace_stride_with_dilation[i - 1]:
+                dilation *= stride
+                stride = 1
+            x = _ResLayer(
+                block=self.block,
+                planes=planes,
+                num_blocks=blocks,
+                stride=stride,
+                groups=self.groups,
+                base_width=self.width_per_group,
+                dilation=dilation,
+                prev_dilation=prev_dilation,
+                in_planes=in_planes,
+                name=f"layer{i + 1}",
+            )(x, train=train)
+            in_planes = planes * expansion
+            features[f"layer{i + 1}"] = x
+
+        x = jnp.mean(x, axis=(-3, -2))  # global avg pool
+        x = nn.Dense(self.num_classes, name="fc")(x)
+        if return_features:
+            return x, features
+        return x
+
+
+_COMMON_META = {"min_size": (1, 1), "categories": "imagenet-1k"}
+
+
+def _cls_weights(url, crop, resize, metrics, num_params, recipe=""):
+    return Weights(
+        url=url,
+        transforms=functools.partial(
+            ImageClassification, crop_size=crop, resize_size=resize
+        ),
+        meta={
+            **_COMMON_META,
+            "num_params": num_params,
+            "recipe": recipe,
+            "_metrics": {"ImageNet-1K": metrics},
+        },
+    )
+
+
+class ResNet18_Weights(WeightsEnum):
+    IMAGENET1K_V1 = _cls_weights(
+        "https://download.pytorch.org/models/resnet18-f37072fd.pth",
+        224, 256, {"acc@1": 69.758, "acc@5": 89.078}, 11689512,
+    )
+    DEFAULT = IMAGENET1K_V1
+
+
+class ResNet34_Weights(WeightsEnum):
+    IMAGENET1K_V1 = _cls_weights(
+        "https://download.pytorch.org/models/resnet34-b627a593.pth",
+        224, 256, {"acc@1": 73.314, "acc@5": 91.420}, 21797672,
+    )
+    DEFAULT = IMAGENET1K_V1
+
+
+class ResNet50_Weights(WeightsEnum):
+    IMAGENET1K_V1 = _cls_weights(
+        "https://download.pytorch.org/models/resnet50-0676ba61.pth",
+        224, 256, {"acc@1": 76.130, "acc@5": 92.862}, 25557032,
+    )
+    IMAGENET1K_V2 = _cls_weights(
+        "https://download.pytorch.org/models/resnet50-11ad3fa6.pth",
+        224, 232, {"acc@1": 80.858, "acc@5": 95.434}, 25557032,
+    )
+    DEFAULT = IMAGENET1K_V2
+
+
+class ResNet101_Weights(WeightsEnum):
+    IMAGENET1K_V1 = _cls_weights(
+        "https://download.pytorch.org/models/resnet101-63fe2227.pth",
+        224, 256, {"acc@1": 77.374, "acc@5": 93.546}, 44549160,
+    )
+    IMAGENET1K_V2 = _cls_weights(
+        "https://download.pytorch.org/models/resnet101-cd907fc2.pth",
+        224, 232, {"acc@1": 81.886, "acc@5": 95.780}, 44549160,
+    )
+    DEFAULT = IMAGENET1K_V2
+
+
+class ResNet152_Weights(WeightsEnum):
+    IMAGENET1K_V1 = _cls_weights(
+        "https://download.pytorch.org/models/resnet152-394f9c45.pth",
+        224, 256, {"acc@1": 78.312, "acc@5": 94.046}, 60192808,
+    )
+    IMAGENET1K_V2 = _cls_weights(
+        "https://download.pytorch.org/models/resnet152-f82ba261.pth",
+        224, 232, {"acc@1": 82.284, "acc@5": 96.002}, 60192808,
+    )
+    DEFAULT = IMAGENET1K_V2
+
+
+class ResNeXt50_32X4D_Weights(WeightsEnum):
+    IMAGENET1K_V1 = _cls_weights(
+        "https://download.pytorch.org/models/resnext50_32x4d-7cdf4587.pth",
+        224, 256, {"acc@1": 77.618, "acc@5": 93.698}, 25028904,
+    )
+    IMAGENET1K_V2 = _cls_weights(
+        "https://download.pytorch.org/models/resnext50_32x4d-1a0047aa.pth",
+        224, 232, {"acc@1": 81.198, "acc@5": 95.340}, 25028904,
+    )
+    DEFAULT = IMAGENET1K_V2
+
+
+class ResNeXt101_32X8D_Weights(WeightsEnum):
+    IMAGENET1K_V1 = _cls_weights(
+        "https://download.pytorch.org/models/resnext101_32x8d-8ba56ff5.pth",
+        224, 256, {"acc@1": 79.312, "acc@5": 94.526}, 88791336,
+    )
+    IMAGENET1K_V2 = _cls_weights(
+        "https://download.pytorch.org/models/resnext101_32x8d-110c445d.pth",
+        224, 232, {"acc@1": 82.834, "acc@5": 96.228}, 88791336,
+    )
+    DEFAULT = IMAGENET1K_V2
+
+
+class ResNeXt101_64X4D_Weights(WeightsEnum):
+    IMAGENET1K_V1 = _cls_weights(
+        "https://download.pytorch.org/models/resnext101_64x4d-173b62eb.pth",
+        224, 232, {"acc@1": 83.246, "acc@5": 96.454}, 83455272,
+    )
+    DEFAULT = IMAGENET1K_V1
+
+
+class Wide_ResNet50_2_Weights(WeightsEnum):
+    IMAGENET1K_V1 = _cls_weights(
+        "https://download.pytorch.org/models/wide_resnet50_2-95faca4d.pth",
+        224, 256, {"acc@1": 78.468, "acc@5": 94.086}, 68883240,
+    )
+    IMAGENET1K_V2 = _cls_weights(
+        "https://download.pytorch.org/models/wide_resnet50_2-9ba9bcbe.pth",
+        224, 232, {"acc@1": 81.602, "acc@5": 95.758}, 68883240,
+    )
+    DEFAULT = IMAGENET1K_V2
+
+
+class Wide_ResNet101_2_Weights(WeightsEnum):
+    IMAGENET1K_V1 = _cls_weights(
+        "https://download.pytorch.org/models/wide_resnet101_2-32ee1156.pth",
+        224, 256, {"acc@1": 78.848, "acc@5": 94.284}, 126886696,
+    )
+    IMAGENET1K_V2 = _cls_weights(
+        "https://download.pytorch.org/models/wide_resnet101_2-d733dc28.pth",
+        224, 232, {"acc@1": 82.510, "acc@5": 96.020}, 126886696,
+    )
+    DEFAULT = IMAGENET1K_V2
+
+
+def _resnet(block, layers, weights, num_classes=1000, init=True, **kwargs) -> VisionModel:
+    module = ResNet(block=block, layers=tuple(layers), num_classes=num_classes, **kwargs)
+    if not init:
+        return VisionModel(module=module, variables={})
+    return build_model(module, weights)
+
+
+@register_model()
+def resnet18(*, weights: Optional[ResNet18_Weights] = None, **kwargs) -> VisionModel:
+    """reference ``models/resnet.py`` resnet18 builder."""
+    weights = ResNet18_Weights.verify(weights)
+    return _resnet(BasicBlock, [2, 2, 2, 2], weights, **kwargs)
+
+
+@register_model()
+def resnet34(*, weights: Optional[ResNet34_Weights] = None, **kwargs) -> VisionModel:
+    weights = ResNet34_Weights.verify(weights)
+    return _resnet(BasicBlock, [3, 4, 6, 3], weights, **kwargs)
+
+
+@register_model()
+def resnet50(*, weights: Optional[ResNet50_Weights] = None, **kwargs) -> VisionModel:
+    weights = ResNet50_Weights.verify(weights)
+    return _resnet(Bottleneck, [3, 4, 6, 3], weights, **kwargs)
+
+
+@register_model()
+def resnet101(*, weights: Optional[ResNet101_Weights] = None, **kwargs) -> VisionModel:
+    weights = ResNet101_Weights.verify(weights)
+    return _resnet(Bottleneck, [3, 4, 23, 3], weights, **kwargs)
+
+
+@register_model()
+def resnet152(*, weights: Optional[ResNet152_Weights] = None, **kwargs) -> VisionModel:
+    weights = ResNet152_Weights.verify(weights)
+    return _resnet(Bottleneck, [3, 8, 36, 3], weights, **kwargs)
+
+
+@register_model()
+def resnext50_32x4d(
+    *, weights: Optional[ResNeXt50_32X4D_Weights] = None, **kwargs
+) -> VisionModel:
+    weights = ResNeXt50_32X4D_Weights.verify(weights)
+    return _resnet(
+        Bottleneck, [3, 4, 6, 3], weights, groups=32, width_per_group=4, **kwargs
+    )
+
+
+@register_model()
+def resnext101_32x8d(
+    *, weights: Optional[ResNeXt101_32X8D_Weights] = None, **kwargs
+) -> VisionModel:
+    weights = ResNeXt101_32X8D_Weights.verify(weights)
+    return _resnet(
+        Bottleneck, [3, 4, 23, 3], weights, groups=32, width_per_group=8, **kwargs
+    )
+
+
+@register_model()
+def resnext101_64x4d(
+    *, weights: Optional[ResNeXt101_64X4D_Weights] = None, **kwargs
+) -> VisionModel:
+    weights = ResNeXt101_64X4D_Weights.verify(weights)
+    return _resnet(
+        Bottleneck, [3, 4, 23, 3], weights, groups=64, width_per_group=4, **kwargs
+    )
+
+
+@register_model()
+def wide_resnet50_2(
+    *, weights: Optional[Wide_ResNet50_2_Weights] = None, **kwargs
+) -> VisionModel:
+    weights = Wide_ResNet50_2_Weights.verify(weights)
+    return _resnet(Bottleneck, [3, 4, 6, 3], weights, width_per_group=128, **kwargs)
+
+
+@register_model()
+def wide_resnet101_2(
+    *, weights: Optional[Wide_ResNet101_2_Weights] = None, **kwargs
+) -> VisionModel:
+    weights = Wide_ResNet101_2_Weights.verify(weights)
+    return _resnet(Bottleneck, [3, 4, 23, 3], weights, width_per_group=128, **kwargs)
