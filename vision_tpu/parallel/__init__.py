@@ -1,0 +1,15 @@
+from vision_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from vision_tpu.parallel.train import TrainState, make_train_step, reduce_across_devices
+
+__all__ = [
+    "TrainState",
+    "make_mesh",
+    "make_train_step",
+    "reduce_across_devices",
+    "replicate",
+    "shard_batch",
+]
