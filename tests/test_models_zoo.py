@@ -1,0 +1,59 @@
+"""Zoo-wide smoke tests + ViT attention conversion parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tests.torch_refs import TorchMiniViT
+from vision_tpu._torch_convert import convert_torch_state_dict
+from vision_tpu.models.vision_transformer import VisionTransformer, _vit_hooks
+
+
+def test_mini_vit_matches_torch():
+    """Validates the attention math + packed-qkv conversion hook."""
+    tm = TorchMiniViT()
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    module = VisionTransformer(
+        image_size=32, patch_size=8, num_layers=2, num_heads=4,
+        hidden_dim=64, mlp_dim=128, num_classes=10,
+    )
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    variables = convert_torch_state_dict(sd, dict(variables), hooks=_vit_hooks)
+    x = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    out = np.asarray(module.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+SMALL_INPUT_MODELS = [
+    ("alexnet", (1, 224, 224, 3)),
+    ("vgg11", (1, 64, 64, 3)),
+    ("mobilenet_v2", (1, 64, 64, 3)),
+    ("mobilenet_v3_small", (1, 64, 64, 3)),
+    ("efficientnet_b0", (1, 64, 64, 3)),
+    ("convnext_tiny", (1, 64, 64, 3)),
+    ("resnet18", (1, 64, 64, 3)),
+]
+
+
+@pytest.mark.parametrize("name,shape", SMALL_INPUT_MODELS)
+def test_builders_forward(name, shape):
+    """Every registered builder produces logits of the right shape with
+    tiny inputs (reference ``test/test_models.py:399`` strategy)."""
+    from vision_tpu.models import get_model
+
+    m = get_model(name, num_classes=13)
+    out = m(jnp.zeros(shape, jnp.float32))
+    assert out.shape == (shape[0], 13)
+
+
+def test_vit_forward_shape():
+    from vision_tpu.models import get_model
+
+    m = get_model("vit_b_32", num_classes=5)
+    out = m(jnp.zeros((1, 224, 224, 3), jnp.float32))
+    assert out.shape == (1, 5)

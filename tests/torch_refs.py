@@ -129,3 +129,62 @@ def randomize_bn_stats(model, seed=0):
                 m.weight.copy_(torch.rand(m.num_features, generator=g) + 0.5)
                 m.bias.copy_(torch.randn(m.num_features, generator=g) * 0.1)
     return model
+
+
+class TorchViTBlock(nn.Module):
+    """torchvision EncoderBlock transcription (MultiheadAttention-based)."""
+
+    def __init__(self, dim, heads, mlp_dim):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(dim, eps=1e-6)
+        self.self_attention = nn.MultiheadAttention(dim, heads, batch_first=True)
+        self.ln_2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Sequential(
+            nn.Linear(dim, mlp_dim), nn.GELU(), nn.Dropout(0.0),
+            nn.Linear(mlp_dim, dim), nn.Dropout(0.0),
+        )
+
+    def forward(self, x):
+        h = self.ln_1(x)
+        h, _ = self.self_attention(h, h, h, need_weights=False)
+        x = x + h
+        return x + self.mlp(self.ln_2(x))
+
+
+class TorchMiniViT(nn.Module):
+    """Tiny torchvision-style ViT for conversion parity tests."""
+
+    def __init__(self, image_size=32, patch=8, layers=2, heads=4, dim=64,
+                 mlp_dim=128, num_classes=10):
+        super().__init__()
+        self.patch = patch
+        self.conv_proj = nn.Conv2d(3, dim, patch, stride=patch)
+        seq = (image_size // patch) ** 2 + 1
+        self.class_token = nn.Parameter(torch.zeros(1, 1, dim))
+
+        class Enc(nn.Module):
+            pass
+
+        self.encoder = Enc()
+        self.encoder.pos_embedding = nn.Parameter(torch.randn(1, seq, dim) * 0.02)
+        self.encoder.layers = nn.Sequential()
+        for i in range(layers):
+            self.encoder.layers.add_module(
+                f"encoder_layer_{i}", TorchViTBlock(dim, heads, mlp_dim)
+            )
+        self.encoder.ln = nn.LayerNorm(dim, eps=1e-6)
+        # register encoder submodules properly
+        self.add_module("encoder", self.encoder)
+        self.heads = nn.Sequential()
+        self.heads.add_module("head", nn.Linear(dim, num_classes))
+
+    def forward(self, x):
+        x = self.conv_proj(x)  # [N, D, H', W']
+        n, d, h, w = x.shape
+        x = x.reshape(n, d, h * w).permute(0, 2, 1)
+        x = torch.cat([self.class_token.expand(n, -1, -1), x], dim=1)
+        x = x + self.encoder.pos_embedding
+        for blk in self.encoder.layers:
+            x = blk(x)
+        x = self.encoder.ln(x)
+        return self.heads.head(x[:, 0])

@@ -9,4 +9,11 @@ from vision_tpu.models._api import (
     register_model,
 )
 from vision_tpu.models._utils import VisionModel
+from vision_tpu.models.alexnet import *  # noqa: F401,F403
+from vision_tpu.models.convnext import *  # noqa: F401,F403
+from vision_tpu.models.efficientnet import *  # noqa: F401,F403
+from vision_tpu.models.mobilenetv2 import *  # noqa: F401,F403
+from vision_tpu.models.mobilenetv3 import *  # noqa: F401,F403
 from vision_tpu.models.resnet import *  # noqa: F401,F403
+from vision_tpu.models.vgg import *  # noqa: F401,F403
+from vision_tpu.models.vision_transformer import *  # noqa: F401,F403
