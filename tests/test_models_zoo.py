@@ -57,3 +57,27 @@ def test_vit_forward_shape():
     m = get_model("vit_b_32", num_classes=5)
     out = m(jnp.zeros((1, 224, 224, 3), jnp.float32))
     assert out.shape == (1, 5)
+
+
+# every builder with weight metadata: exact param-count match proves the
+# architecture wiring (reference test_extended_models.py meta validation)
+PARAM_COUNT_MODELS = [
+    "alexnet", "vgg16", "vgg11_bn", "squeezenet1_0", "squeezenet1_1",
+    "densenet121", "googlenet", "inception_v3", "mobilenet_v2",
+    "mobilenet_v3_large", "mobilenet_v3_small", "mnasnet1_0",
+    "shufflenet_v2_x1_0", "efficientnet_b0", "efficientnet_v2_s",
+    "convnext_tiny", "resnet18", "resnet50", "resnext50_32x4d",
+    "wide_resnet50_2", "regnet_y_400mf", "regnet_x_800mf",
+    "swin_t", "swin_v2_t", "vit_b_32",
+]
+
+
+@pytest.mark.parametrize("name", PARAM_COUNT_MODELS)
+def test_param_count_matches_meta(name):
+    from vision_tpu.models import get_model, get_model_weights
+
+    m = get_model(name)
+    enum = get_model_weights(name)
+    flat, _ = jax.tree_util.tree_flatten(m.variables["params"])
+    n = sum(int(np.prod(l.shape)) for l in flat)
+    assert n == enum.DEFAULT.meta["num_params"], name

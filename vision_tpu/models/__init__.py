@@ -10,6 +10,14 @@ from vision_tpu.models._api import (
 )
 from vision_tpu.models._utils import VisionModel
 from vision_tpu.models.alexnet import *  # noqa: F401,F403
+from vision_tpu.models.densenet import *  # noqa: F401,F403
+from vision_tpu.models.googlenet import *  # noqa: F401,F403
+from vision_tpu.models.inception import *  # noqa: F401,F403
+from vision_tpu.models.mnasnet import *  # noqa: F401,F403
+from vision_tpu.models.regnet import *  # noqa: F401,F403
+from vision_tpu.models.shufflenetv2 import *  # noqa: F401,F403
+from vision_tpu.models.squeezenet import *  # noqa: F401,F403
+from vision_tpu.models.swin_transformer import *  # noqa: F401,F403
 from vision_tpu.models.convnext import *  # noqa: F401,F403
 from vision_tpu.models.efficientnet import *  # noqa: F401,F403
 from vision_tpu.models.mobilenetv2 import *  # noqa: F401,F403
