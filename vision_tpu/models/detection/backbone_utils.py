@@ -1,0 +1,215 @@
+"""Backbone + FPN assembly (reference
+``torchvision/models/detection/backbone_utils.py``)."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vision_tpu.models.resnet import Bottleneck, ResNet, _ResLayer, _bn, _conv
+from vision_tpu.ops.feature_pyramid_network import (
+    ExtraFPNBlock,
+    FeaturePyramidNetwork,
+    LastLevelMaxPool,
+)
+
+__all__ = ["BackboneWithFPN", "resnet_fpn_backbone_module"]
+
+
+class _FrozenBN(nn.Module):
+    """FrozenBatchNorm2d (reference ``ops/misc.py:14``): detection backbones
+    freeze BN; the four tensors live in the non-trainable ``frozen``
+    collection so they're excluded from num_params and the optimizer, like
+    the reference's buffers."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.variable(
+            "frozen", "weight", lambda: jnp.ones((self.features,), jnp.float32)
+        ).value
+        bias = self.variable(
+            "frozen", "bias", lambda: jnp.zeros((self.features,), jnp.float32)
+        ).value
+        mean = self.variable(
+            "frozen", "running_mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        ).value
+        var = self.variable(
+            "frozen", "running_var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        ).value
+        scale = weight * jax.lax.rsqrt(var + self.eps)
+        return x * scale + (bias - mean * scale)
+
+
+class _FrozenBasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        identity = x
+        out = _conv(self.planes, 3, self.stride, name="conv1")(x)
+        out = _FrozenBN(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, 1, name="conv2")(out)
+        out = _FrozenBN(self.planes, name="bn2")(out)
+        if self.downsample:
+            identity = _conv(self.planes, 1, self.stride, name="downsample.0")(x)
+            identity = _FrozenBN(self.planes, name="downsample.1")(identity)
+        return nn.relu(out + identity)
+
+
+class _FrozenBottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        identity = x
+        out = _conv(self.planes, 1, name="conv1")(x)
+        out = _FrozenBN(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, self.stride, name="conv2")(out)
+        out = _FrozenBN(self.planes, name="bn2")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes * 4, 1, name="conv3")(out)
+        out = _FrozenBN(self.planes * 4, name="bn3")(out)
+        if self.downsample:
+            identity = _conv(self.planes * 4, 1, self.stride, name="downsample.0")(x)
+            identity = _FrozenBN(self.planes * 4, name="downsample.1")(identity)
+        return nn.relu(out + identity)
+
+
+class _ResNetTrunk(nn.Module):
+    """ResNet body without the classification head, emitting {c2..c5};
+    module names match ``ResNet`` so reference backbone weights map
+    (``backbone.body.*`` in detection checkpoints). ``frozen_bn=True``
+    (the v1 recipes' FrozenBatchNorm2d) keeps BN affine out of params;
+    v2 recipes train BN normally."""
+
+    block: type
+    layers: Tuple[int, int, int, int]
+    frozen_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jax.Array]:
+        x = nn.Conv(
+            64, (7, 7), (2, 2), padding=[(3, 3)] * 2, use_bias=False, name="conv1"
+        )(x)
+        if self.frozen_bn:
+            x = _FrozenBN(64, name="bn1")(x)
+        else:
+            x = _bn(train, "bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+
+        feats = {}
+        in_planes = 64
+        if self.frozen_bn:
+            block = (
+                _FrozenBottleneck if self.block is Bottleneck else _FrozenBasicBlock
+            )
+            expansion = block.expansion
+            for i, (planes, blocks) in enumerate(
+                zip((64, 128, 256, 512), self.layers)
+            ):
+                stride = 1 if i == 0 else 2
+                for j in range(blocks):
+                    needs_ds = j == 0 and (
+                        stride != 1 or in_planes != planes * expansion
+                    )
+                    x = block(
+                        planes=planes,
+                        stride=stride if j == 0 else 1,
+                        downsample=needs_ds,
+                        name=f"layer{i + 1}.{j}",
+                    )(x, train=train)
+                    in_planes = planes * expansion
+                feats[str(i)] = x  # reference returned_layers names "0".."3"
+        else:
+            expansion = self.block.expansion
+            for i, (planes, blocks) in enumerate(
+                zip((64, 128, 256, 512), self.layers)
+            ):
+                stride = 1 if i == 0 else 2
+                x = _ResLayer(
+                    block=self.block,
+                    planes=planes,
+                    num_blocks=blocks,
+                    stride=stride,
+                    groups=1,
+                    base_width=64,
+                    dilation=1,
+                    prev_dilation=1,
+                    in_planes=in_planes,
+                    name=f"layer{i + 1}",
+                )(x, train=train)
+                in_planes = planes * expansion
+                feats[str(i)] = x
+        return feats
+
+
+class BackboneWithFPN(nn.Module):
+    """reference ``backbone_utils.py`` BackboneWithFPN: trunk -> FPN.
+    Child names ``body`` / ``fpn`` match the reference checkpoints."""
+
+    block: type
+    layers: Tuple[int, int, int, int]
+    out_channels: int = 256
+    extra_blocks: Optional[ExtraFPNBlock] = None
+    returned_layers: Tuple[int, ...] = (1, 2, 3, 4)
+    norm_layer: Optional[Callable] = None
+    frozen_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jax.Array]:
+        feats = _ResNetTrunk(
+            self.block, self.layers, frozen_bn=self.frozen_bn, name="body"
+        )(x, train)
+        selected = {
+            str(i): feats[str(layer - 1)]
+            for i, layer in enumerate(self.returned_layers)
+        }
+        extra = self.extra_blocks if self.extra_blocks is not None else LastLevelMaxPool()
+        out = FeaturePyramidNetwork(
+            out_channels=self.out_channels,
+            extra_blocks=extra,
+            norm_layer=self.norm_layer,
+            name="fpn",
+        )(selected)
+        return out
+
+
+def resnet_fpn_backbone_module(
+    depth: int = 50,
+    out_channels: int = 256,
+    extra_blocks: Optional[ExtraFPNBlock] = None,
+    returned_layers: Tuple[int, ...] = (1, 2, 3, 4),
+) -> BackboneWithFPN:
+    """reference ``backbone_utils.py`` resnet_fpn_backbone."""
+    from vision_tpu.models.resnet import BasicBlock
+
+    layers = {
+        18: (BasicBlock, (2, 2, 2, 2)),
+        34: (BasicBlock, (3, 4, 6, 3)),
+        50: (Bottleneck, (3, 4, 6, 3)),
+        101: (Bottleneck, (3, 4, 23, 3)),
+    }[depth]
+    return BackboneWithFPN(
+        block=layers[0],
+        layers=layers[1],
+        out_channels=out_channels,
+        extra_blocks=extra_blocks,
+        returned_layers=returned_layers,
+    )
