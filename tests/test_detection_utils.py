@@ -144,3 +144,42 @@ def test_retinanet_loss_and_detections(rng):
     )
     assert dets.boxes.shape == (1, 10, 4)
     assert dets.valid.dtype == bool
+
+
+def test_faster_rcnn_e2e_tiny(rng):
+    """Full Faster R-CNN path (rpn -> roi heads -> nms) on a tiny image +
+    training loss, resnet18 backbone for speed."""
+    from vision_tpu.models.detection.faster_rcnn import FasterRCNN
+
+    module = FasterRCNN(
+        backbone_depth=18, num_classes=5,
+        rpn_pre_nms_top_n=50, rpn_post_nms_top_n=20,
+        box_detections_per_img=8,
+    )
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    variables = module.init(jax.random.PRNGKey(0), x)
+    dets = module.apply(variables, x)
+    assert dets.boxes.shape == (1, 8, 4)
+    assert dets.labels.shape == (1, 8)
+
+    gt_boxes = jnp.asarray([[[5, 5, 30, 30], [0, 0, 0, 0]]], jnp.float32)
+    gt_labels = jnp.asarray([[2, 0]])
+    gt_valid = jnp.asarray([[True, False]])
+    losses = module.apply(
+        variables, x, gt_boxes, gt_labels, gt_valid, jax.random.PRNGKey(1),
+        method="compute_loss",
+    )
+    for k in ["loss_objectness", "loss_rpn_box_reg", "loss_classifier", "loss_box_reg"]:
+        assert np.isfinite(float(losses[k])), k
+
+
+def test_paste_masks_in_image():
+    from vision_tpu.models.detection.roi_heads import paste_masks_in_image
+
+    masks = jnp.ones((1, 4, 4))
+    boxes = jnp.asarray([[2.0, 2.0, 6.0, 6.0]])
+    out = np.asarray(paste_masks_in_image(masks, boxes, 10, 10))
+    assert out.shape == (1, 10, 10)
+    assert out[0, 4, 4] > 0.9  # inside the box
+    assert out[0, 0, 0] < 0.1  # far outside
+    assert out[0, 9, 9] < 0.1

@@ -1,0 +1,278 @@
+"""Faster R-CNN (reference
+``torchvision/models/detection/faster_rcnn.py``, 846 LoC; assembly of
+``generalized_rcnn.py:53`` + rpn + roi_heads).
+
+The full eval path — backbone -> FPN -> RPN -> static filter_proposals ->
+MultiScaleRoIAlign -> box head -> static per-class NMS — runs as ONE jitted
+XLA program with NMS+RoIAlign on device (BASELINE.json config #4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision_tpu.models._api import Weights, WeightsEnum, register_model
+from vision_tpu.models._utils import VisionModel
+from vision_tpu.models.detection import _utils as det_utils
+from vision_tpu.models.detection.anchor_utils import AnchorGenerator
+from vision_tpu.models.detection.backbone_utils import BackboneWithFPN
+from vision_tpu.models.detection.roi_heads import (
+    FastRCNNConvFCHead,
+    FastRCNNPredictor,
+    RoIHeadsLogic,
+    TwoMLPHead,
+)
+from vision_tpu.models.detection.rpn import RegionProposalNetwork, RPNHead
+from vision_tpu.models.resnet import BasicBlock, Bottleneck
+from vision_tpu.ops.poolers import MultiScaleRoIAlign
+from vision_tpu.transforms._presets import ObjectDetection
+
+__all__ = [
+    "FasterRCNN",
+    "FasterRCNN_ResNet50_FPN_Weights",
+    "FasterRCNN_ResNet50_FPN_V2_Weights",
+    "fasterrcnn_resnet50_fpn",
+    "fasterrcnn_resnet50_fpn_v2",
+]
+
+
+def _rpn_anchorgen():
+    sizes = ((32,), (64,), (128,), (256,), (512,))
+    return AnchorGenerator(sizes, ((0.5, 1.0, 2.0),) * len(sizes))
+
+
+class FasterRCNN(nn.Module):
+    """Backbone + RPN + box head, reference hyperparameters."""
+
+    backbone_depth: int = 50
+    num_classes: int = 91
+    v2: bool = False
+    # rpn
+    rpn_pre_nms_top_n: int = 1000
+    rpn_post_nms_top_n: int = 1000
+    rpn_nms_thresh: float = 0.7
+    # box
+    box_score_thresh: float = 0.05
+    box_nms_thresh: float = 0.5
+    box_detections_per_img: int = 100
+
+    def setup(self):
+        block, layers = {
+            18: (BasicBlock, (2, 2, 2, 2)),
+            50: (Bottleneck, (3, 4, 6, 3)),
+        }[self.backbone_depth]
+        self.backbone = BackboneWithFPN(
+            block=block,
+            layers=layers,
+            out_channels=256,
+            returned_layers=(1, 2, 3, 4),
+            norm_layer=(
+                functools.partial(nn.BatchNorm, use_running_average=True,
+                                  momentum=0.9, epsilon=1e-5)
+                if self.v2
+                else None
+            ),
+            frozen_bn=not self.v2,
+            name="backbone",
+        )
+        self.anchor_generator = _rpn_anchorgen()
+        self.rpn_head = RPNHead(
+            num_anchors=3, conv_depth=2 if self.v2 else 1, name="rpn.head"
+        )
+        self.rpn = RegionProposalNetwork(
+            pre_nms_top_n=self.rpn_pre_nms_top_n,
+            post_nms_top_n=self.rpn_post_nms_top_n,
+            nms_thresh=self.rpn_nms_thresh,
+        )
+        if self.v2:
+            self.box_head = FastRCNNConvFCHead(name="roi_heads.box_head")
+        else:
+            self.box_head = TwoMLPHead(name="roi_heads.box_head")
+        self.box_predictor = FastRCNNPredictor(
+            self.num_classes, name="roi_heads.box_predictor"
+        )
+        self.box_roi_pool = MultiScaleRoIAlign(
+            ["0", "1", "2", "3"], output_size=7, sampling_ratio=2
+        )
+        self.roi_heads = RoIHeadsLogic(
+            score_thresh=self.box_score_thresh,
+            nms_thresh=self.box_nms_thresh,
+            detections_per_img=self.box_detections_per_img,
+        )
+
+    def _features_and_rpn(self, images, train=False):
+        feats = self.backbone(images, train=train)
+        rpn_keys = ["0", "1", "2", "3", "pool"]
+        rpn_feats = [feats[k] for k in rpn_keys if k in feats]
+        objectness, deltas = self.rpn_head(rpn_feats)
+        fm_sizes = [(f.shape[1], f.shape[2]) for f in rpn_feats]
+        anchors = self.anchor_generator(
+            (images.shape[1], images.shape[2]), fm_sizes
+        )
+        return feats, objectness, deltas, anchors
+
+    def _box_branch(self, feats, rois, image_size):
+        """rois: [K, 5] (batch_idx, x1..y2) -> (scores, deltas)."""
+        pooled = self.box_roi_pool(
+            {k: feats[k] for k in ["0", "1", "2", "3"]}, rois, image_size
+        )
+        rep = self.box_head(pooled)
+        return self.box_predictor(rep)
+
+    def __call__(self, images: jax.Array, train: bool = False):
+        """Eval forward: full detection path. images: [N, H, W, C] padded.
+        Returns Detections (fixed [N, 100] rows)."""
+        image_size = (images.shape[1], images.shape[2])
+        feats, objectness, deltas, anchors = self._features_and_rpn(
+            images, train=train
+        )
+        proposals = self.rpn.filter_proposals(
+            objectness, deltas, anchors, image_size
+        )
+
+        n, p = proposals.boxes.shape[:2]
+        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), p)
+        rois = jnp.concatenate(
+            [batch_idx[:, None], proposals.boxes.reshape(-1, 4)], axis=1
+        )
+        class_logits, box_regression = self._box_branch(feats, rois, image_size)
+        class_logits = class_logits.reshape(n, p, -1)
+        box_regression = box_regression.reshape(n, p, -1)
+        return self.roi_heads.postprocess_detections(
+            class_logits, box_regression, proposals.boxes, proposals.valid,
+            image_size,
+        )
+
+    def compute_loss(
+        self,
+        images: jax.Array,
+        gt_boxes: jax.Array,
+        gt_labels: jax.Array,
+        gt_valid: jax.Array,
+        key: jax.Array,
+        train: bool = True,
+    ) -> Dict[str, jax.Array]:
+        """Training forward: RPN + box-head losses (reference
+        GeneralizedRCNN.forward training branch)."""
+        image_size = (images.shape[1], images.shape[2])
+        feats, objectness, deltas, anchors = self._features_and_rpn(
+            images, train=train
+        )
+        k1, k2 = jax.random.split(key)
+        rpn_losses = self.rpn.compute_loss(
+            objectness, deltas, anchors, gt_boxes, gt_valid, k1
+        )
+        proposals = self.rpn.filter_proposals(
+            objectness, deltas, anchors, image_size
+        )
+        sampled = self.roi_heads.select_training_samples(
+            proposals.boxes, proposals.valid, gt_boxes, gt_labels, gt_valid, k2
+        )
+        n, s = sampled.boxes.shape[:2]
+        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), s)
+        rois = jnp.concatenate(
+            [batch_idx[:, None], sampled.boxes.reshape(-1, 4)], axis=1
+        )
+        class_logits, box_regression = self._box_branch(feats, rois, image_size)
+        class_logits = class_logits.reshape(n, s, -1)
+        box_regression = box_regression.reshape(n, s, -1)
+        box_losses = self.roi_heads.fastrcnn_loss(
+            class_logits, box_regression, sampled
+        )
+        return {**rpn_losses, **box_losses}
+
+
+def _frcnn_hooks(sd):
+    """Checkpoint adjustments: v1 rpn conv rename (conv -> conv.0.0),
+    fc6 CHW->HWC reorder, drop cached anchors."""
+    out = {}
+    for k, v in sd.items():
+        if ".anchors" in k or "cell_anchors" in k:
+            continue
+        if k.startswith("rpn.head.conv.") and k.split(".")[3] in ("weight", "bias"):
+            # already v1-style rpn.head.conv.weight
+            pass
+        if k in ("rpn.head.conv.weight", "rpn.head.conv.bias"):
+            k = k.replace("rpn.head.conv.", "rpn.head.conv.0.0.")
+        out[k] = v
+    if "roi_heads.box_head.fc6.weight" in out:
+        w = np.asarray(out["roi_heads.box_head.fc6.weight"])
+        out["roi_heads.box_head.fc6.weight"] = (
+            w.reshape(w.shape[0], 256, 7, 7).transpose(0, 2, 3, 1).reshape(w.shape[0], -1)
+        )
+    # v2 conv-fc box head: flatten happens after convs ("5" dense input is
+    # [7,7,256] flattened)
+    if "roi_heads.box_head.5.weight" in out:
+        w = np.asarray(out["roi_heads.box_head.5.weight"])
+        out["roi_heads.box_head.5.weight"] = (
+            w.reshape(w.shape[0], 256, 7, 7).transpose(0, 2, 3, 1).reshape(w.shape[0], -1)
+        )
+    return out
+
+
+def _coco_w(url, box_map, num_params):
+    return Weights(
+        url=url,
+        transforms=ObjectDetection,
+        meta={
+            "num_params": num_params,
+            "_metrics": {"COCO-val2017": {"box_map": box_map}},
+        },
+    )
+
+
+class FasterRCNN_ResNet50_FPN_Weights(WeightsEnum):
+    COCO_V1 = _coco_w(
+        "https://download.pytorch.org/models/fasterrcnn_resnet50_fpn_coco-258fb6c6.pth",
+        37.0, 41755286,
+    )
+    DEFAULT = COCO_V1
+
+
+class FasterRCNN_ResNet50_FPN_V2_Weights(WeightsEnum):
+    COCO_V1 = _coco_w(
+        "https://download.pytorch.org/models/fasterrcnn_resnet50_fpn_v2_coco-dd69338a.pth",
+        46.7, 43712278,
+    )
+    DEFAULT = COCO_V1
+
+
+def _build_frcnn(weights, v2: bool, num_classes=91, **kwargs) -> VisionModel:
+    module = FasterRCNN(num_classes=num_classes, v2=v2, **kwargs)
+    # tiny init input: params are input-size independent, and init *runs*
+    # the full path (incl. NMS loops) eagerly on host
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    preprocess = None
+    if weights is not None:
+        from vision_tpu._torch_convert import convert_torch_state_dict
+
+        sd = weights.get_state_dict()
+        variables = convert_torch_state_dict(
+            sd, dict(variables), hooks=_frcnn_hooks
+        )
+        preprocess = weights.transforms()
+    return VisionModel(module=module, variables=variables, preprocess=preprocess)
+
+
+@register_model()
+def fasterrcnn_resnet50_fpn(
+    *, weights: Optional[FasterRCNN_ResNet50_FPN_Weights] = None, **kwargs
+) -> VisionModel:
+    weights = FasterRCNN_ResNet50_FPN_Weights.verify(weights)
+    return _build_frcnn(weights, v2=False, **kwargs)
+
+
+@register_model()
+def fasterrcnn_resnet50_fpn_v2(
+    *, weights: Optional[FasterRCNN_ResNet50_FPN_V2_Weights] = None, **kwargs
+) -> VisionModel:
+    weights = FasterRCNN_ResNet50_FPN_V2_Weights.verify(weights)
+    return _build_frcnn(weights, v2=True, **kwargs)

@@ -1,0 +1,141 @@
+"""Keypoint R-CNN (reference
+``torchvision/models/detection/keypoint_rcnn.py``, 476 LoC)."""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vision_tpu.models._api import Weights, WeightsEnum, register_model
+from vision_tpu.models._utils import VisionModel
+from vision_tpu.models.detection.faster_rcnn import FasterRCNN, _frcnn_hooks
+from vision_tpu.models.detection.roi_heads import (
+    KeypointRCNNHeads,
+    KeypointRCNNPredictor,
+)
+from vision_tpu.ops.poolers import MultiScaleRoIAlign
+from vision_tpu.transforms._presets import ObjectDetection
+
+__all__ = [
+    "KeypointRCNN",
+    "KeypointRCNN_ResNet50_FPN_Weights",
+    "keypointrcnn_resnet50_fpn",
+    "KeypointDetections",
+    "heatmaps_to_keypoints",
+]
+
+
+class KeypointDetections(NamedTuple):
+    boxes: jax.Array
+    scores: jax.Array
+    labels: jax.Array
+    valid: jax.Array
+    keypoints: jax.Array  # [N, D, K, 3] (x, y, visibility)
+    keypoints_scores: jax.Array  # [N, D, K]
+
+
+def heatmaps_to_keypoints(maps: jax.Array, boxes: jax.Array):
+    """reference ``roi_heads.py:310`` heatmaps_to_keypoints: argmax of each
+    keypoint heatmap mapped back into box coordinates.
+
+    maps: [D, H, H, K]; boxes: [D, 4] -> ([D, K, 3], [D, K])."""
+    d, hm, _, k = maps.shape
+    x0, y0 = boxes[:, 0], boxes[:, 1]
+    ws = jnp.clip(boxes[:, 2] - boxes[:, 0], 1.0)
+    hs = jnp.clip(boxes[:, 3] - boxes[:, 1], 1.0)
+
+    flat = maps.transpose(0, 3, 1, 2).reshape(d, k, hm * hm)
+    idx = jnp.argmax(flat, axis=-1)
+    scores = jnp.max(flat, axis=-1)
+    ys = (idx // hm).astype(jnp.float32)
+    xs = (idx % hm).astype(jnp.float32)
+    # map heatmap bin centers into image coords (reference uses offset 0.5
+    # scaled bins)
+    x = (xs + 0.5) * (ws[:, None] / hm) + x0[:, None]
+    y = (ys + 0.5) * (hs[:, None] / hm) + y0[:, None]
+    kp = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    return kp, scores
+
+
+class KeypointRCNN(FasterRCNN):
+    num_keypoints: int = 17
+
+    def setup(self):
+        super().setup()
+        self.keypoint_roi_pool = MultiScaleRoIAlign(
+            ["0", "1", "2", "3"], output_size=14, sampling_ratio=2
+        )
+        self.keypoint_head = KeypointRCNNHeads(name="roi_heads.keypoint_head")
+        self.keypoint_predictor = KeypointRCNNPredictor(
+            self.num_keypoints, name="roi_heads.keypoint_predictor"
+        )
+
+    def __call__(self, images: jax.Array, train: bool = False):
+        dets = super().__call__(images, train=train)
+        image_size = (images.shape[1], images.shape[2])
+        feats = self.backbone(images, train=train)
+
+        n, d = dets.boxes.shape[:2]
+        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), d)
+        rois = jnp.concatenate(
+            [batch_idx[:, None], dets.boxes.reshape(-1, 4)], axis=1
+        )
+        pooled = self.keypoint_roi_pool(
+            {k: feats[k] for k in ["0", "1", "2", "3"]}, rois, image_size
+        )
+        x = self.keypoint_head(pooled)
+        maps = self.keypoint_predictor(x)  # [N*D, 56, 56, K]
+        kp, kp_scores = heatmaps_to_keypoints(maps, dets.boxes.reshape(-1, 4))
+        return KeypointDetections(
+            dets.boxes,
+            dets.scores,
+            dets.labels,
+            dets.valid,
+            kp.reshape(n, d, self.num_keypoints, 3),
+            kp_scores.reshape(n, d, self.num_keypoints),
+        )
+
+
+class KeypointRCNN_ResNet50_FPN_Weights(WeightsEnum):
+    COCO_LEGACY = Weights(
+        url="https://download.pytorch.org/models/keypointrcnn_resnet50_fpn_coco-9f466800.pth",
+        transforms=ObjectDetection,
+        meta={
+            "num_params": 59137258,
+            "_metrics": {"COCO-val2017": {"box_map": 50.6, "kp_map": 61.1}},
+        },
+    )
+    COCO_V1 = Weights(
+        url="https://download.pytorch.org/models/keypointrcnn_resnet50_fpn_coco-fc266e95.pth",
+        transforms=ObjectDetection,
+        meta={
+            "num_params": 59137258,
+            "_metrics": {"COCO-val2017": {"box_map": 54.6, "kp_map": 65.0}},
+        },
+    )
+    DEFAULT = COCO_V1
+
+
+@register_model()
+def keypointrcnn_resnet50_fpn(
+    *, weights: Optional[KeypointRCNN_ResNet50_FPN_Weights] = None,
+    num_classes: int = 2, num_keypoints: int = 17, **kwargs,
+) -> VisionModel:
+    weights = KeypointRCNN_ResNet50_FPN_Weights.verify(weights)
+    module = KeypointRCNN(
+        num_classes=num_classes, num_keypoints=num_keypoints, **kwargs
+    )
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    preprocess = None
+    if weights is not None:
+        from vision_tpu._torch_convert import convert_torch_state_dict
+
+        sd = weights.get_state_dict()
+        variables = convert_torch_state_dict(sd, dict(variables), hooks=_frcnn_hooks)
+        preprocess = weights.transforms()
+    return VisionModel(module=module, variables=variables, preprocess=preprocess)

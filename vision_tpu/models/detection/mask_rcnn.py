@@ -1,0 +1,146 @@
+"""Mask R-CNN (reference ``torchvision/models/detection/mask_rcnn.py``,
+590 LoC): Faster R-CNN + mask branch."""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vision_tpu.models._api import Weights, WeightsEnum, register_model
+from vision_tpu.models._utils import VisionModel
+from vision_tpu.models.detection.faster_rcnn import (
+    FasterRCNN,
+    _frcnn_hooks,
+)
+from vision_tpu.models.detection.roi_heads import (
+    MaskRCNNHeads,
+    MaskRCNNPredictor,
+)
+from vision_tpu.ops.poolers import MultiScaleRoIAlign
+from vision_tpu.transforms._presets import ObjectDetection
+
+__all__ = [
+    "MaskRCNN",
+    "MaskRCNN_ResNet50_FPN_Weights",
+    "MaskRCNN_ResNet50_FPN_V2_Weights",
+    "maskrcnn_resnet50_fpn",
+    "maskrcnn_resnet50_fpn_v2",
+    "MaskDetections",
+]
+
+
+class MaskDetections(NamedTuple):
+    boxes: jax.Array  # [N, D, 4]
+    scores: jax.Array  # [N, D]
+    labels: jax.Array  # [N, D]
+    valid: jax.Array  # [N, D]
+    masks: jax.Array  # [N, D, M, M] probabilities in box frame
+
+
+class MaskRCNN(FasterRCNN):
+    """reference MaskRCNN: FasterRCNN + mask_head/mask_predictor."""
+
+    def setup(self):
+        super().setup()
+        self.mask_roi_pool = MultiScaleRoIAlign(
+            ["0", "1", "2", "3"], output_size=14, sampling_ratio=2
+        )
+        # v2 mask head adds BatchNorm; v1 is plain convs
+        self.mask_head = MaskRCNNHeads(
+            use_norm=self.v2, name="roi_heads.mask_head"
+        )
+        self.mask_predictor = MaskRCNNPredictor(
+            self.num_classes, name="roi_heads.mask_predictor"
+        )
+
+    def __call__(self, images: jax.Array, train: bool = False):
+        """Eval path: box detections + per-detection mask probabilities
+        (28x28 in box frame; use
+        ``roi_heads.paste_masks_in_image`` for full-resolution masks)."""
+        dets = super().__call__(images, train=train)
+        image_size = (images.shape[1], images.shape[2])
+        feats = self.backbone(images, train=train)
+
+        n, d = dets.boxes.shape[:2]
+        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), d)
+        rois = jnp.concatenate(
+            [batch_idx[:, None], dets.boxes.reshape(-1, 4)], axis=1
+        )
+        pooled = self.mask_roi_pool(
+            {k: feats[k] for k in ["0", "1", "2", "3"]}, rois, image_size
+        )
+        x = self.mask_head(pooled, train=train)
+        logits = self.mask_predictor(x)  # [N*D, 28, 28, C]
+        probs = jax.nn.sigmoid(logits)
+        labels = dets.labels.reshape(-1)
+        sel = jnp.take_along_axis(
+            probs, labels[:, None, None, None], axis=-1
+        )[..., 0]
+        m = sel.shape[-1]
+        masks = sel.reshape(n, d, m, m)
+        return MaskDetections(
+            dets.boxes, dets.scores, dets.labels, dets.valid, masks
+        )
+
+
+def _coco_w(url, box_map, mask_map, num_params):
+    return Weights(
+        url=url,
+        transforms=ObjectDetection,
+        meta={
+            "num_params": num_params,
+            "_metrics": {
+                "COCO-val2017": {"box_map": box_map, "mask_map": mask_map}
+            },
+        },
+    )
+
+
+class MaskRCNN_ResNet50_FPN_Weights(WeightsEnum):
+    COCO_V1 = _coco_w(
+        "https://download.pytorch.org/models/maskrcnn_resnet50_fpn_coco-bf2d0c1e.pth",
+        37.9, 34.6, 44401393,
+    )
+    DEFAULT = COCO_V1
+
+
+class MaskRCNN_ResNet50_FPN_V2_Weights(WeightsEnum):
+    COCO_V1 = _coco_w(
+        "https://download.pytorch.org/models/maskrcnn_resnet50_fpn_v2_coco-73cbd019.pth",
+        47.4, 41.8, 46359409,
+    )
+    DEFAULT = COCO_V1
+
+
+def _build_maskrcnn(weights, v2: bool, num_classes=91, **kwargs) -> VisionModel:
+    module = MaskRCNN(num_classes=num_classes, v2=v2, **kwargs)
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    preprocess = None
+    if weights is not None:
+        from vision_tpu._torch_convert import convert_torch_state_dict
+
+        sd = weights.get_state_dict()
+        variables = convert_torch_state_dict(sd, dict(variables), hooks=_frcnn_hooks)
+        preprocess = weights.transforms()
+    return VisionModel(module=module, variables=variables, preprocess=preprocess)
+
+
+@register_model()
+def maskrcnn_resnet50_fpn(
+    *, weights: Optional[MaskRCNN_ResNet50_FPN_Weights] = None, **kwargs
+) -> VisionModel:
+    weights = MaskRCNN_ResNet50_FPN_Weights.verify(weights)
+    return _build_maskrcnn(weights, v2=False, **kwargs)
+
+
+@register_model()
+def maskrcnn_resnet50_fpn_v2(
+    *, weights: Optional[MaskRCNN_ResNet50_FPN_V2_Weights] = None, **kwargs
+) -> VisionModel:
+    weights = MaskRCNN_ResNet50_FPN_V2_Weights.verify(weights)
+    return _build_maskrcnn(weights, v2=True, **kwargs)

@@ -1,0 +1,395 @@
+"""RoI heads (reference ``torchvision/models/detection/roi_heads.py:504-887``):
+box / mask / keypoint branches with static-shape training sampling and
+postprocessing.
+
+TPU design notes:
+* ``select_training_samples`` (:642) keeps the reference's fixed 512-RoI
+  budget — already static-friendly — via top-k over random priorities.
+* ``postprocess_detections`` (:680) flattens (RoI, class) pairs, masks
+  low scores, runs one masked batched NMS, and emits fixed
+  ``detections_per_img`` rows.
+* ``paste_masks_in_image`` (:486) is an inverse bilinear warp per box,
+  vmapped — no dynamic resize.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vision_tpu.models.detection import _utils as det_utils
+from vision_tpu.ops.nms import batched_nms_mask
+
+__all__ = [
+    "TwoMLPHead",
+    "FastRCNNPredictor",
+    "MaskRCNNHeads",
+    "MaskRCNNPredictor",
+    "KeypointRCNNHeads",
+    "KeypointRCNNPredictor",
+    "RoIHeadsLogic",
+    "paste_masks_in_image",
+]
+
+
+class TwoMLPHead(nn.Module):
+    """reference ``faster_rcnn.py`` TwoMLPHead; input [K, 7, 7, C].
+    The fc6 weight conversion reorders the torch CHW flatten."""
+
+    representation_size: int = 1024
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(self.representation_size, name="fc6")(x))
+        x = nn.relu(nn.Dense(self.representation_size, name="fc7")(x))
+        return x
+
+
+class FastRCNNConvFCHead(nn.Module):
+    """v2 box head (reference FastRCNNConvFCHead): 4x conv3x3(256)+GN? ->
+    fc. Names 0..3 convs (each Conv2dNormActivation), 5 flatten, 6 fc."""
+
+    representation_size: int = 1024
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(4):
+            x = nn.Conv(
+                256, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                name=f"{i}.0",
+            )(x)
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"{i}.1")(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        return nn.relu(nn.Dense(self.representation_size, name="5")(x))
+
+
+class FastRCNNPredictor(nn.Module):
+    """reference FastRCNNPredictor: cls_score + bbox_pred."""
+
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x):
+        scores = nn.Dense(self.num_classes, name="cls_score")(x)
+        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred")(x)
+        return scores, deltas
+
+
+class MaskRCNNHeads(nn.Module):
+    """reference MaskRCNNHeads (v2 Sequential of Conv2dNormActivation,
+    ``mask_rcnn.py:271``): v1 checkpoints use names mask_fcn1..4 (no norm);
+    v2 uses "{i}.0"/"{i}.1" with BatchNorm."""
+
+    layers: int = 4
+    features: int = 256
+    use_norm: bool = False
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.layers):
+            if self.use_norm:
+                x = nn.Conv(
+                    self.features, (3, 3), padding=[(1, 1)] * 2,
+                    use_bias=False, name=f"{i}.0",
+                )(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    name=f"{i}.1",
+                )(x)
+            else:
+                x = nn.Conv(
+                    self.features, (3, 3), padding=[(1, 1)] * 2,
+                    name=f"mask_fcn{i + 1}",
+                )(x)
+            x = nn.relu(x)
+        return x
+
+
+class MaskRCNNPredictor(nn.Module):
+    """reference MaskRCNNPredictor: deconv 2x + 1x1 logits."""
+
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(
+            256, (2, 2), strides=(2, 2), name="conv5_mask"
+        )(x)
+        x = nn.relu(x)
+        return nn.Conv(self.num_classes, (1, 1), name="mask_fcn_logits")(x)
+
+
+class KeypointRCNNHeads(nn.Module):
+    """reference KeypointRCNNHeads: 8x conv3x3(512), torch Sequential names
+    0, 2, 4, ... (relu at odd indices)."""
+
+    layers: int = 8
+    features: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.layers):
+            x = nn.relu(
+                nn.Conv(
+                    self.features, (3, 3), padding=[(1, 1)] * 2,
+                    name=str(2 * i),
+                )(x)
+            )
+        return x
+
+
+class KeypointRCNNPredictor(nn.Module):
+    """reference KeypointRCNNPredictor: 4x4 stride-2 deconv + 2x bilinear
+    upsample -> [K, 56, 56, num_keypoints]."""
+
+    num_keypoints: int = 17
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(
+            self.num_keypoints, (4, 4), strides=(2, 2), padding="SAME",
+            name="kps_score_lowres",
+        )(x)
+        from vision_tpu.transforms.v2.functional._resample import resize_2d
+
+        h, w = x.shape[1] * 2, x.shape[2] * 2
+        return resize_2d(x, (h, w), mode="bilinear", antialias=False,
+                         align_corners=False)
+
+
+class SampledProposals(NamedTuple):
+    boxes: jax.Array  # [N, S, 4]
+    labels: jax.Array  # [N, S] int (0 = background)
+    reg_targets: jax.Array  # [N, S, 4]
+    pos_mask: jax.Array  # [N, S]
+    valid: jax.Array  # [N, S]
+    matched_gt: jax.Array  # [N, S] gt index per sampled proposal
+
+
+class RoIHeadsLogic:
+    """Stateless transcription of reference RoIHeads hyper-logic."""
+
+    def __init__(
+        self,
+        fg_iou_thresh: float = 0.5,
+        bg_iou_thresh: float = 0.5,
+        batch_size_per_image: int = 512,
+        positive_fraction: float = 0.25,
+        bbox_reg_weights: Tuple[float, ...] = (10.0, 10.0, 5.0, 5.0),
+        score_thresh: float = 0.05,
+        nms_thresh: float = 0.5,
+        detections_per_img: int = 100,
+        topk_candidates: int = 1000,
+    ):
+        self.box_coder = det_utils.BoxCoder(weights=bbox_reg_weights)
+        self.proposal_matcher = det_utils.Matcher(
+            fg_iou_thresh, bg_iou_thresh, allow_low_quality_matches=False
+        )
+        self.sampler = det_utils.BalancedPositiveNegativeSampler(
+            batch_size_per_image, positive_fraction
+        )
+        self.batch_size_per_image = batch_size_per_image
+        self.score_thresh = score_thresh
+        self.nms_thresh = nms_thresh
+        self.detections_per_img = detections_per_img
+        # static cap on (roi, class) candidates entering NMS — the reference
+        # NMSes the dynamically score-filtered set (usually << 1000); the
+        # O(K^2) masked NMS needs a fixed K
+        self.topk_candidates = topk_candidates
+
+    def select_training_samples(
+        self,
+        proposals: jax.Array,  # [N, P, 4]
+        proposals_valid: jax.Array,  # [N, P]
+        gt_boxes: jax.Array,  # [N, G, 4]
+        gt_labels: jax.Array,  # [N, G]
+        gt_valid: jax.Array,  # [N, G]
+        key: jax.Array,
+    ) -> SampledProposals:
+        """reference ``roi_heads.py:642``: append gt to proposals, match,
+        sample fixed budget, compute regression targets."""
+        from vision_tpu.ops.boxes import box_iou
+
+        def per_image(props, pvalid, boxes, labels, valid, k):
+            props = jnp.concatenate([props, boxes], axis=0)
+            pvalid = jnp.concatenate([pvalid, valid], axis=0)
+            iou = box_iou(boxes, props)  # [G, P+G]
+            iou = jnp.where(pvalid[None, :], iou, -1.0)
+            matched = self.proposal_matcher(iou, valid_gt=valid)  # [P+G]
+            matched = jnp.where(pvalid, matched, det_utils.BELOW_LOW_THRESHOLD)
+            pos, neg = self.sampler(matched, k)
+            sampled = pos | neg
+            # compact sampled rois to fixed budget S via top_k on sampled flag
+            s = min(self.batch_size_per_image, props.shape[0])
+            pri = sampled.astype(jnp.float32) + jnp.where(pos, 0.5, 0.0)
+            _, idx = jax.lax.top_k(pri, s)
+            sel_boxes = props[idx]
+            sel_matched = matched[idx]
+            sel_pos = pos[idx]
+            sel_valid = sampled[idx]
+            clamped = jnp.clip(sel_matched, 0)
+            sel_labels = jnp.where(sel_pos, labels[clamped], 0)
+            matched_boxes = boxes[clamped]
+            reg_targets = self.box_coder.encode(matched_boxes, sel_boxes)
+            return (
+                sel_boxes, sel_labels, reg_targets, sel_pos, sel_valid, clamped
+            )
+
+        keys = jax.random.split(key, proposals.shape[0])
+        outs = jax.vmap(per_image)(
+            proposals, proposals_valid, gt_boxes, gt_labels, gt_valid, keys
+        )
+        return SampledProposals(*outs)
+
+    def fastrcnn_loss(
+        self,
+        class_logits: jax.Array,  # [N, S, C]
+        box_regression: jax.Array,  # [N, S, C*4]
+        sampled: SampledProposals,
+    ) -> Dict[str, jax.Array]:
+        """reference ``roi_heads.py:29`` fastrcnn_loss: CE over sampled,
+        smooth-L1(beta=1/9) on positives' matched-class deltas, / sampled."""
+        n, s, c = class_logits.shape
+        valid = sampled.valid
+        num_valid = jnp.maximum(jnp.sum(valid), 1)
+
+        logp = jax.nn.log_softmax(class_logits)
+        ce = -jnp.take_along_axis(logp, sampled.labels[..., None], axis=-1)[..., 0]
+        cls_loss = jnp.sum(ce * valid) / num_valid
+
+        reg = box_regression.reshape(n, s, c, 4)
+        cls_idx = sampled.labels[..., None, None]
+        reg_sel = jnp.take_along_axis(
+            reg, jnp.broadcast_to(cls_idx, (n, s, 1, 4)), axis=2
+        )[:, :, 0]
+        diff = jnp.abs(reg_sel - sampled.reg_targets)
+        beta = 1.0 / 9.0
+        sl1 = jnp.where(diff < beta, 0.5 * diff**2 / beta, diff - 0.5 * beta)
+        box_loss = jnp.sum(sl1.sum(-1) * sampled.pos_mask) / num_valid
+        return {"loss_classifier": cls_loss, "loss_box_reg": box_loss}
+
+    def postprocess_detections(
+        self,
+        class_logits: jax.Array,  # [N, P, C]
+        box_regression: jax.Array,  # [N, P, C*4]
+        proposals: jax.Array,  # [N, P, 4]
+        proposals_valid: jax.Array,  # [N, P]
+        image_size: Tuple[int, int],
+    ):
+        """reference ``roi_heads.py:680``. Returns a Detections tuple."""
+        from vision_tpu.models.detection.retinanet import Detections
+
+        h, w = image_size
+        n, p, c = class_logits.shape
+
+        def per_image(logits, reg, props, pvalid):
+            scores = jax.nn.softmax(logits)  # [P, C]
+            boxes = self.box_coder.decode(reg, props)  # [P, C, 4]
+            x = jnp.clip(boxes[..., 0::2], 0, w)
+            y = jnp.clip(boxes[..., 1::2], 0, h)
+            boxes = jnp.stack(
+                [x[..., 0], y[..., 0], x[..., 1], y[..., 1]], axis=-1
+            )
+            # drop background column 0; flatten (P, C-1)
+            fg_scores = scores[:, 1:].reshape(-1)
+            fg_boxes = boxes[:, 1:].reshape(-1, 4)
+            fg_labels = jnp.tile(jnp.arange(1, c), (p,))
+            valid = fg_scores > self.score_thresh
+            valid &= jnp.repeat(pvalid, c - 1)
+            ws = fg_boxes[:, 2] - fg_boxes[:, 0]
+            hs = fg_boxes[:, 3] - fg_boxes[:, 1]
+            valid &= (ws >= 1e-2) & (hs >= 1e-2)
+
+            # static candidate cap before the O(K^2) NMS
+            kcap = min(self.topk_candidates, fg_scores.shape[0])
+            cand_scores, cand_idx = jax.lax.top_k(
+                jnp.where(valid, fg_scores, -1.0), kcap
+            )
+            fg_boxes = fg_boxes[cand_idx]
+            fg_scores = fg_scores[cand_idx]
+            fg_labels = fg_labels[cand_idx]
+            valid = cand_scores > 0
+
+            keep = batched_nms_mask(
+                fg_boxes, fg_scores, fg_labels, self.nms_thresh, valid=valid
+            )
+            kept_scores = jnp.where(keep, fg_scores, -1.0)
+            top_scores, top_idx = jax.lax.top_k(
+                kept_scores, self.detections_per_img
+            )
+            return (
+                fg_boxes[top_idx],
+                jnp.where(top_scores > 0, top_scores, 0.0),
+                fg_labels[top_idx],
+                top_scores > 0,
+            )
+
+        outs = jax.vmap(per_image)(
+            class_logits, box_regression, proposals, proposals_valid
+        )
+        return Detections(*outs)
+
+
+def paste_masks_in_image(
+    masks: jax.Array,  # [K, M, M] probabilities
+    boxes: jax.Array,  # [K, 4] xyxy
+    img_h: int,
+    img_w: int,
+) -> jax.Array:
+    """reference ``roi_heads.py:486`` paste_masks_in_image: expand each
+    mask by 1px (scale (M+2)/M), bilinear-resize into its box, paste.
+
+    Vectorized: for each output pixel, inverse-map into mask coordinates
+    and bilinear-sample — one vmapped gather instead of per-box dynamic
+    resize. Returns [K, img_h, img_w] float probabilities.
+    """
+    k, m, _ = masks.shape
+    scale = (m + 2.0) / m
+    # expand boxes like the reference
+    cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+    cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+    bw = (boxes[:, 2] - boxes[:, 0]) * 0.5 * scale
+    bh = (boxes[:, 3] - boxes[:, 1]) * 0.5 * scale
+    x0, x1 = cx - bw, cx + bw
+    y0, y1 = cy - bh, cy + bh
+    padded = jnp.pad(masks, ((0, 0), (1, 1), (1, 1)))
+    mp = m + 2
+
+    ys = jnp.arange(img_h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(img_w, dtype=jnp.float32) + 0.5
+
+    def per_box(mask, bx0, bx1, by0, by1):
+        # map image pixel centers into padded-mask pixel coords
+        # (align_corners=False inverse of interpolate to box size)
+        gx = (xs - bx0) / (bx1 - bx0) * mp - 0.5
+        gy = (ys - by0) / (by1 - by0) * mp - 0.5
+        x0i = jnp.floor(gx).astype(jnp.int32)
+        y0i = jnp.floor(gy).astype(jnp.int32)
+        lx = gx - x0i
+        ly = gy - y0i
+
+        # 4-corner bilinear with zero outside
+        def corner(yy, xx, wy, wx):
+            vy = (yy >= 0) & (yy < mp)
+            vx = (xx >= 0) & (xx < mp)
+            val = mask[
+                jnp.clip(yy, 0, mp - 1)[:, None],
+                jnp.clip(xx, 0, mp - 1)[None, :],
+            ]
+            return val * (wy * vy)[:, None] * (wx * vx)[None, :]
+
+        out = (
+            corner(y0i, x0i, 1 - ly, 1 - lx)
+            + corner(y0i, x0i + 1, 1 - ly, lx)
+            + corner(y0i + 1, x0i, ly, 1 - lx)
+            + corner(y0i + 1, x0i + 1, ly, lx)
+        )
+        return out
+
+    return jax.vmap(per_box)(padded, x0, x1, y0, y1)

@@ -1,0 +1,192 @@
+"""Region Proposal Network (reference
+``torchvision/models/detection/rpn.py:113-436``).
+
+TPU-first: ``filter_proposals`` (the reference's #1 dynamic-shape hot spot,
+SURVEY.md §3.4) becomes static per-level top-k + masked cross-level NMS,
+emitting a fixed ``post_nms_top_n`` proposal tensor with a validity mask.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vision_tpu.models.detection import _utils as det_utils
+from vision_tpu.ops.nms import batched_nms_mask
+
+__all__ = ["RPNHead", "RegionProposalNetwork", "Proposals"]
+
+
+class Proposals(NamedTuple):
+    boxes: jax.Array  # [N, P, 4]
+    scores: jax.Array  # [N, P]
+    valid: jax.Array  # [N, P] bool
+
+
+class RPNHead(nn.Module):
+    """reference ``rpn.py:15``: shared 3x3 conv tower + 1x1 cls/reg."""
+
+    num_anchors: int
+    conv_depth: int = 1
+
+    @nn.compact
+    def __call__(self, features: List[jax.Array]):
+        in_ch = features[0].shape[-1]
+        convs = [
+            nn.Conv(
+                in_ch, (3, 3), padding=[(1, 1)] * 2, name=f"conv.{i}.0"
+            )
+            for i in range(self.conv_depth)
+        ]
+        cls_logits = nn.Conv(self.num_anchors, (1, 1), name="cls_logits")
+        bbox_pred = nn.Conv(self.num_anchors * 4, (1, 1), name="bbox_pred")
+
+        objectness, deltas = [], []
+        for f in features:
+            t = f
+            for conv in convs:
+                t = nn.relu(conv(t))
+            o = cls_logits(t)
+            d = bbox_pred(t)
+            n, h, w, _ = o.shape
+            objectness.append(o.reshape(n, h * w * self.num_anchors))
+            deltas.append(d.reshape(n, h * w * self.num_anchors, 4))
+        return objectness, deltas
+
+
+class RegionProposalNetwork:
+    """Stateless logic around RPNHead outputs (the flax module holds only
+    the head; this class mirrors the reference's hyperparameters +
+    filter_proposals/loss)."""
+
+    def __init__(
+        self,
+        fg_iou_thresh: float = 0.7,
+        bg_iou_thresh: float = 0.3,
+        batch_size_per_image: int = 256,
+        positive_fraction: float = 0.5,
+        pre_nms_top_n: int = 1000,
+        post_nms_top_n: int = 1000,
+        nms_thresh: float = 0.7,
+        score_thresh: float = 0.0,
+        min_size: float = 1e-3,
+    ):
+        self.box_coder = det_utils.BoxCoder(weights=(1.0, 1.0, 1.0, 1.0))
+        self.proposal_matcher = det_utils.Matcher(
+            fg_iou_thresh, bg_iou_thresh, allow_low_quality_matches=True
+        )
+        self.sampler = det_utils.BalancedPositiveNegativeSampler(
+            batch_size_per_image, positive_fraction
+        )
+        self.pre_nms_top_n = pre_nms_top_n
+        self.post_nms_top_n = post_nms_top_n
+        self.nms_thresh = nms_thresh
+        self.score_thresh = score_thresh
+        self.min_size = min_size
+
+    def filter_proposals(
+        self,
+        objectness: List[jax.Array],
+        deltas: List[jax.Array],
+        anchors: List[jax.Array],
+        image_size: Tuple[int, int],
+    ) -> Proposals:
+        """reference ``rpn.py:242``: per-level pre-NMS top-k -> decode ->
+        clip -> small/low-score mask -> cross-level NMS (level as class) ->
+        top post_nms_top_n, all static."""
+        n = objectness[0].shape[0]
+        h, w = image_size
+
+        def per_image(obj_per_lvl, dl_per_lvl):
+            boxes_l, scores_l, lvl_l, valid_l = [], [], [], []
+            for lvl, (obj, dl, anch) in enumerate(
+                zip(obj_per_lvl, dl_per_lvl, anchors)
+            ):
+                k = min(self.pre_nms_top_n, obj.shape[0])
+                top_scores, top_idx = jax.lax.top_k(obj, k)
+                dec = self.box_coder.decode(dl[top_idx], anch[top_idx])[:, 0]
+                x = jnp.clip(dec[:, 0::2], 0, w)
+                y = jnp.clip(dec[:, 1::2], 0, h)
+                dec = jnp.stack([x[:, 0], y[:, 0], x[:, 1], y[:, 1]], -1)
+                ws = dec[:, 2] - dec[:, 0]
+                hs = dec[:, 3] - dec[:, 1]
+                valid = (ws >= self.min_size) & (hs >= self.min_size)
+                valid &= jax.nn.sigmoid(top_scores) > self.score_thresh
+                boxes_l.append(dec)
+                scores_l.append(top_scores)
+                lvl_l.append(jnp.full((k,), lvl, jnp.int32))
+                valid_l.append(valid)
+
+            boxes = jnp.concatenate(boxes_l)
+            scores = jnp.concatenate(scores_l)
+            lvls = jnp.concatenate(lvl_l)
+            valid = jnp.concatenate(valid_l)
+            keep = batched_nms_mask(
+                boxes, scores, lvls, self.nms_thresh, valid=valid
+            )
+            kept_scores = jnp.where(keep, scores, -jnp.inf)
+            p = min(self.post_nms_top_n, boxes.shape[0])
+            top_scores, top_idx = jax.lax.top_k(kept_scores, p)
+            return boxes[top_idx], top_scores, top_scores > -jnp.inf
+
+        outs = [
+            per_image([o[i] for o in objectness], [d[i] for d in deltas])
+            for i in range(n)
+        ]
+        return Proposals(
+            boxes=jnp.stack([o[0] for o in outs]),
+            scores=jnp.stack([o[1] for o in outs]),
+            valid=jnp.stack([o[2] for o in outs]),
+        )
+
+    def compute_loss(
+        self,
+        objectness: List[jax.Array],
+        deltas: List[jax.Array],
+        anchors: List[jax.Array],
+        gt_boxes: jax.Array,
+        gt_valid: jax.Array,
+        key: jax.Array,
+    ) -> Dict[str, jax.Array]:
+        """reference ``rpn.py:299``: BCE objectness on sampled anchors +
+        smooth-L1 (beta=1/9, sum / total sampled) on positives."""
+        from vision_tpu.ops.boxes import box_iou
+
+        all_obj = jnp.concatenate(objectness, axis=1)  # [N, R]
+        all_deltas = jnp.concatenate(deltas, axis=1)  # [N, R, 4]
+        all_anchors = jnp.concatenate(anchors, axis=0)  # [R, 4]
+
+        def per_image(obj, dl, boxes, valid, k):
+            iou = box_iou(boxes, all_anchors)  # [G, R]
+            matched = self.proposal_matcher(iou, valid_gt=valid)
+            pos, neg = self.sampler(matched, k)
+            sampled = pos | neg
+            num_sampled = jnp.maximum(jnp.sum(sampled), 1)
+
+            labels = (matched >= 0).astype(jnp.float32)
+            bce = (
+                jnp.clip(obj, 0)
+                - obj * labels
+                + jnp.log1p(jnp.exp(-jnp.abs(obj)))
+            )
+            obj_loss = jnp.sum(bce * sampled) / num_sampled
+
+            matched_boxes = boxes[jnp.clip(matched, 0)]
+            target = self.box_coder.encode(matched_boxes, all_anchors)
+            diff = jnp.abs(dl - target)
+            beta = 1.0 / 9.0
+            sl1 = jnp.where(diff < beta, 0.5 * diff**2 / beta, diff - 0.5 * beta)
+            box_loss = jnp.sum(sl1.sum(-1) * pos) / num_sampled
+            return obj_loss, box_loss
+
+        keys = jax.random.split(key, all_obj.shape[0])
+        obj_l, box_l = jax.vmap(per_image)(
+            all_obj, all_deltas, gt_boxes, gt_valid, keys
+        )
+        return {
+            "loss_objectness": jnp.mean(obj_l),
+            "loss_rpn_box_reg": jnp.mean(box_l),
+        }
