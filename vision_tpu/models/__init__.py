@@ -25,3 +25,7 @@ from vision_tpu.models.mobilenetv3 import *  # noqa: F401,F403
 from vision_tpu.models.resnet import *  # noqa: F401,F403
 from vision_tpu.models.vgg import *  # noqa: F401,F403
 from vision_tpu.models.vision_transformer import *  # noqa: F401,F403
+from vision_tpu.models import detection  # noqa: F401
+from vision_tpu.models import optical_flow  # noqa: F401
+from vision_tpu.models import segmentation  # noqa: F401
+from vision_tpu.models import video  # noqa: F401

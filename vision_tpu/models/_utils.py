@@ -46,18 +46,20 @@ class VisionModel:
     preprocess: Optional[Callable] = None
     meta: Optional[Dict[str, Any]] = None
 
-    def __call__(self, x, train: bool = False, rngs=None, **kwargs):
+    def __call__(self, *inputs, train: bool = False, rngs=None, **kwargs):
         if train and "batch_stats" in self.variables:
             out, updates = self.module.apply(
                 self.variables,
-                x,
+                *inputs,
                 train=True,
                 rngs=rngs,
                 mutable=["batch_stats"],
                 **kwargs,
             )
             return out, updates
-        return self.module.apply(self.variables, x, train=train, rngs=rngs, **kwargs)
+        return self.module.apply(
+            self.variables, *inputs, train=train, rngs=rngs, **kwargs
+        )
 
     @property
     def params(self):

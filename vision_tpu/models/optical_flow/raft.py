@@ -1,0 +1,409 @@
+"""RAFT optical flow (reference
+``torchvision/models/optical_flow/raft.py``, 947 LoC).
+
+TPU design: the iterative refinement runs as a Python-unrolled loop of
+``num_flow_updates`` (static) steps — each step is conv + gather work that
+XLA fuses; the all-pairs correlation volume is one big MXU matmul
+(fmap1^T fmap2, [B, H*W, H*W]); pyramid indexing is a vmapped bilinear
+gather replicating torch grid_sample(align_corners=True).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vision_tpu.models._api import Weights, WeightsEnum, register_model
+from vision_tpu.models._utils import VisionModel, build_model
+from vision_tpu.transforms._presets import OpticalFlow
+
+__all__ = [
+    "RAFT",
+    "Raft_Large_Weights",
+    "raft_large",
+]
+
+
+def _instance_norm(name):
+    # torch InstanceNorm2d default: no affine params, eps 1e-5
+    return nn.GroupNorm(
+        num_groups=None, group_size=1, epsilon=1e-5, use_bias=False,
+        use_scale=False, name=name,
+    )
+
+
+def _bn(train, name):
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+    )
+
+
+class _CNA(nn.Module):
+    """Conv2dNormActivation with bias=True (RAFT quirk, see reference
+    ``raft.py:27`` note)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    norm: Optional[str] = "instance"  # "instance" | "batch" | None
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        p = (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel), (self.stride, self.stride),
+            padding=[(p, p)] * 2, use_bias=True, name="0",
+        )(x)
+        if self.norm == "instance":
+            x = _instance_norm("1")(x)
+        elif self.norm == "batch":
+            x = _bn(train, "1")(x)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+class ResidualBlock(nn.Module):
+    """reference ``raft.py:27``."""
+
+    features: int
+    stride: int = 1
+    norm: Optional[str] = "instance"
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        y = _CNA(self.features, 3, self.stride, self.norm, name="convnormrelu1")(
+            x, train
+        )
+        y = _CNA(self.features, 3, 1, self.norm, name="convnormrelu2")(y, train)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = _CNA(
+                self.features, 1, self.stride, self.norm, act=False,
+                name="downsample",
+            )(x, train)
+        return nn.relu(x + y)
+
+
+class FeatureEncoder(nn.Module):
+    """reference ``raft.py:116``: downsamples by 8."""
+
+    layers: Tuple[int, ...] = (64, 64, 96, 128, 256)
+    norm: Optional[str] = "instance"
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = _CNA(self.layers[0], 7, 2, self.norm, name="convnormrelu")(x, train)
+        for i, (feat, stride) in enumerate(
+            zip(self.layers[1:4], (1, 2, 2)), start=1
+        ):
+            x = ResidualBlock(feat, stride, self.norm, name=f"layer{i}.0")(x, train)
+            x = ResidualBlock(feat, 1, self.norm, name=f"layer{i}.1")(x, train)
+        return nn.Conv(self.layers[4], (1, 1), name="conv")(x)
+
+
+class MotionEncoder(nn.Module):
+    """reference ``raft.py:171``."""
+
+    in_channels_corr: int
+    corr_layers: Tuple[int, ...] = (256, 192)
+    flow_layers: Tuple[int, int] = (128, 64)
+    out_channels: int = 128
+
+    @nn.compact
+    def __call__(self, flow, corr_features):
+        corr = _CNA(self.corr_layers[0], 1, norm=None, name="convcorr1")(
+            corr_features
+        )
+        if len(self.corr_layers) == 2:
+            corr = _CNA(self.corr_layers[1], 3, norm=None, name="convcorr2")(corr)
+        f = _CNA(self.flow_layers[0], 7, norm=None, name="convflow1")(flow)
+        f = _CNA(self.flow_layers[1], 3, norm=None, name="convflow2")(f)
+        cf = jnp.concatenate([corr, f], axis=-1)
+        cf = _CNA(self.out_channels - 2, 3, norm=None, name="conv")(cf)
+        return jnp.concatenate([cf, flow], axis=-1)
+
+
+class ConvGRU(nn.Module):
+    """reference ``raft.py:214``."""
+
+    hidden_size: int
+    kernel: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, h, x):
+        kh, kw = self.kernel
+        pad = [((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2]
+        conv = lambda name: nn.Conv(
+            self.hidden_size, (kh, kw), padding=pad, name=name
+        )
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(conv("convz")(hx))
+        r = nn.sigmoid(conv("convr")(hx))
+        q = jnp.tanh(conv("convq")(jnp.concatenate([r * h, x], axis=-1)))
+        return (1 - z) * h + z * q
+
+
+class UpdateBlock(nn.Module):
+    """reference ``raft.py:288``: motion encoder + 2 ConvGRUs + flow head."""
+
+    in_channels_corr: int
+    hidden_state_size: int = 128
+
+    @nn.compact
+    def __call__(self, hidden_state, context, corr_features, flow):
+        motion = MotionEncoder(self.in_channels_corr, name="motion_encoder")(
+            flow, corr_features
+        )
+        x = jnp.concatenate([context, motion], axis=-1)
+        h = ConvGRU(self.hidden_state_size, (1, 5), name="recurrent_block.convgru1")(
+            hidden_state, x
+        )
+        h = ConvGRU(self.hidden_state_size, (5, 1), name="recurrent_block.convgru2")(
+            h, x
+        )
+        d = nn.relu(
+            nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, name="flow_head.conv1")(h)
+        )
+        delta_flow = nn.Conv(
+            2, (3, 3), padding=[(1, 1)] * 2, name="flow_head.conv2"
+        )(d)
+        return h, delta_flow
+
+
+class MaskPredictor(nn.Module):
+    """reference ``raft.py:311``."""
+
+    hidden_size: int = 256
+    multiplier: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        x = _CNA(self.hidden_size, 3, norm=None, name="convrelu")(x)
+        x = nn.Conv(8 * 8 * 9, (1, 1), name="conv")(x)
+        return self.multiplier * x
+
+
+def _bilinear_sample_absolute(img, coords):
+    """grid_sample(align_corners=True) with absolute pixel coords
+    (reference ``optical_flow/_utils.py`` grid_sample): img [B, H, W, C],
+    coords [B, S, 2] (x, y) -> [B, S, C]; zeros padding."""
+    _, h, w, _ = img.shape
+    x, y = coords[..., 0], coords[..., 1]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    lx, ly = x - x0, y - y0
+
+    def corner(yy, xx, wgt):
+        valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        yc = jnp.clip(yy, 0, h - 1)
+        xc = jnp.clip(xx, 0, w - 1)
+        v = jnp.take_along_axis(
+            img.reshape(img.shape[0], h * w, -1),
+            (yc * w + xc)[..., None],
+            axis=1,
+        )
+        return v * (wgt * valid)[..., None]
+
+    return (
+        corner(y0, x0, (1 - ly) * (1 - lx))
+        + corner(y0, x0 + 1, (1 - ly) * lx)
+        + corner(y0 + 1, x0, ly * (1 - lx))
+        + corner(y0 + 1, x0 + 1, ly * lx)
+    )
+
+
+class CorrBlock:
+    """reference ``raft.py:337``: stateless pyramid build + index."""
+
+    def __init__(self, num_levels: int = 4, radius: int = 4):
+        self.num_levels = num_levels
+        self.radius = radius
+        self.out_channels = num_levels * (2 * radius + 1) ** 2
+
+    def build_pyramid(self, fmap1, fmap2):
+        """fmap1/2: [B, H, W, C] -> pyramid of [B*H*W, h_l, w_l, 1]."""
+        b, h, w, c = fmap1.shape
+        f1 = fmap1.reshape(b, h * w, c)
+        f2 = fmap2.reshape(b, h * w, c)
+        corr = jnp.einsum(
+            "bnc,bmc->bnm", f1, f2, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.float32(c))
+        vol = corr.reshape(b * h * w, h, w, 1)
+        pyramid = [vol]
+        for _ in range(self.num_levels - 1):
+            vol = nn.avg_pool(vol, (2, 2), (2, 2))
+            pyramid.append(vol)
+        return pyramid
+
+    def index_pyramid(self, pyramid, coords):
+        """coords: [B, H, W, 2] absolute (x, y) -> [B, H, W, out_channels]."""
+        r = self.radius
+        side = 2 * r + 1
+        b, h, w, _ = coords.shape
+        di = jnp.linspace(-r, r, side)
+        delta = jnp.stack(
+            jnp.meshgrid(di, di, indexing="ij"), axis=-1
+        )  # [side, side, 2] (dy-major like torch meshgrid ij over (di, dj))
+        # torch: delta[..., 0] is di (y), [..., 1] is dj (x); sampling coords
+        # are (x, y) so swap
+        delta_xy = jnp.stack([delta[..., 1], delta[..., 0]], axis=-1)
+        c = coords.reshape(b * h * w, 1, 2)
+
+        feats = []
+        for vol in pyramid:
+            pts = c + delta_xy.reshape(1, side * side, 2)
+            sampled = _bilinear_sample_absolute(vol, pts)  # [BHW, S*S, 1]
+            feats.append(sampled.reshape(b, h, w, side * side))
+            c = c / 2
+        return jnp.concatenate(feats, axis=-1)
+
+
+def upsample_flow(flow, up_mask=None, factor: int = 8):
+    """reference ``optical_flow/_utils.py`` upsample_flow; flow [B,h,w,2]."""
+    b, h, w, ch = flow.shape
+    if up_mask is None:
+        from vision_tpu.transforms.v2.functional._resample import resize_2d
+
+        return factor * resize_2d(
+            flow, (h * factor, w * factor), mode="bilinear", antialias=False,
+            align_corners=True,
+        )
+    mask = up_mask.reshape(b, h, w, 1, 9, factor, factor)
+    mask = jax.nn.softmax(mask, axis=4)
+    # unfold 3x3 neighborhoods of factor*flow
+    fp = jnp.pad(factor * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    neigh = jnp.stack(
+        [
+            fp[:, dy : dy + h, dx : dx + w, :]
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=4,
+    )  # [B, h, w, 2, 9]... stack at axis 4 gives [B,h,w,2,9]
+    up = jnp.sum(
+        mask * neigh[:, :, :, :, :, None, None], axis=4
+    )  # [B, h, w, 2, factor, factor]
+    up = up.transpose(0, 1, 4, 2, 5, 3)  # [B, h, factor, w, factor, 2]
+    return up.reshape(b, h * factor, w * factor, ch)
+
+
+class RAFT(nn.Module):
+    """reference ``raft.py:434``. Inputs [B, H, W, 3] in [-1, 1]."""
+
+    num_flow_updates: int = 12
+    use_mask_predictor: bool = True
+
+    @nn.compact
+    def __call__(self, image1, image2, num_flow_updates: Optional[int] = None,
+                 train: bool = False):
+        n_updates = num_flow_updates or self.num_flow_updates
+        b, h, w, _ = image1.shape
+
+        fmaps = FeatureEncoder(norm="instance", name="feature_encoder")(
+            jnp.concatenate([image1, image2], axis=0), train
+        )
+        fmap1, fmap2 = fmaps[:b], fmaps[b:]
+        corr_block = CorrBlock()
+        pyramid = corr_block.build_pyramid(fmap1, fmap2)
+
+        context_out = FeatureEncoder(norm="batch", name="context_encoder")(
+            image1, train
+        )
+        hidden_state_size = 128
+        hidden_state = jnp.tanh(context_out[..., :hidden_state_size])
+        context = nn.relu(context_out[..., hidden_state_size:])
+
+        h8, w8 = h // 8, w // 8
+        ys, xs = jnp.meshgrid(
+            jnp.arange(h8, dtype=jnp.float32),
+            jnp.arange(w8, dtype=jnp.float32),
+            indexing="ij",
+        )
+        coords0 = jnp.broadcast_to(
+            jnp.stack([xs, ys], axis=-1)[None], (b, h8, w8, 2)
+        )
+        coords1 = coords0
+
+        update_block = UpdateBlock(
+            corr_block.out_channels, hidden_state_size, name="update_block"
+        )
+        mask_predictor = (
+            MaskPredictor(name="mask_predictor") if self.use_mask_predictor else None
+        )
+
+        flow_predictions = []
+        for _ in range(n_updates):
+            coords1 = jax.lax.stop_gradient(coords1)
+            corr_features = corr_block.index_pyramid(pyramid, coords1)
+            flow = coords1 - coords0
+            hidden_state, delta_flow = update_block(
+                hidden_state, context, corr_features, flow
+            )
+            coords1 = coords1 + delta_flow
+            up_mask = (
+                mask_predictor(hidden_state) if mask_predictor is not None else None
+            )
+            flow_predictions.append(
+                upsample_flow(coords1 - coords0, up_mask)
+            )
+        return flow_predictions
+
+
+def _w(url, epe_clean, epe_final, num_params):
+    return Weights(
+        url=url,
+        transforms=OpticalFlow,
+        meta={
+            "num_params": num_params,
+            "_metrics": {
+                "Sintel-Train-Cleanpass": {"epe": epe_clean},
+                "Sintel-Train-Finalpass": {"epe": epe_final},
+            },
+        },
+    )
+
+
+class Raft_Large_Weights(WeightsEnum):
+    C_T_V1 = _w(
+        "https://download.pytorch.org/models/raft_large_C_T_V1-22a6c225.pth",
+        1.4411, 2.7894, 5257536,
+    )
+    C_T_V2 = _w(
+        "https://download.pytorch.org/models/raft_large_C_T_V2-1bb1363a.pth",
+        1.3822, 2.7161, 5257536,
+    )
+    C_T_SKHT_V1 = _w(
+        "https://download.pytorch.org/models/raft_large_C_T_SKHT_V1-0b8c9e55.pth",
+        None, None, 5257536,
+    )
+    C_T_SKHT_V2 = _w(
+        "https://download.pytorch.org/models/raft_large_C_T_SKHT_V2-ff5fadd5.pth",
+        None, None, 5257536,
+    )
+    DEFAULT = C_T_SKHT_V2
+
+
+@register_model()
+def raft_large(*, weights: Optional[Raft_Large_Weights] = None, **kwargs):
+    """reference ``raft.py:841`` raft_large builder."""
+    weights = Raft_Large_Weights.verify(weights)
+    module = RAFT(**kwargs)
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+        num_flow_updates=1,
+    )
+    preprocess = None
+    if weights is not None:
+        from vision_tpu._torch_convert import convert_torch_state_dict
+
+        sd = weights.get_state_dict()
+        variables = convert_torch_state_dict(sd, dict(variables))
+        preprocess = weights.transforms()
+    return VisionModel(module=module, variables=variables, preprocess=preprocess)
