@@ -1,0 +1,22 @@
+from vision_tpu.io.image import (
+    ImageReadMode,
+    decode_gif,
+    decode_image,
+    decode_jpeg,
+    decode_png,
+    decode_webp,
+    encode_jpeg,
+    encode_png,
+    read_file,
+    read_image,
+    write_file,
+    write_jpeg,
+    write_png,
+)
+from vision_tpu.io.prefetch import PrefetchIterator, decode_batch, prefetch_to_device
+from vision_tpu.io.video import (
+    read_video,
+    read_video_timestamps,
+    video_backend_available,
+    write_video,
+)

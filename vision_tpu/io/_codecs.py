@@ -1,0 +1,155 @@
+"""ctypes bindings for the native codec shim (the loader analog of
+``torchvision/extension.py`` ``_load_library``).
+
+Compiles ``csrc/image_codecs.cpp`` on first use into the package dir;
+falls back to PIL when the toolchain/libs are unavailable (the reference's
+no-extension degradation path)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+class _VtpuImage(ctypes.Structure):
+    _fields_ = [
+        ("data", ctypes.POINTER(ctypes.c_uint8)),
+        ("height", ctypes.c_int),
+        ("width", ctypes.c_int),
+        ("channels", ctypes.c_int),
+    ]
+
+
+def _build_lib(src: pathlib.Path, out: pathlib.Path) -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O2", "-shared", "-fPIC", str(src), "-o", str(out),
+                "-ljpeg", "-lpng", "-lwebp",
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        pkg = pathlib.Path(__file__).resolve().parent.parent
+        src = pkg / "csrc" / "image_codecs.cpp"
+        so = pkg / "csrc" / "libvtpu_codecs.so"
+        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            if not _build_lib(src, so):
+                return None
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            return None
+        lib.vtpu_decode_jpeg.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(_VtpuImage)
+        ]
+        lib.vtpu_decode_png.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(_VtpuImage)
+        ]
+        lib.vtpu_decode_webp.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(_VtpuImage)
+        ]
+        lib.vtpu_encode_jpeg.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.vtpu_encode_png.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.vtpu_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        _LIB = lib
+        return lib
+
+
+def has_native() -> bool:
+    return _load() is not None
+
+
+def _decode_with(fn_name: str, data: bytes) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    img = _VtpuImage()
+    rc = getattr(lib, fn_name)(data, len(data), ctypes.byref(img))
+    if rc != 0:
+        return None
+    n = img.height * img.width * img.channels
+    arr = np.ctypeslib.as_array(img.data, shape=(n,)).copy()
+    lib.vtpu_free(img.data)
+    return arr.reshape(img.height, img.width, img.channels)
+
+
+def decode_jpeg_native(data: bytes) -> Optional[np.ndarray]:
+    return _decode_with("vtpu_decode_jpeg", data)
+
+
+def decode_png_native(data: bytes) -> Optional[np.ndarray]:
+    return _decode_with("vtpu_decode_png", data)
+
+
+def decode_webp_native(data: bytes) -> Optional[np.ndarray]:
+    return _decode_with("vtpu_decode_webp", data)
+
+
+def encode_jpeg_native(img: np.ndarray, quality: int = 75) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    buf = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    rc = lib.vtpu_encode_jpeg(
+        img.tobytes(), h, w, quality, ctypes.byref(buf), ctypes.byref(out_len)
+    )
+    if rc != 0:
+        return None
+    data = bytes(np.ctypeslib.as_array(buf, shape=(out_len.value,)))
+    lib.vtpu_free(buf)
+    return data
+
+
+def encode_png_native(img: np.ndarray, compression: int = 6) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    c = 1 if img.ndim == 2 else img.shape[2]
+    buf = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    rc = lib.vtpu_encode_png(
+        img.tobytes(), h, w, c, compression, ctypes.byref(buf),
+        ctypes.byref(out_len),
+    )
+    if rc != 0:
+        return None
+    data = bytes(np.ctypeslib.as_array(buf, shape=(out_len.value,)))
+    lib.vtpu_free(buf)
+    return data

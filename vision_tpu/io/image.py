@@ -1,0 +1,215 @@
+"""Image IO (reference ``torchvision/io/image.py``, 639 LoC over the
+native codecs in ``csrc/io/image/cpu``).
+
+Decoding runs on the TPU-VM host through the native shim (libjpeg/libpng/
+libwebp via ``vision_tpu/csrc/image_codecs.cpp``), with a PIL fallback.
+Arrays are channels-last uint8 HWC (the reference returns CHW; channels-
+last is this framework's native layout)."""
+
+from __future__ import annotations
+
+import enum
+import io as _io
+import pathlib
+from typing import Optional, Union
+
+import numpy as np
+
+from vision_tpu.io import _codecs
+
+__all__ = [
+    "ImageReadMode",
+    "read_file",
+    "write_file",
+    "decode_image",
+    "decode_jpeg",
+    "decode_png",
+    "decode_gif",
+    "decode_webp",
+    "encode_jpeg",
+    "encode_png",
+    "write_jpeg",
+    "write_png",
+    "read_image",
+]
+
+
+class ImageReadMode(enum.Enum):
+    """reference ``io/image.py`` ImageReadMode."""
+
+    UNCHANGED = 0
+    GRAY = 1
+    GRAY_ALPHA = 2
+    RGB = 3
+    RGB_ALPHA = 4
+
+
+def read_file(path: Union[str, pathlib.Path]) -> bytes:
+    """reference ``io/image.py:59`` (csrc read_write_file.cpp)."""
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def write_file(path: Union[str, pathlib.Path], data: bytes) -> None:
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _apply_mode(arr: np.ndarray, mode: ImageReadMode) -> np.ndarray:
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    c = arr.shape[2]
+    if mode == ImageReadMode.UNCHANGED:
+        return arr
+    if mode == ImageReadMode.GRAY:
+        if c == 1:
+            return arr
+        rgb = arr[:, :, :3].astype(np.float32)
+        l = 0.2989 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        return l.astype(np.uint8)[:, :, None]
+    if mode == ImageReadMode.RGB:
+        if c == 3:
+            return arr
+        if c == 1:
+            return np.repeat(arr, 3, axis=2)
+        return arr[:, :, :3]
+    if mode == ImageReadMode.RGB_ALPHA:
+        if c == 4:
+            return arr
+        rgb = _apply_mode(arr, ImageReadMode.RGB)
+        alpha = np.full(rgb.shape[:2] + (1,), 255, np.uint8)
+        return np.concatenate([rgb, alpha], axis=2)
+    if mode == ImageReadMode.GRAY_ALPHA:
+        g = _apply_mode(arr, ImageReadMode.GRAY)
+        alpha = np.full(g.shape[:2] + (1,), 255, np.uint8)
+        return np.concatenate([g, alpha], axis=2)
+    raise ValueError(f"unsupported mode {mode}")
+
+
+def _pil_decode(data: bytes) -> np.ndarray:
+    import PIL.Image
+
+    with PIL.Image.open(_io.BytesIO(data)) as im:
+        arr = np.asarray(im.convert(im.mode if im.mode in ("L", "RGB", "RGBA") else "RGB"))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def decode_jpeg(
+    data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED
+) -> np.ndarray:
+    """reference ``io/image.py:173``; returns HWC uint8."""
+    arr = _codecs.decode_jpeg_native(data)
+    if arr is None:
+        arr = _pil_decode(data)
+    return _apply_mode(arr, mode)
+
+
+def decode_png(
+    data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED
+) -> np.ndarray:
+    """reference ``io/image.py:93``."""
+    arr = _codecs.decode_png_native(data)
+    if arr is None:
+        arr = _pil_decode(data)
+    return _apply_mode(arr, mode)
+
+
+def decode_webp(
+    data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED
+) -> np.ndarray:
+    """reference ``io/image.py:383``."""
+    arr = _codecs.decode_webp_native(data)
+    if arr is None:
+        arr = _pil_decode(data)
+    return _apply_mode(arr, mode)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """reference ``io/image.py:362``: animated GIF -> (N, H, W, 3) uint8
+    (PIL-backed; giflib headers are not available in this image)."""
+    import PIL.Image
+
+    frames = []
+    with PIL.Image.open(_io.BytesIO(data)) as im:
+        try:
+            while True:
+                frames.append(np.asarray(im.convert("RGB")))
+                im.seek(im.tell() + 1)
+        except EOFError:
+            pass
+    out = np.stack(frames)
+    return out[0] if out.shape[0] == 1 else out
+
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+_PNG_MAGIC = b"\x89PNG"
+_GIF_MAGIC = b"GIF"
+_WEBP_RIFF = b"RIFF"
+
+
+def decode_image(
+    data: Union[bytes, np.ndarray],
+    mode: ImageReadMode = ImageReadMode.UNCHANGED,
+) -> np.ndarray:
+    """Magic-byte dispatch (reference ``csrc/io/image/cpu/decode_image.cpp:80``)."""
+    if isinstance(data, np.ndarray):
+        data = data.tobytes()
+    if data[:3] == _JPEG_MAGIC:
+        return decode_jpeg(data, mode)
+    if data[:4] == _PNG_MAGIC:
+        return decode_png(data, mode)
+    if data[:3] == _GIF_MAGIC:
+        out = decode_gif(data)
+        return _apply_mode(out, mode) if out.ndim == 3 else out
+    if data[:4] == _WEBP_RIFF and data[8:12] == b"WEBP":
+        return decode_webp(data, mode)
+    raise RuntimeError(
+        "Unsupported image format: expected jpeg/png/gif/webp magic bytes"
+    )
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
+    """reference ``io/image.py`` encode_jpeg; img HWC uint8."""
+    img = np.asarray(img)
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    out = _codecs.encode_jpeg_native(img, quality)
+    if out is not None:
+        return out
+    import PIL.Image
+
+    buf = _io.BytesIO()
+    PIL.Image.fromarray(img.squeeze()).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def encode_png(img: np.ndarray, compression_level: int = 6) -> bytes:
+    img = np.asarray(img)
+    out = _codecs.encode_png_native(img, compression_level)
+    if out is not None:
+        return out
+    import PIL.Image
+
+    buf = _io.BytesIO()
+    PIL.Image.fromarray(img.squeeze()).save(
+        buf, format="PNG", compress_level=compression_level
+    )
+    return buf.getvalue()
+
+
+def write_jpeg(img: np.ndarray, path, quality: int = 75) -> None:
+    write_file(path, encode_jpeg(img, quality))
+
+
+def write_png(img: np.ndarray, path, compression_level: int = 6) -> None:
+    write_file(path, encode_png(img, compression_level))
+
+
+def read_image(
+    path: Union[str, pathlib.Path],
+    mode: ImageReadMode = ImageReadMode.UNCHANGED,
+) -> np.ndarray:
+    """reference ``io/image.py:350``: read + decode."""
+    return decode_image(read_file(path), mode)

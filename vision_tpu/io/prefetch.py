@@ -1,0 +1,87 @@
+"""Host -> HBM async prefetch queue — the TPU slot for the reference's
+nvJPEG batch decode path (``io/image.py:233`` decode_jpegs_cuda) and
+DataLoader worker processes (SURVEY.md §2.1 TPU plan).
+
+There is no on-TPU JPEG engine; throughput comes from (a) fanning decode
+across host threads (libjpeg shim releases the GIL inside ctypes calls)
+and (b) overlapping ``jax.device_put`` of batch N+1 with compute on batch N.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["decode_batch", "PrefetchIterator", "prefetch_to_device"]
+
+
+def decode_batch(
+    buffers: Iterable[bytes],
+    decode_fn: Optional[Callable[[bytes], np.ndarray]] = None,
+    num_threads: int = 8,
+):
+    """Decode a batch of compressed images across host threads (the
+    reference's batched nvJPEG entry point, same API shape)."""
+    if decode_fn is None:
+        from vision_tpu.io.image import decode_image
+
+        decode_fn = decode_image
+    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+        return list(pool.map(decode_fn, buffers))
+
+
+class PrefetchIterator:
+    """Wrap a host batch iterator; a background thread stays ``depth``
+    batches ahead and lands them on device with ``jax.device_put``."""
+
+    _SENTINEL = object()
+
+    def __init__(
+        self,
+        iterable: Iterable[Any],
+        depth: int = 2,
+        sharding=None,
+    ):
+        self._iterable = iterable
+        self._depth = depth
+        self._sharding = sharding
+
+    def __iter__(self) -> Iterator[Any]:
+        q: "queue.Queue" = queue.Queue(maxsize=self._depth)
+        err = []
+
+        def put(batch):
+            if self._sharding is not None:
+                return jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, self._sharding), batch
+                )
+            return jax.tree_util.tree_map(jax.device_put, batch)
+
+        def worker():
+            try:
+                for batch in self._iterable:
+                    q.put(put(batch))
+            except Exception as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(self._SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+def prefetch_to_device(iterable, depth: int = 2, sharding=None):
+    """Convenience: ``for batch in prefetch_to_device(loader): ...``"""
+    return iter(PrefetchIterator(iterable, depth=depth, sharding=sharding))
