@@ -1,0 +1,290 @@
+"""Classification training CLI (reference
+``references/classification/train.py``: main :204, train_one_epoch :19,
+evaluate :62).
+
+TPU shape (SURVEY.md §3.5): one Python process per host,
+``jax.distributed.initialize`` for multi-host, one pjit'ed train step with
+donated state over a ``data``-axis Mesh, orbax checkpoints, host-0 logging.
+
+Example (smoke run on fake data):
+    python references/classification/train.py --model resnet18 \
+        --fake-data --epochs 1 --batch-size 8 --steps-per-epoch 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import presets
+import utils
+from vision_tpu import datasets
+from vision_tpu.io.prefetch import prefetch_to_device
+from vision_tpu.models import get_model
+from vision_tpu.parallel import (
+    TrainState,
+    make_mesh,
+    make_train_step,
+    replicate,
+    shard_batch,
+)
+from vision_tpu.transforms import v2 as T
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser(description="vision_tpu classification training")
+    p.add_argument("--data-path", default="/data/imagenet", type=str)
+    p.add_argument("--model", default="resnet18", type=str)
+    p.add_argument("--batch-size", default=32, type=int, help="per-host batch")
+    p.add_argument("--epochs", default=90, type=int)
+    p.add_argument("--steps-per-epoch", default=None, type=int)
+    p.add_argument("--workers", default=16, type=int)
+    p.add_argument("--opt", default="sgd", type=str)
+    p.add_argument("--lr", default=0.1, type=float)
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--weight-decay", default=1e-4, type=float)
+    p.add_argument("--label-smoothing", default=0.0, type=float)
+    p.add_argument("--mixup-alpha", default=0.0, type=float)
+    p.add_argument("--cutmix-alpha", default=0.0, type=float)
+    p.add_argument("--lr-scheduler", default="steplr", type=str)
+    p.add_argument("--lr-step-size", default=30, type=int)
+    p.add_argument("--lr-gamma", default=0.1, type=float)
+    p.add_argument("--lr-warmup-epochs", default=0, type=int)
+    p.add_argument("--print-freq", default=10, type=int)
+    p.add_argument("--output-dir", default=".", type=str)
+    p.add_argument("--resume", default="", type=str)
+    p.add_argument("--start-epoch", default=0, type=int)
+    p.add_argument("--auto-augment", default=None, type=str)
+    p.add_argument("--ra-magnitude", default=9, type=int)
+    p.add_argument("--random-erase", default=0.0, type=float)
+    p.add_argument("--model-ema", action="store_true")
+    p.add_argument("--model-ema-decay", default=0.99998, type=float)
+    p.add_argument("--val-resize-size", default=256, type=int)
+    p.add_argument("--val-crop-size", default=224, type=int)
+    p.add_argument("--train-crop-size", default=224, type=int)
+    p.add_argument("--fake-data", action="store_true")
+    p.add_argument("--num-classes", default=1000, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    return p
+
+
+def load_data(args):
+    """reference ``train.py:114`` load_data."""
+    train_preset = presets.ClassificationPresetTrain(
+        crop_size=args.train_crop_size,
+        auto_augment_policy=args.auto_augment,
+        ra_magnitude=args.ra_magnitude,
+        random_erase_prob=args.random_erase,
+    )
+    eval_preset = presets.ClassificationPresetEval(
+        crop_size=args.val_crop_size, resize_size=args.val_resize_size
+    )
+    if args.fake_data:
+        n_train = (args.steps_per_epoch or 10) * args.batch_size
+        train_ds = datasets.FakeData(
+            n_train, (args.train_crop_size, args.train_crop_size, 3),
+            args.num_classes,
+        )
+        val_ds = datasets.FakeData(
+            2 * args.batch_size, (args.val_crop_size, args.val_crop_size, 3),
+            args.num_classes,
+        )
+        train_tf = lambda img: np.asarray(  # noqa: E731
+            T.ToDtype(jnp.float32, scale=True)(jnp.asarray(img))
+        )
+        val_tf = train_tf
+    else:
+        train_dir = os.path.join(args.data_path, "train")
+        val_dir = os.path.join(args.data_path, "val")
+        train_tf = lambda img: np.asarray(train_preset(jnp.asarray(img)))  # noqa: E731
+        val_tf = lambda img: np.asarray(eval_preset(jnp.asarray(img)))  # noqa: E731
+        train_ds = datasets.ImageFolder(train_dir)
+        val_ds = datasets.ImageFolder(val_dir)
+
+    n_hosts = jax.process_count()
+    rank = jax.process_index()
+    train_sampler = datasets.DistributedSampler(
+        train_ds, num_replicas=n_hosts, rank=rank, shuffle=True, seed=args.seed
+    )
+    train_loader = datasets.DataLoader(
+        train_ds,
+        batch_size=args.batch_size,
+        sampler=train_sampler,
+        num_workers=args.workers,
+        drop_last=True,
+        collate_fn=lambda batch: {
+            "image": np.stack([train_tf(b[0]) for b in batch]),
+            "label": np.asarray([b[1] for b in batch], np.int32),
+        },
+    )
+    val_loader = datasets.DataLoader(
+        val_ds,
+        batch_size=args.batch_size,
+        collate_fn=lambda batch: {
+            "image": np.stack([val_tf(b[0]) for b in batch]),
+            "label": np.asarray([b[1] for b in batch], np.int32),
+        },
+    )
+    return train_loader, val_loader, train_sampler
+
+
+def make_optimizer(args, steps_per_epoch: int):
+    if args.lr_scheduler == "steplr":
+        sched = optax.exponential_decay(
+            args.lr,
+            transition_steps=args.lr_step_size * steps_per_epoch,
+            decay_rate=args.lr_gamma,
+            staircase=True,
+        )
+    elif args.lr_scheduler == "cosineannealinglr":
+        sched = optax.cosine_decay_schedule(
+            args.lr, args.epochs * steps_per_epoch
+        )
+    else:
+        raise ValueError(f"unknown scheduler {args.lr_scheduler}")
+    if args.lr_warmup_epochs > 0:
+        sched = optax.join_schedules(
+            [
+                optax.linear_schedule(
+                    0.0, args.lr, args.lr_warmup_epochs * steps_per_epoch
+                ),
+                sched,
+            ],
+            [args.lr_warmup_epochs * steps_per_epoch],
+        )
+    if args.opt == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(args.weight_decay),
+            optax.sgd(sched, momentum=args.momentum),
+        )
+    elif args.opt == "adamw":
+        tx = optax.adamw(sched, weight_decay=args.weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer {args.opt}")
+    return tx
+
+
+def evaluate(eval_step, state, val_loader, mesh, header="Test:"):
+    """reference ``train.py:62`` evaluate."""
+    logger = utils.MetricLogger()
+    n = 0
+    for batch in val_loader:
+        batch = shard_batch(batch, mesh)
+        acc1, acc5 = eval_step(state.params, state.batch_stats, batch)
+        bs = batch["label"].shape[0]
+        logger.meters["acc1"].update(float(acc1), n=bs)
+        logger.meters["acc5"].update(float(acc5), n=bs)
+        n += bs
+    print(
+        f"{header} Acc@1 {logger.meters['acc1'].global_avg:.3f} "
+        f"Acc@5 {logger.meters['acc5'].global_avg:.3f}"
+    )
+    return logger.meters["acc1"].global_avg
+
+
+def main(args):
+    print(args)
+    if args.output_dir:
+        os.makedirs(args.output_dir, exist_ok=True)
+
+    mesh = make_mesh()
+    print(f"devices: {jax.device_count()} mesh: {mesh}")
+
+    train_loader, val_loader, train_sampler = load_data(args)
+    steps_per_epoch = len(train_loader)
+
+    model = get_model(args.model, num_classes=args.num_classes)
+    tx = make_optimizer(args, steps_per_epoch)
+    state = TrainState(
+        params=model.variables["params"],
+        batch_stats=model.variables.get("batch_stats", {}),
+        opt_state=tx.init(model.variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    mixup = None
+    if args.mixup_alpha > 0 or args.cutmix_alpha > 0:
+        choices = []
+        if args.mixup_alpha > 0:
+            choices.append(T.MixUp(args.mixup_alpha, num_classes=args.num_classes))
+        if args.cutmix_alpha > 0:
+            choices.append(T.CutMix(args.cutmix_alpha, num_classes=args.num_classes))
+        mixup = T.RandomChoice(choices)
+
+    train_step = make_train_step(
+        model.module.apply, tx, label_smoothing=args.label_smoothing,
+        has_batch_stats=bool(state.batch_stats),
+    )
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits = model.module.apply(variables, batch["image"], train=False)
+        return utils.accuracy(logits, batch["label"], topk=(1, 5))
+
+    ema = (
+        utils.ExponentialMovingAverage(state.params, args.model_ema_decay)
+        if args.model_ema
+        else None
+    )
+
+    if args.resume:
+        restored = utils.load_checkpoint(
+            args.resume,
+            {"state": state, "epoch": 0},
+        )
+        state = restored["state"]
+        args.start_epoch = int(restored["epoch"]) + 1
+
+    with mesh:
+        state = replicate(state, mesh)
+        key = jax.random.PRNGKey(args.seed)
+        start = time.time()
+        for epoch in range(args.start_epoch, args.epochs):
+            train_sampler.set_epoch(epoch)
+            train_loader.set_epoch(epoch)
+            logger = utils.MetricLogger()
+            header = f"Epoch: [{epoch}]"
+            for batch in logger.log_every(
+                prefetch_to_device(train_loader), args.print_freq, header
+            ):
+                key, sub, mkey = jax.random.split(key, 3)
+                if mixup is not None:
+                    img, lbl = mixup(
+                        (batch["image"], batch["label"]), key=mkey
+                    )
+                    batch = {"image": img, "label": lbl}
+                batch = shard_batch(batch, mesh)
+                state, metrics = train_step(state, batch, sub)
+                if ema is not None:
+                    ema.update(state.params)
+                logger.update(
+                    loss=float(metrics["loss"]),
+                    **(
+                        {"acc1": float(metrics["accuracy"]) * 100}
+                        if "accuracy" in metrics
+                        else {}
+                    ),
+                )
+            evaluate(eval_step, state, val_loader, mesh)
+            if args.output_dir and jax.process_index() == 0:
+                utils.save_checkpoint(
+                    os.path.join(args.output_dir, f"checkpoint_{epoch}"),
+                    {"state": jax.device_get(state), "epoch": epoch},
+                )
+        print(f"Training time {time.time() - start:.1f}s")
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

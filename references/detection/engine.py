@@ -1,0 +1,97 @@
+"""Detection train/eval engine (reference
+``references/detection/engine.py``: train_one_epoch :12, evaluate :76)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from typing import Dict, Optional
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(__file__), "..", "classification")
+)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import utils  # classification/utils.py (MetricLogger etc.)
+from coco_eval import CocoEvaluator
+
+
+def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None):
+    """jit'ed train step over FasterRCNN/RetinaNet-style ``compute_loss``
+    modules. Batch: {"image": [N,H,W,C], "boxes": [N,G,4],
+    "labels": [N,G], "valid": [N,G]}."""
+
+    def step(params, opt_state, batch, key):
+        def loss_fn(p):
+            losses = module.apply(
+                {"params": p},
+                batch["image"],
+                batch["boxes"],
+                batch["labels"],
+                batch["valid"],
+                key,
+                method="compute_loss",
+            )
+            total = sum(losses.values())
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, losses
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def train_one_epoch(
+    step_fn, params, opt_state, data_loader, key, epoch, print_freq=10
+):
+    """reference ``engine.py:12`` (the lr warmup lives in the optax
+    schedule)."""
+    logger = utils.MetricLogger()
+    header = f"Epoch: [{epoch}]"
+    for batch in logger.log_every(data_loader, print_freq, header):
+        key, sub = jax.random.split(key)
+        params, opt_state, total, losses = step_fn(
+            params, opt_state, batch, sub
+        )
+        loss_value = float(total)
+        if not math.isfinite(loss_value):
+            print(f"Loss is {loss_value}, stopping training")
+            sys.exit(1)
+        logger.update(loss=loss_value, **{k: float(v) for k, v in losses.items()})
+    return params, opt_state, key
+
+
+def evaluate_detection(model, data_loader, ground_truths, postprocess=None):
+    """reference ``engine.py:76``: run the jitted eval path per batch,
+    accumulate into CocoEvaluator, summarize mAP."""
+    evaluator = CocoEvaluator(ground_truths)
+    logger = utils.MetricLogger()
+    for img_ids, batch, image_sizes, original_sizes in logger.log_every(
+        data_loader, 10, "Test:"
+    ):
+        dets = model(batch)
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        labels = np.asarray(dets.labels)
+        valid = np.asarray(dets.valid)
+        preds = {}
+        for i, img_id in enumerate(img_ids):
+            keep = valid[i]
+            b = boxes[i][keep]
+            if postprocess is not None:
+                b = postprocess(b, image_sizes[i], original_sizes[i])
+            preds[img_id] = {
+                "boxes": b,
+                "scores": scores[i][keep],
+                "labels": labels[i][keep],
+            }
+        evaluator.update(preds)
+    return evaluator.summarize()

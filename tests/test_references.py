@@ -1,0 +1,145 @@
+"""References layer: MetricLogger, EMA, COCO mAP evaluator correctness,
+checkpoint round trip."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(__file__), "..", "references", "classification"),
+)
+sys.path.insert(
+    0, os.path.join(os.path.dirname(__file__), "..", "references", "detection")
+)
+
+import utils as ref_utils  # references/classification/utils.py
+from coco_eval import coco_map
+
+
+def test_smoothed_value():
+    v = ref_utils.SmoothedValue(window_size=3)
+    for x in [1, 2, 3, 4]:
+        v.update(x)
+    assert v.avg == 3.0  # window keeps last 3
+    assert v.global_avg == 2.5
+    assert v.max == 4
+
+
+def test_accuracy():
+    logits = jnp.asarray([[5.0, 1.0, 0.0], [0.0, 3.0, 1.0], [1.0, 0.0, 2.0]])
+    targets = jnp.asarray([0, 2, 2])
+    acc1, acc2 = ref_utils.accuracy(logits, targets, topk=(1, 2))
+    np.testing.assert_allclose(float(acc1), 200.0 / 3, atol=1e-4)
+    np.testing.assert_allclose(float(acc2), 100.0, atol=1e-4)
+
+
+def test_ema():
+    params = {"w": jnp.ones((3,))}
+    ema = ref_utils.ExponentialMovingAverage(params, decay=0.5)
+    ema.update({"w": jnp.full((3,), 3.0)})
+    np.testing.assert_allclose(np.asarray(ema.shadow["w"]), 2.0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "params": {"w": jnp.arange(4, dtype=jnp.float32)},
+        "step": jnp.asarray(7),
+    }
+    path = str(tmp_path / "ckpt")
+    ref_utils.save_checkpoint(path, state)
+    restored = ref_utils.load_checkpoint(path, state)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), [0, 1, 2, 3]
+    )
+    assert int(restored["step"]) == 7
+
+
+# ------------------------------------------------------------ COCO mAP ----
+def test_coco_map_perfect():
+    gts = {
+        0: {"boxes": [[0, 0, 10, 10], [20, 20, 40, 45]], "labels": [1, 2]},
+        1: {"boxes": [[5, 5, 25, 30]], "labels": [1]},
+    }
+    preds = {
+        0: {
+            "boxes": [[0, 0, 10, 10], [20, 20, 40, 45]],
+            "scores": [0.9, 0.8],
+            "labels": [1, 2],
+        },
+        1: {"boxes": [[5, 5, 25, 30]], "scores": [0.95], "labels": [1]},
+    }
+    res = coco_map(preds, gts)
+    np.testing.assert_allclose(res["map"], 1.0, atol=1e-6)
+    np.testing.assert_allclose(res["map_50"], 1.0, atol=1e-6)
+
+
+def test_coco_map_miss_and_fp():
+    gts = {0: {"boxes": [[0, 0, 10, 10], [50, 50, 60, 60]], "labels": [1, 1]}}
+    # one perfect hit (higher score) + one clear false positive
+    preds = {
+        0: {
+            "boxes": [[0, 0, 10, 10], [100, 100, 110, 110]],
+            "scores": [0.9, 0.3],
+            "labels": [1, 1],
+        }
+    }
+    res = coco_map(preds, gts)
+    # recall caps at 0.5 with precision 1 up to it: 101-pt AP ~ 0.5
+    np.testing.assert_allclose(res["map_50"], 0.5, atol=0.01)
+
+
+def test_coco_map_iou_threshold_sensitivity():
+    gts = {0: {"boxes": [[0, 0, 10, 10]], "labels": [1]}}
+    # IoU = 0.68 vs gt: counts at 0.5..0.65, misses at 0.7+
+    preds = {
+        0: {"boxes": [[0, 0, 6.8, 10]], "scores": [0.9], "labels": [1]}
+    }
+    res = coco_map(preds, gts)
+    assert res["map_50"] > 0.99
+    assert res["map_75"] < 0.01
+    np.testing.assert_allclose(res["map"], 0.4, atol=0.011)  # 4 of 10 thrs
+
+
+def test_coco_map_crowd_ignored():
+    gts = {
+        0: {
+            "boxes": [[0, 0, 10, 10], [30, 30, 60, 60]],
+            "labels": [1, 1],
+            "iscrowd": [0, 1],
+        }
+    }
+    # det matching the crowd region only -> ignored, not a FP
+    preds = {
+        0: {
+            "boxes": [[0, 0, 10, 10], [30, 30, 60, 60]],
+            "scores": [0.9, 0.8],
+            "labels": [1, 1],
+        }
+    }
+    res = coco_map(preds, gts)
+    np.testing.assert_allclose(res["map"], 1.0, atol=1e-6)
+
+
+def test_coco_map_area_ranges():
+    gts = {
+        0: {
+            "boxes": [[0, 0, 10, 10], [0, 0, 200, 200]],  # small + large
+            "labels": [1, 1],
+        }
+    }
+    preds = {
+        0: {
+            "boxes": [[0, 0, 10, 10], [0, 0, 200, 200]],
+            "scores": [0.9, 0.8],
+            "labels": [1, 1],
+        }
+    }
+    res = coco_map(preds, gts)
+    np.testing.assert_allclose(res["map_small"], 1.0, atol=1e-6)
+    np.testing.assert_allclose(res["map_large"], 1.0, atol=1e-6)
+    assert res["map_medium"] == -1.0  # no medium gt
