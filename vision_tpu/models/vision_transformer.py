@@ -57,13 +57,18 @@ class MultiheadSelfAttention(nn.Module):
             return t.reshape(b, s, self.num_heads, dh).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(dh)
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         if train and self.dropout > 0:
+            # attention dropout requires the materialized score matrix
+            attn = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / math.sqrt(dh)
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
             attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        else:
+            from vision_tpu.ops.attention import scaled_dot_product_attention
+
+            out = scaled_dot_product_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
         return nn.Dense(d, name="out_proj")(out)
 

@@ -62,23 +62,70 @@ def nms_mask(
 
     order = jnp.argsort(-scores, stable=True)
     sboxes = boxes[order]
-    iou = _iou_matrix(sboxes)
-    # suppress[i, j]: row i (higher score) suppresses j (lower score)
-    suppress = iou > iou_threshold
-
-    idx = jnp.arange(n)
-
-    def body(i, keep):
-        # If row i survives, kill every later box it overlaps.
-        kill = keep[i] & suppress[i] & (idx > i)
-        return keep & ~kill
-
-    keep_sorted = jax.lax.fori_loop(0, n, body, jnp.ones((n,), dtype=bool))
+    keep_sorted = _nms_sorted_chunked(sboxes, iou_threshold)
     if valid is not None:
         keep_sorted = keep_sorted & (scores[order] > -jnp.inf)
     # scatter back to original order
     keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
     return keep
+
+
+def _nms_sorted_chunked(
+    sboxes: jax.Array, iou_threshold: float, chunk: int = 128
+) -> jax.Array:
+    """Greedy NMS on score-sorted boxes, chunked for TPU.
+
+    A naive ``fori_loop`` does N sequential steps of O(N) VPU work each.
+    Chunking (the CUDA bitmask tiling, ``csrc/ops/cuda/nms_kernel.cu``,
+    recast for XLA) keeps the greedy order exact while making the O(N) part
+    batched: per 128-chunk, the within-chunk resolve is 128 steps of O(128)
+    work on a VMEM-resident 128x128 IoU tile, and the chunk's suppression of
+    all later boxes is one masked (128, N) matrix reduce.
+    """
+    n = sboxes.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        sboxes = jnp.pad(sboxes, ((0, pad), (0, 0)))
+    np_ = n + pad
+    n_chunks = np_ // chunk
+
+    area = (sboxes[:, 2] - sboxes[:, 0]) * (sboxes[:, 3] - sboxes[:, 1])
+    idx = jnp.arange(np_)
+    keep = idx < n  # padding rows dead from the start
+
+    def chunk_iou(cb, ca):
+        # cb: (chunk, 4) vs all boxes -> (chunk, N)
+        lt = jnp.maximum(cb[:, None, :2], sboxes[None, :, :2])
+        rb = jnp.minimum(cb[:, None, 2:], sboxes[None, :, 2:])
+        wh = jnp.clip(rb - lt, 0)
+        inter = wh[..., 0] * wh[..., 1]
+        union = ca[:, None] + area[None, :] - inter
+        return jnp.where(union > 0, inter / union, 0.0)
+
+    for ci in range(n_chunks):
+        s = ci * chunk
+        cb = jax.lax.dynamic_slice(sboxes, (s, 0), (chunk, 4))
+        ca = jax.lax.dynamic_slice(area, (s,), (chunk,))
+        iou_row = chunk_iou(cb, ca)  # (chunk, N)
+        iou_cc = jax.lax.dynamic_slice(
+            iou_row, (0, s), (chunk, chunk)
+        )  # within-chunk tile
+        ck = jax.lax.dynamic_slice(keep, (s,), (chunk,))
+        cidx = jnp.arange(chunk)
+
+        def inner(j, ck):
+            kill = ck[j] & (iou_cc[j] > iou_threshold) & (cidx > j)
+            return ck & ~kill
+
+        ck = jax.lax.fori_loop(0, chunk, inner, ck)
+        keep = jax.lax.dynamic_update_slice(keep, ck, (s,))
+        # one batched update: kept chunk rows kill all later boxes
+        sup_later = jnp.any(
+            ck[:, None] & (iou_row > iou_threshold), axis=0
+        ) & (idx >= s + chunk)
+        keep = keep & ~sup_later
+
+    return keep[:n]
 
 
 def nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float) -> jax.Array:
