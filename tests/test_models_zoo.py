@@ -81,3 +81,19 @@ def test_param_count_matches_meta(name):
     flat, _ = jax.tree_util.tree_flatten(m.variables["params"])
     n = sum(int(np.prod(l.shape)) for l in flat)
     assert n == enum.DEFAULT.meta["num_params"], name
+
+
+def test_feature_extraction_api():
+    from vision_tpu.models import get_model
+    from vision_tpu.models.feature_extraction import (
+        create_feature_extractor,
+        get_graph_node_names,
+    )
+
+    m = get_model("resnet18", num_classes=4)
+    names = get_graph_node_names(m)
+    assert "layer1" in names and "layer4" in names
+    fx = create_feature_extractor(m, {"layer2": "feat2", "layer4": "feat4"})
+    out = fx(jnp.zeros((1, 64, 64, 3)))
+    assert set(out) == {"feat2", "feat4"}
+    assert out["feat4"].shape[-1] == 512
