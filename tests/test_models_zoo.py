@@ -97,3 +97,41 @@ def test_feature_extraction_api():
     out = fx(jnp.zeros((1, 64, 64, 3)))
     assert set(out) == {"feat2", "feat4"}
     assert out["feat4"].shape[-1] == 512
+
+
+# video / optical flow / maxvit: exact param-count checks (tiny inputs)
+VIDEO_PARAM_MODELS = {
+    "r3d_18": 33371472,
+    "mc3_18": 11695440,
+    "r2plus1d_18": 31505325,
+    "s3d": 8320048,
+    "swin3d_t": 28158070,
+    "mvit_v1_b": 36610672,
+    "mvit_v2_s": 34537744,
+    "maxvit_t": 30919624,
+}
+
+
+@pytest.mark.parametrize("name,expected", sorted(VIDEO_PARAM_MODELS.items()))
+def test_video_param_counts(name, expected):
+    from vision_tpu.models import get_model
+
+    m = get_model(name)
+    flat, _ = jax.tree_util.tree_flatten(m.variables["params"])
+    n = sum(int(np.prod(l.shape)) for l in flat)
+    assert n == expected, name
+
+
+def test_raft_param_counts_and_flow():
+    from vision_tpu.models import get_model
+
+    for name, expected in [("raft_large", 5257536), ("raft_small", 990162)]:
+        m = get_model(name)
+        flat, _ = jax.tree_util.tree_flatten(m.variables["params"])
+        n = sum(int(np.prod(l.shape)) for l in flat)
+        assert n == expected, name
+    m = get_model("raft_small")
+    flows = m(
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)), num_flow_updates=2
+    )
+    assert len(flows) == 2 and flows[-1].shape == (1, 64, 64, 2)

@@ -11,6 +11,7 @@ from vision_tpu.models._api import (
 from vision_tpu.models._utils import VisionModel
 from vision_tpu.models.alexnet import *  # noqa: F401,F403
 from vision_tpu.models.densenet import *  # noqa: F401,F403
+from vision_tpu.models.maxvit import *  # noqa: F401,F403
 from vision_tpu.models.googlenet import *  # noqa: F401,F403
 from vision_tpu.models.inception import *  # noqa: F401,F403
 from vision_tpu.models.mnasnet import *  # noqa: F401,F403

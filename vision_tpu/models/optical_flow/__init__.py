@@ -1,1 +1,7 @@
-from vision_tpu.models.optical_flow.raft import RAFT, Raft_Large_Weights, raft_large
+from vision_tpu.models.optical_flow.raft import (
+    RAFT,
+    Raft_Large_Weights,
+    Raft_Small_Weights,
+    raft_large,
+    raft_small,
+)

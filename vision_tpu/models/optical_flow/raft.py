@@ -24,7 +24,9 @@ from vision_tpu.transforms._presets import OpticalFlow
 __all__ = [
     "RAFT",
     "Raft_Large_Weights",
+    "Raft_Small_Weights",
     "raft_large",
+    "raft_small",
 ]
 
 
@@ -68,6 +70,27 @@ class _CNA(nn.Module):
         return x
 
 
+class BottleneckBlock(nn.Module):
+    """reference ``raft.py:74`` (1x1 -> 3x3 -> 1x1, extra relu/biases)."""
+
+    features: int
+    stride: int = 1
+    norm: Optional[str] = "instance"
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        f4 = self.features // 4
+        y = _CNA(f4, 1, 1, self.norm, name="convnormrelu1")(x, train)
+        y = _CNA(f4, 3, self.stride, self.norm, name="convnormrelu2")(y, train)
+        y = _CNA(self.features, 1, 1, self.norm, name="convnormrelu3")(y, train)
+        if self.stride != 1:
+            x = _CNA(
+                self.features, 1, self.stride, self.norm, act=False,
+                name="downsample",
+            )(x, train)
+        return nn.relu(x + y)
+
+
 class ResidualBlock(nn.Module):
     """reference ``raft.py:27``."""
 
@@ -94,15 +117,17 @@ class FeatureEncoder(nn.Module):
 
     layers: Tuple[int, ...] = (64, 64, 96, 128, 256)
     norm: Optional[str] = "instance"
+    block: str = "residual"  # "residual" | "bottleneck"
 
     @nn.compact
     def __call__(self, x, train=False):
+        blk = ResidualBlock if self.block == "residual" else BottleneckBlock
         x = _CNA(self.layers[0], 7, 2, self.norm, name="convnormrelu")(x, train)
         for i, (feat, stride) in enumerate(
             zip(self.layers[1:4], (1, 2, 2)), start=1
         ):
-            x = ResidualBlock(feat, stride, self.norm, name=f"layer{i}.0")(x, train)
-            x = ResidualBlock(feat, 1, self.norm, name=f"layer{i}.1")(x, train)
+            x = blk(feat, stride, self.norm, name=f"layer{i}.0")(x, train)
+            x = blk(feat, 1, self.norm, name=f"layer{i}.1")(x, train)
         return nn.Conv(self.layers[4], (1, 1), name="conv")(x)
 
 
@@ -112,7 +137,7 @@ class MotionEncoder(nn.Module):
     in_channels_corr: int
     corr_layers: Tuple[int, ...] = (256, 192)
     flow_layers: Tuple[int, int] = (128, 64)
-    out_channels: int = 128
+    out_channels: int = 128  # includes the 2 appended flow channels
 
     @nn.compact
     def __call__(self, flow, corr_features):
@@ -149,25 +174,34 @@ class ConvGRU(nn.Module):
 
 
 class UpdateBlock(nn.Module):
-    """reference ``raft.py:288``: motion encoder + 2 ConvGRUs + flow head."""
+    """reference ``raft.py:288``: motion encoder + ConvGRU(s) + flow head."""
 
     in_channels_corr: int
     hidden_state_size: int = 128
+    corr_layers: Tuple[int, ...] = (256, 192)
+    flow_layers: Tuple[int, int] = (128, 64)
+    motion_out: int = 128
+    gru_kernels: Tuple[Tuple[int, int], ...] = ((1, 5), (5, 1))
+    flow_head_hidden: int = 256
 
     @nn.compact
     def __call__(self, hidden_state, context, corr_features, flow):
-        motion = MotionEncoder(self.in_channels_corr, name="motion_encoder")(
-            flow, corr_features
-        )
+        motion = MotionEncoder(
+            self.in_channels_corr, self.corr_layers, self.flow_layers,
+            self.motion_out, name="motion_encoder",
+        )(flow, corr_features)
         x = jnp.concatenate([context, motion], axis=-1)
-        h = ConvGRU(self.hidden_state_size, (1, 5), name="recurrent_block.convgru1")(
-            hidden_state, x
-        )
-        h = ConvGRU(self.hidden_state_size, (5, 1), name="recurrent_block.convgru2")(
-            h, x
-        )
+        h = hidden_state
+        for gi, kern in enumerate(self.gru_kernels, start=1):
+            h = ConvGRU(
+                self.hidden_state_size, kern,
+                name=f"recurrent_block.convgru{gi}",
+            )(h, x)
         d = nn.relu(
-            nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, name="flow_head.conv1")(h)
+            nn.Conv(
+                self.flow_head_hidden, (3, 3), padding=[(1, 1)] * 2,
+                name="flow_head.conv1",
+            )(h)
         )
         delta_flow = nn.Conv(
             2, (3, 3), padding=[(1, 1)] * 2, name="flow_head.conv2"
@@ -297,6 +331,17 @@ class RAFT(nn.Module):
 
     num_flow_updates: int = 12
     use_mask_predictor: bool = True
+    feature_layers: Tuple[int, ...] = (64, 64, 96, 128, 256)
+    context_layers: Tuple[int, ...] = (64, 64, 96, 128, 256)
+    encoder_block: str = "residual"
+    context_norm: Optional[str] = "batch"
+    corr_radius: int = 4
+    hidden_state_size: int = 128
+    corr_layers: Tuple[int, ...] = (256, 192)
+    flow_layers: Tuple[int, int] = (128, 64)
+    motion_out: int = 128
+    gru_kernels: Tuple[Tuple[int, int], ...] = ((1, 5), (5, 1))
+    flow_head_hidden: int = 256
 
     @nn.compact
     def __call__(self, image1, image2, num_flow_updates: Optional[int] = None,
@@ -304,17 +349,19 @@ class RAFT(nn.Module):
         n_updates = num_flow_updates or self.num_flow_updates
         b, h, w, _ = image1.shape
 
-        fmaps = FeatureEncoder(norm="instance", name="feature_encoder")(
-            jnp.concatenate([image1, image2], axis=0), train
-        )
+        fmaps = FeatureEncoder(
+            layers=self.feature_layers, norm="instance",
+            block=self.encoder_block, name="feature_encoder",
+        )(jnp.concatenate([image1, image2], axis=0), train)
         fmap1, fmap2 = fmaps[:b], fmaps[b:]
-        corr_block = CorrBlock()
+        corr_block = CorrBlock(radius=self.corr_radius)
         pyramid = corr_block.build_pyramid(fmap1, fmap2)
 
-        context_out = FeatureEncoder(norm="batch", name="context_encoder")(
-            image1, train
-        )
-        hidden_state_size = 128
+        context_out = FeatureEncoder(
+            layers=self.context_layers, norm=self.context_norm,
+            block=self.encoder_block, name="context_encoder",
+        )(image1, train)
+        hidden_state_size = self.hidden_state_size
         hidden_state = jnp.tanh(context_out[..., :hidden_state_size])
         context = nn.relu(context_out[..., hidden_state_size:])
 
@@ -330,7 +377,10 @@ class RAFT(nn.Module):
         coords1 = coords0
 
         update_block = UpdateBlock(
-            corr_block.out_channels, hidden_state_size, name="update_block"
+            corr_block.out_channels, hidden_state_size,
+            corr_layers=self.corr_layers, flow_layers=self.flow_layers,
+            motion_out=self.motion_out, gru_kernels=self.gru_kernels,
+            flow_head_hidden=self.flow_head_hidden, name="update_block",
         )
         mask_predictor = (
             MaskPredictor(name="mask_predictor") if self.use_mask_predictor else None
@@ -393,6 +443,53 @@ def raft_large(*, weights: Optional[Raft_Large_Weights] = None, **kwargs):
     """reference ``raft.py:841`` raft_large builder."""
     weights = Raft_Large_Weights.verify(weights)
     module = RAFT(**kwargs)
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+        num_flow_updates=1,
+    )
+    preprocess = None
+    if weights is not None:
+        from vision_tpu._torch_convert import convert_torch_state_dict
+
+        sd = weights.get_state_dict()
+        variables = convert_torch_state_dict(sd, dict(variables))
+        preprocess = weights.transforms()
+    return VisionModel(module=module, variables=variables, preprocess=preprocess)
+
+
+class Raft_Small_Weights(WeightsEnum):
+    C_T_V1 = _w(
+        "https://download.pytorch.org/models/raft_small_C_T_V1-ad48884c.pth",
+        2.1231, 3.2790, 990162,
+    )
+    C_T_V2 = _w(
+        "https://download.pytorch.org/models/raft_small_C_T_V2-01064c6d.pth",
+        1.9901, 3.2831, 990162,
+    )
+    DEFAULT = C_T_V2
+
+
+@register_model()
+def raft_small(*, weights: Optional[Raft_Small_Weights] = None, **kwargs):
+    """reference ``raft.py:897`` raft_small builder."""
+    weights = Raft_Small_Weights.verify(weights)
+    module = RAFT(
+        use_mask_predictor=False,
+        feature_layers=(32, 32, 64, 96, 128),
+        context_layers=(32, 32, 64, 96, 160),
+        encoder_block="bottleneck",
+        context_norm=None,
+        corr_radius=3,
+        hidden_state_size=96,
+        corr_layers=(96,),
+        flow_layers=(64, 32),
+        motion_out=82,
+        gru_kernels=((3, 3),),
+        flow_head_hidden=128,
+        **kwargs,
+    )
     variables = module.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 64, 64, 3), jnp.float32),

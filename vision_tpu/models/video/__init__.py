@@ -1,3 +1,10 @@
+from vision_tpu.models.video.mvit import (
+    MViT,
+    MViT_V1_B_Weights,
+    MViT_V2_S_Weights,
+    mvit_v1_b,
+    mvit_v2_s,
+)
 from vision_tpu.models.video.resnet import (
     MC3_18_Weights,
     R2Plus1D_18_Weights,
@@ -8,3 +15,12 @@ from vision_tpu.models.video.resnet import (
     r3d_18,
 )
 from vision_tpu.models.video.s3d import S3D, S3D_Weights, s3d
+from vision_tpu.models.video.swin_transformer import (
+    Swin3D_B_Weights,
+    Swin3D_S_Weights,
+    Swin3D_T_Weights,
+    SwinTransformer3d,
+    swin3d_b,
+    swin3d_s,
+    swin3d_t,
+)
