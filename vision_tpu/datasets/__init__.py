@@ -1,3 +1,22 @@
+from vision_tpu.datasets._small import (
+    DTD,
+    GTSRB,
+    SEMEION,
+    STL10,
+    SUN397,
+    SVHN,
+    USPS,
+    Caltech101,
+    Caltech256,
+    Country211,
+    EuroSAT,
+    FGVCAircraft,
+    Flowers102,
+    Food101,
+    Imagenette,
+    OxfordIIITPet,
+    RenderedSST2,
+)
 from vision_tpu.datasets.cifar import CIFAR10, CIFAR100
 from vision_tpu.datasets.coco import CocoCaptions, CocoDetection, COCOIndex
 from vision_tpu.datasets.fakedata import FakeData
@@ -22,6 +41,23 @@ from vision_tpu.datasets.voc import VOCDetection, VOCSegmentation
 __all__ = [
     "CIFAR10",
     "CIFAR100",
+    "Caltech101",
+    "Caltech256",
+    "Country211",
+    "DTD",
+    "EuroSAT",
+    "FGVCAircraft",
+    "Flowers102",
+    "Food101",
+    "GTSRB",
+    "Imagenette",
+    "OxfordIIITPet",
+    "RenderedSST2",
+    "SEMEION",
+    "STL10",
+    "SUN397",
+    "SVHN",
+    "USPS",
     "COCOIndex",
     "CocoCaptions",
     "CocoDetection",
