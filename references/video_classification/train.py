@@ -1,0 +1,194 @@
+"""Video-classification training CLI (reference
+``references/video_classification/train.py``: clip-level training on
+Kinetics, clip accuracy + video-level accuracy by averaging clip
+softmaxes).
+
+Example (smoke run on fake data):
+    python references/video_classification/train.py --model r3d_18 \
+        --fake-data --epochs 1 --batch-size 2 --steps-per-epoch 2 \
+        --clip-len 4 --size 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "classification"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import utils
+from vision_tpu.models import get_model
+from vision_tpu.parallel import make_mesh, replicate, shard_batch
+from vision_tpu.parallel.train import TrainState
+
+
+class VideoAccuracy:
+    """Video-level accuracy (reference ``train.py`` evaluate): average the
+    clip softmaxes per video id, then argmax."""
+
+    def __init__(self, num_classes: int):
+        self.num_classes = num_classes
+        self.scores = {}
+        self.labels = {}
+
+    def update(self, video_ids, probs, labels):
+        for vid, p, y in zip(
+            np.asarray(video_ids), np.asarray(probs), np.asarray(labels)
+        ):
+            vid = int(vid)
+            self.scores[vid] = self.scores.get(vid, 0) + p
+            self.labels[vid] = int(y)
+
+    def compute(self) -> float:
+        if not self.scores:
+            return 0.0
+        correct = sum(
+            int(np.argmax(p) == self.labels[v]) for v, p in self.scores.items()
+        )
+        return correct / len(self.scores)
+
+
+def _fake_batches(args, num_classes, steps, seed=0):
+    rng = np.random.RandomState(seed)
+    for i in range(steps):
+        yield {
+            "video": rng.rand(
+                args.batch_size, args.clip_len, args.size, args.size, 3
+            ).astype(np.float32),
+            "label": rng.randint(0, num_classes, args.batch_size).astype(np.int32),
+            "video_id": np.arange(args.batch_size) + i * args.batch_size,
+        }
+
+
+def main(args):
+    print(args)
+    num_classes = args.num_classes
+    model = get_model(args.model, num_classes=num_classes)
+    module = model.module
+    variables = dict(model.variables)
+    params = variables.pop("params")
+    batch_stats = variables.pop("batch_stats", {})
+
+    tx = optax.sgd(args.lr, momentum=args.momentum)
+    if args.weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(args.weight_decay), tx)
+    state = TrainState(
+        params=params, batch_stats=batch_stats,
+        opt_state=tx.init(params), step=jnp.zeros((), jnp.int32),
+    )
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    base_key = jax.random.PRNGKey(args.seed)
+
+    @jax.jit
+    def train_step(state, batch):
+        step_key = jax.random.fold_in(base_key, state.step)
+
+        def loss_fn(p):
+            varz = {"params": p}
+            if state.batch_stats:
+                varz["batch_stats"] = state.batch_stats
+                logits, mutated = module.apply(
+                    varz, batch["video"], train=True, mutable=["batch_stats"],
+                    rngs={"dropout": step_key},
+                )
+                bs = mutated["batch_stats"]
+            else:
+                logits = module.apply(
+                    varz, batch["video"], train=True,
+                    rngs={"dropout": step_key},
+                )
+                bs = state.batch_stats
+            one_hot = jax.nn.one_hot(batch["label"], num_classes)
+            loss = -jnp.mean(
+                jnp.sum(one_hot * jax.nn.log_softmax(logits), axis=-1)
+            )
+            return loss, bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        return (
+            TrainState(
+                params=optax.apply_updates(state.params, updates),
+                batch_stats=new_bs, opt_state=opt_state, step=state.step + 1,
+            ),
+            loss,
+        )
+
+    @jax.jit
+    def eval_step(state, batch):
+        varz = {"params": state.params}
+        if state.batch_stats:
+            varz["batch_stats"] = state.batch_stats
+        logits = module.apply(varz, batch["video"], train=False)
+        return jax.nn.softmax(logits)
+
+    for epoch in range(args.epochs):
+        logger = utils.MetricLogger()
+        steps = args.steps_per_epoch or 100
+        if not args.fake_data:
+            raise NotImplementedError(
+                "real Kinetics loading: wire vision_tpu.datasets.Kinetics + "
+                "RandomClipSampler here; use --fake-data for the smoke path"
+            )
+        t0 = time.time()
+        for batch in logger.log_every(
+            _fake_batches(args, num_classes, steps, seed=epoch),
+            args.print_freq, f"Epoch [{epoch}]",
+        ):
+            sharded = shard_batch(
+                {"video": batch["video"], "label": batch["label"]}, mesh
+            )
+            state, loss = train_step(state, sharded)
+            logger.update(loss=float(loss))
+        print(f"epoch {epoch} done in {time.time() - t0:.1f}s")
+
+        vacc = VideoAccuracy(num_classes)
+        for batch in _fake_batches(args, num_classes, 2, seed=999):
+            probs = eval_step(
+                state,
+                shard_batch({"video": batch["video"]}, mesh),
+            )
+            vacc.update(batch["video_id"], probs, batch["label"])
+        print(f"video-level acc: {vacc.compute():.4f}")
+
+    if args.output_dir:
+        utils.save_checkpoint(
+            os.path.join(args.output_dir, "checkpoint.msgpack"),
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)},
+        )
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser(description="vision_tpu video classification")
+    p.add_argument("--data-path", default="/data/kinetics", type=str)
+    p.add_argument("--model", default="r3d_18", type=str)
+    p.add_argument("--num-classes", default=400, type=int)
+    p.add_argument("--clip-len", default=16, type=int)
+    p.add_argument("--batch-size", default=8, type=int)
+    p.add_argument("--epochs", default=45, type=int)
+    p.add_argument("--steps-per-epoch", default=None, type=int)
+    p.add_argument("--lr", default=0.01, type=float)
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--weight-decay", default=1e-4, type=float)
+    p.add_argument("--print-freq", default=10, type=int)
+    p.add_argument("--output-dir", default=None, type=str)
+    p.add_argument("--size", default=112, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--fake-data", action="store_true")
+    return p
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

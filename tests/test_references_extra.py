@@ -1,0 +1,120 @@
+"""Segmentation / video / optical-flow / similarity reference layers:
+pure-function units plus an end-to-end smoke step for each CLI's train
+loop pieces."""
+
+import importlib.util
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_REFS = os.path.join(os.path.dirname(__file__), "..", "references")
+sys.path.insert(0, os.path.join(_REFS, "classification"))
+
+
+def _load(name, subdir):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_REFS, subdir, "train.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+seg = _load("seg_train", "segmentation")
+vid = _load("vid_train", "video_classification")
+flow = _load("flow_train", "optical_flow")
+sim = _load("sim_train", "similarity")
+
+
+def test_confusion_matrix_miou():
+    cm = seg.ConfusionMatrix(3)
+    target = np.asarray([0, 0, 1, 1, 2, 2])
+    pred = np.asarray([0, 1, 1, 1, 2, 0])
+    cm.update(target, pred)
+    acc_global, acc, iou = cm.compute()
+    np.testing.assert_allclose(acc_global, 4 / 6)
+    # class 0: tp=1 fn=1 fp=1 -> iou 1/3; class 1: tp=2 fn=0 fp=1 -> 2/3
+    np.testing.assert_allclose(iou[:2], [1 / 3, 2 / 3])
+    np.testing.assert_allclose(acc, [0.5, 1.0, 0.5])
+
+
+def test_seg_criterion_ignores_255():
+    logits = jnp.zeros((1, 2, 2, 3))
+    target = jnp.asarray([[[0, 255], [255, 255]]])
+    loss = seg.criterion({"out": logits}, target, 3)
+    # uniform logits -> CE = log(3) on the single valid pixel
+    np.testing.assert_allclose(float(loss), np.log(3), rtol=1e-5)
+
+
+def test_poly_lr():
+    sched = seg.poly_lr_schedule(0.1, total_steps=100, power=0.9)
+    np.testing.assert_allclose(float(sched(0)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(50)), 0.1 * 0.5**0.9, rtol=1e-6)
+    assert float(sched(100)) == 0.0
+
+
+def test_video_accuracy_averages_clips():
+    va = vid.VideoAccuracy(3)
+    # video 0: two clips, averaged softmax favors class 1
+    va.update([0, 0], np.asarray([[0.6, 0.4, 0.0], [0.0, 0.9, 0.1]]), [1, 1])
+    va.update([1], np.asarray([[0.9, 0.1, 0.0]]), [2])
+    assert va.compute() == 0.5
+
+
+def test_sequence_loss_gamma_weighting():
+    gt = jnp.ones((1, 2, 2, 2))
+    pred_bad = jnp.zeros((1, 2, 2, 2))   # L1 = 2 per pixel
+    pred_good = jnp.ones((1, 2, 2, 2))   # L1 = 0
+    # final prediction weighted 1.0, earlier gamma=0.5
+    loss = flow.sequence_loss([pred_bad, pred_good], gt, gamma=0.5)
+    np.testing.assert_allclose(float(loss), 0.5 * 2.0, rtol=1e-6)
+    loss2 = flow.sequence_loss([pred_good, pred_bad], gt, gamma=0.5)
+    np.testing.assert_allclose(float(loss2), 1.0 * 2.0, rtol=1e-6)
+
+
+def test_epe_metrics():
+    gt = jnp.zeros((1, 1, 2, 2))
+    pred = jnp.asarray([[[[0.5, 0.0], [4.0, 0.0]]]])  # epe 0.5 and 4.0
+    m = flow.epe_metrics(pred, gt)
+    np.testing.assert_allclose(float(m["epe"]), 2.25)
+    np.testing.assert_allclose(float(m["1px"]), 0.5)
+    np.testing.assert_allclose(float(m["5px"]), 1.0)
+
+
+def test_triplet_loss_and_pk_sampler():
+    # two tight clusters far apart -> zero loss at margin 1
+    emb = jnp.asarray([[0.0, 0.0], [0.1, 0.0], [10.0, 0.0], [10.1, 0.0]])
+    labels = jnp.asarray([0, 0, 1, 1])
+    assert float(sim.triplet_margin_loss(emb, labels, margin=1.0)) == 0.0
+    # overlapping clusters -> positive loss
+    emb2 = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.5, 0.0], [0.6, 0.0]])
+    assert float(sim.triplet_margin_loss(emb2, labels, margin=1.0)) > 0.0
+
+    sampler = iter(sim.PKSampler(np.repeat(np.arange(5), 10), p=3, k=4))
+    batch = next(sampler)
+    assert len(batch) == 12
+    ys = np.repeat(np.arange(5), 10)[batch]
+    assert len(set(ys)) == 3
+    counts = {y: list(ys).count(y) for y in set(ys)}
+    assert all(c == 4 for c in counts.values())
+
+
+def test_segmentation_train_smoke():
+    args = seg.get_args_parser().parse_args([
+        "--model", "lraspp_mobilenet_v3_large", "--fake-data",
+        "--epochs", "1", "--batch-size", "8", "--steps-per-epoch", "1",
+        "--size", "32", "--num-classes", "3",
+    ])
+    seg.main(args)
+
+
+def test_optical_flow_train_smoke():
+    args = flow.get_args_parser().parse_args([
+        "--model", "raft_small", "--fake-data", "--epochs", "1",
+        "--batch-size", "8", "--steps-per-epoch", "1", "--size", "64",
+        "--num-flow-updates", "2",
+    ])
+    flow.main(args)

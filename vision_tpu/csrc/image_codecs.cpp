@@ -207,6 +207,59 @@ int vtpu_decode_png(const uint8_t* buf, size_t len, VtpuImage* out) {
   return 0;
 }
 
+// 16-bit PNG decode (reference decode_png.cpp keeps 16-bit output; needed
+// for KITTI/HD1K flow maps and 16-bit depth/medical images). Returns a
+// uint16 host-endian buffer in out->data (reinterpret on the Python side).
+int vtpu_decode_png16(const uint8_t* buf, size_t len, VtpuImage* out) {
+  if (png_sig_cmp(buf, 0, 8)) return -1;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return -2;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return -2;
+  }
+  uint8_t* data = nullptr;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    if (data) free(data);
+    return -1;
+  }
+  PngReadState state{buf, len, 0};
+  png_set_read_fn(png, &state, png_read_fn);
+  png_read_info(png, info);
+
+  png_uint_32 w, h;
+  int bit_depth, color_type;
+  png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
+               nullptr);
+  if (bit_depth != 16) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -3;  // caller should use the 8-bit path
+  }
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  png_set_swap(png);  // PNG is big-endian; emit host (LE) uint16
+  png_read_update_info(png, info);
+
+  const int c = png_get_channels(png, info);
+  data = static_cast<uint8_t*>(malloc((size_t)w * h * c * 2));
+  if (!data) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -2;
+  }
+  for (png_uint_32 y = 0; y < h; ++y) {
+    png_read_row(png, data + (size_t)y * w * c * 2, nullptr);
+  }
+  png_destroy_read_struct(&png, &info, nullptr);
+  out->data = data;
+  out->height = (int)h;
+  out->width = (int)w;
+  out->channels = c;
+  return 0;
+}
+
 int vtpu_encode_png(const uint8_t* img, int h, int w, int channels,
                     int compression, uint8_t** out_buf, size_t* out_len) {
   png_structp png =

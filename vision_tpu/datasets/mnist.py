@@ -12,7 +12,7 @@ import numpy as np
 from vision_tpu.datasets.utils import check_integrity, download_and_extract_archive
 from vision_tpu.datasets.vision import VisionDataset
 
-__all__ = ["MNIST", "FashionMNIST", "KMNIST", "read_idx_file"]
+__all__ = ["MNIST", "FashionMNIST", "KMNIST", "EMNIST", "QMNIST", "read_idx_file"]
 
 
 def _get_int(b: bytes) -> int:
@@ -146,3 +146,89 @@ class KMNIST(MNIST):
         ("t10k-labels-idx1-ubyte.gz", "7320c461ea6c1c855c0b718fb2a4b134"),
     ]
     classes = ["o", "ki", "su", "tsu", "na", "ha", "ma", "ya", "re", "wo"]
+
+
+class EMNIST(MNIST):
+    """reference ``mnist.py`` EMNIST: split-parameterized IDX files named
+    ``emnist-<split>-{train,test}-*``. Stored images are transposed
+    (column-major scans); the reference un-transposes on load."""
+
+    splits = ("byclass", "bymerge", "balanced", "letters", "digits", "mnist")
+
+    def __init__(self, root, split, train=True, transform=None,
+                 target_transform=None, download=False):
+        if split not in self.splits:
+            raise ValueError(f"split must be one of {self.splits}")
+        self.split = split
+        suffix = "train" if train else "test"
+        self.resources = [
+            (f"emnist-{split}-{suffix}-images-idx3-ubyte.gz", None),
+            (f"emnist-{split}-{suffix}-labels-idx1-ubyte.gz", None),
+        ]
+        VisionDataset.__init__(
+            self, root, transform=transform, target_transform=target_transform
+        )
+        self.train = train
+        if not self._check_exists():
+            raise RuntimeError(
+                f"EMNIST files not found in {self.raw_folder} (auto-download "
+                "of the NIST zip-of-gzips is not supported; extract manually)"
+            )
+        self.data = read_idx_file(
+            os.path.join(
+                self.raw_folder, f"emnist-{split}-{suffix}-images-idx3-ubyte"
+            )
+        ).transpose(0, 2, 1)
+        self.targets = read_idx_file(
+            os.path.join(
+                self.raw_folder, f"emnist-{split}-{suffix}-labels-idx1-ubyte"
+            )
+        )
+
+    @property
+    def raw_folder(self):
+        return os.path.join(self.root, "EMNIST", "raw")
+
+
+class QMNIST(MNIST):
+    """reference ``mnist.py`` QMNIST: labels are an idx2 int32 matrix
+    (N, 8); class target is column 0."""
+
+    subsets = {"train": "train", "test": "test", "test10k": "test",
+               "test50k": "test", "nist": "nist"}
+
+    def __init__(self, root, what="train", train=True, transform=None,
+                 target_transform=None, download=False):
+        if what is None:
+            what = "train" if train else "test"
+        if what not in self.subsets:
+            raise ValueError(f"what must be one of {tuple(self.subsets)}")
+        self.what = what
+        subset = self.subsets[what]
+        self.resources = [
+            (f"qmnist-{subset}-images-idx3-ubyte.gz", None),
+            (f"qmnist-{subset}-labels-idx2-int.gz", None),
+        ]
+        VisionDataset.__init__(
+            self, root, transform=transform, target_transform=target_transform
+        )
+        self.train = what == "train"
+        if not self._check_exists():
+            raise RuntimeError(
+                f"QMNIST files not found in {self.raw_folder}"
+            )
+        self.data = read_idx_file(
+            os.path.join(self.raw_folder, f"qmnist-{subset}-images-idx3-ubyte")
+        )
+        full_targets = read_idx_file(
+            os.path.join(self.raw_folder, f"qmnist-{subset}-labels-idx2-int")
+        )
+        if what == "test10k":
+            self.data, full_targets = self.data[:10000], full_targets[:10000]
+        elif what == "test50k":
+            self.data, full_targets = self.data[10000:], full_targets[10000:]
+        self.targets = full_targets[:, 0]
+
+    @property
+    def raw_folder(self):
+        return os.path.join(self.root, "QMNIST", "raw")

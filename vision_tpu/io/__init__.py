@@ -4,6 +4,7 @@ from vision_tpu.io.image import (
     decode_image,
     decode_jpeg,
     decode_png,
+    decode_png16,
     decode_webp,
     encode_jpeg,
     encode_png,

@@ -71,6 +71,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.vtpu_decode_webp.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(_VtpuImage)
         ]
+        lib.vtpu_decode_png16.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(_VtpuImage)
+        ]
         lib.vtpu_encode_jpeg.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
@@ -115,6 +118,21 @@ def decode_png_native(data: bytes) -> Optional[np.ndarray]:
 
 def decode_webp_native(data: bytes) -> Optional[np.ndarray]:
     return _decode_with("vtpu_decode_webp", data)
+
+
+def decode_png16_native(data: bytes) -> Optional[np.ndarray]:
+    """16-bit PNG -> (H, W, C) uint16 (reference decode_png keeps 16-bit)."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = _VtpuImage()
+    rc = lib.vtpu_decode_png16(data, len(data), ctypes.byref(img))
+    if rc != 0:
+        return None
+    n = img.height * img.width * img.channels * 2
+    raw = np.ctypeslib.as_array(img.data, shape=(n,)).copy()
+    lib.vtpu_free(img.data)
+    return raw.view(np.uint16).reshape(img.height, img.width, img.channels)
 
 
 def encode_jpeg_native(img: np.ndarray, quality: int = 75) -> Optional[bytes]:

@@ -24,6 +24,7 @@ __all__ = [
     "decode_image",
     "decode_jpeg",
     "decode_png",
+    "decode_png16",
     "decode_gif",
     "decode_webp",
     "encode_jpeg",
@@ -114,6 +115,19 @@ def decode_png(
     if arr is None:
         arr = _pil_decode(data)
     return _apply_mode(arr, mode)
+
+
+def decode_png16(data: bytes) -> np.ndarray:
+    """16-bit PNG -> (H, W, C) uint16 (reference ``decode_png`` keeps
+    16-bit; used by KITTI/HD1K flow and 16-bit depth maps). Requires the
+    native codec — PIL downconverts 16-bit multichannel PNGs."""
+    arr = _codecs.decode_png16_native(data)
+    if arr is None:
+        raise RuntimeError(
+            "decode_png16 requires the native codec (not a 16-bit PNG, or "
+            "libvtpu_codecs.so unavailable)"
+        )
+    return arr
 
 
 def decode_webp(
