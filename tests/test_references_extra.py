@@ -118,3 +118,24 @@ def test_optical_flow_train_smoke():
         "--num-flow-updates", "2",
     ])
     flow.main(args)
+
+
+def test_stereo_depth_losses_and_smoke():
+    depth = _load("depth_train", os.path.join("depth", "stereo"))
+    gt = jnp.full((1, 4, 4, 1), 2.0)
+    perfect = jnp.stack(
+        [jnp.full((1, 4, 4), -2.0), jnp.zeros((1, 4, 4))], axis=-1
+    )
+    assert float(depth.disparity_sequence_loss([perfect], gt)) == 0.0
+    m = depth.d1_metrics(perfect, gt)
+    assert float(m["epe"]) == 0.0 and float(m["d1"]) == 0.0
+    # 4px error everywhere -> d1 = 1
+    off = perfect.at[..., 0].add(4.0)
+    m2 = depth.d1_metrics(off, gt)
+    assert float(m2["epe"]) == 4.0 and float(m2["d1"]) == 1.0
+
+    args = depth.get_args_parser().parse_args([
+        "--fake-data", "--epochs", "1", "--batch-size", "8",
+        "--steps-per-epoch", "1", "--size", "64", "--num-flow-updates", "2",
+    ])
+    depth.main(args)

@@ -1,9 +1,19 @@
 from vision_tpu.models.detection.faster_rcnn import (
     FasterRCNN,
+    FasterRCNN_MobileNet_V3_Large_320_FPN_Weights,
+    FasterRCNN_MobileNet_V3_Large_FPN_Weights,
     FasterRCNN_ResNet50_FPN_V2_Weights,
     FasterRCNN_ResNet50_FPN_Weights,
+    fasterrcnn_mobilenet_v3_large_320_fpn,
+    fasterrcnn_mobilenet_v3_large_fpn,
     fasterrcnn_resnet50_fpn,
     fasterrcnn_resnet50_fpn_v2,
+)
+from vision_tpu.models.detection.fcos import FCOS, FCOS_ResNet50_FPN_Weights, fcos_resnet50_fpn
+from vision_tpu.models.detection.ssd import SSD, SSD300_VGG16_Weights, ssd300_vgg16
+from vision_tpu.models.detection.ssdlite import (
+    SSDLite320_MobileNet_V3_Large_Weights,
+    ssdlite320_mobilenet_v3_large,
 )
 from vision_tpu.models.detection.keypoint_rcnn import (
     KeypointRCNN,

@@ -191,6 +191,41 @@ class BackboneWithFPN(nn.Module):
         return out
 
 
+class MobileNetV3FPNBackbone(nn.Module):
+    """reference ``backbone_utils.py:199`` _mobilenet_extractor (fpn=True):
+    mobilenet v3 large features tapped at C4 (features[13], 160ch) and C5
+    (features[16], 960ch), FPN out 256 + LastLevelMaxPool -> {"0","1",
+    "pool"}. BN is FrozenBatchNorm (reference: is_trained -> frozen); torch
+    checkpoint keys are ``backbone.body.N...``."""
+
+    out_channels: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jax.Array]:
+        from vision_tpu.models.mobilenetv2 import _CNA
+        from vision_tpu.models.mobilenetv3 import InvertedResidualV3, _large_setting
+
+        frozen = lambda feats, name: _FrozenBN(feats, name=name)
+        setting, _ = _large_setting()
+        x = _CNA(16, 3, 2, act="hardswish", norm=frozen, name="body.0")(x, train)
+        taps: Dict[str, jax.Array] = {}
+        for i, cnf in enumerate(setting, start=1):
+            x = InvertedResidualV3(cnf, norm=frozen, name=f"body.{i}")(x, train)
+            if i == 13:  # C4
+                taps["0"] = x
+        lastconv_out = 6 * setting[-1].out_channels
+        x = _CNA(
+            lastconv_out, 1, act="hardswish", norm=frozen,
+            name=f"body.{len(setting) + 1}",
+        )(x, train)
+        taps["1"] = x
+        return FeaturePyramidNetwork(
+            out_channels=self.out_channels,
+            extra_blocks=LastLevelMaxPool(),
+            name="fpn",
+        )(taps)
+
+
 def resnet_fpn_backbone_module(
     depth: int = 50,
     out_channels: int = 256,

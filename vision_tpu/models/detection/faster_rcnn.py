@@ -21,7 +21,10 @@ from vision_tpu.models._api import Weights, WeightsEnum, register_model
 from vision_tpu.models._utils import VisionModel
 from vision_tpu.models.detection import _utils as det_utils
 from vision_tpu.models.detection.anchor_utils import AnchorGenerator
-from vision_tpu.models.detection.backbone_utils import BackboneWithFPN
+from vision_tpu.models.detection.backbone_utils import (
+    BackboneWithFPN,
+    MobileNetV3FPNBackbone,
+)
 from vision_tpu.models.detection.roi_heads import (
     FastRCNNConvFCHead,
     FastRCNNPredictor,
@@ -35,8 +38,12 @@ from vision_tpu.transforms._presets import ObjectDetection
 
 __all__ = [
     "FasterRCNN",
+    "FasterRCNN_MobileNet_V3_Large_320_FPN_Weights",
+    "FasterRCNN_MobileNet_V3_Large_FPN_Weights",
     "FasterRCNN_ResNet50_FPN_Weights",
     "FasterRCNN_ResNet50_FPN_V2_Weights",
+    "fasterrcnn_mobilenet_v3_large_320_fpn",
+    "fasterrcnn_mobilenet_v3_large_fpn",
     "fasterrcnn_resnet50_fpn",
     "fasterrcnn_resnet50_fpn_v2",
 ]
@@ -51,44 +58,66 @@ class FasterRCNN(nn.Module):
     """Backbone + RPN + box head, reference hyperparameters."""
 
     backbone_depth: int = 50
+    backbone_type: str = "resnet"  # "resnet" | "mobilenet_v3_large"
     num_classes: int = 91
     v2: bool = False
     # rpn
     rpn_pre_nms_top_n: int = 1000
     rpn_post_nms_top_n: int = 1000
     rpn_nms_thresh: float = 0.7
+    rpn_score_thresh: float = 0.0
+
     # box
     box_score_thresh: float = 0.05
     box_nms_thresh: float = 0.5
     box_detections_per_img: int = 100
 
     def setup(self):
-        block, layers = {
-            18: (BasicBlock, (2, 2, 2, 2)),
-            50: (Bottleneck, (3, 4, 6, 3)),
-        }[self.backbone_depth]
-        self.backbone = BackboneWithFPN(
-            block=block,
-            layers=layers,
-            out_channels=256,
-            returned_layers=(1, 2, 3, 4),
-            norm_layer=(
-                functools.partial(nn.BatchNorm, use_running_average=True,
-                                  momentum=0.9, epsilon=1e-5)
-                if self.v2
-                else None
-            ),
-            frozen_bn=not self.v2,
-            name="backbone",
-        )
-        self.anchor_generator = _rpn_anchorgen()
+        if self.backbone_type == "mobilenet_v3_large":
+            # reference faster_rcnn.py:664 _fasterrcnn_mobilenet_v3_large_fpn
+            self.backbone = MobileNetV3FPNBackbone(name="backbone")
+            sizes = ((32, 64, 128, 256, 512),) * 3
+            self.anchor_generator = AnchorGenerator(
+                sizes, ((0.5, 1.0, 2.0),) * len(sizes)
+            )
+            num_anchors = 15
+            self.featmap_names = ("0", "1")
+        elif self.backbone_type == "resnet":
+            block, layers = {
+                18: (BasicBlock, (2, 2, 2, 2)),
+                50: (Bottleneck, (3, 4, 6, 3)),
+            }[self.backbone_depth]
+            self.backbone = BackboneWithFPN(
+                block=block,
+                layers=layers,
+                out_channels=256,
+                returned_layers=(1, 2, 3, 4),
+                norm_layer=(
+                    functools.partial(nn.BatchNorm, use_running_average=True,
+                                      momentum=0.9, epsilon=1e-5)
+                    if self.v2
+                    else None
+                ),
+                frozen_bn=not self.v2,
+                name="backbone",
+            )
+            self.anchor_generator = _rpn_anchorgen()
+            num_anchors = 3
+            self.featmap_names = ("0", "1", "2", "3")
+        else:
+            raise ValueError(
+                f"unknown backbone_type {self.backbone_type!r}; expected "
+                "'resnet' or 'mobilenet_v3_large'"
+            )
         self.rpn_head = RPNHead(
-            num_anchors=3, conv_depth=2 if self.v2 else 1, name="rpn.head"
+            num_anchors=num_anchors, conv_depth=2 if self.v2 else 1,
+            name="rpn.head",
         )
         self.rpn = RegionProposalNetwork(
             pre_nms_top_n=self.rpn_pre_nms_top_n,
             post_nms_top_n=self.rpn_post_nms_top_n,
             nms_thresh=self.rpn_nms_thresh,
+            score_thresh=self.rpn_score_thresh,
         )
         if self.v2:
             self.box_head = FastRCNNConvFCHead(name="roi_heads.box_head")
@@ -98,7 +127,7 @@ class FasterRCNN(nn.Module):
             self.num_classes, name="roi_heads.box_predictor"
         )
         self.box_roi_pool = MultiScaleRoIAlign(
-            ["0", "1", "2", "3"], output_size=7, sampling_ratio=2
+            list(self.featmap_names), output_size=7, sampling_ratio=2
         )
         self.roi_heads = RoIHeadsLogic(
             score_thresh=self.box_score_thresh,
@@ -108,7 +137,7 @@ class FasterRCNN(nn.Module):
 
     def _features_and_rpn(self, images, train=False):
         feats = self.backbone(images, train=train)
-        rpn_keys = ["0", "1", "2", "3", "pool"]
+        rpn_keys = list(self.featmap_names) + ["pool"]
         rpn_feats = [feats[k] for k in rpn_keys if k in feats]
         objectness, deltas = self.rpn_head(rpn_feats)
         fm_sizes = [(f.shape[1], f.shape[2]) for f in rpn_feats]
@@ -120,7 +149,7 @@ class FasterRCNN(nn.Module):
     def _box_branch(self, feats, rois, image_size):
         """rois: [K, 5] (batch_idx, x1..y2) -> (scores, deltas)."""
         pooled = self.box_roi_pool(
-            {k: feats[k] for k in ["0", "1", "2", "3"]}, rois, image_size
+            {k: feats[k] for k in self.featmap_names}, rois, image_size
         )
         rep = self.box_head(pooled)
         return self.box_predictor(rep)
@@ -276,3 +305,51 @@ def fasterrcnn_resnet50_fpn_v2(
 ) -> VisionModel:
     weights = FasterRCNN_ResNet50_FPN_V2_Weights.verify(weights)
     return _build_frcnn(weights, v2=True, **kwargs)
+
+
+class FasterRCNN_MobileNet_V3_Large_FPN_Weights(WeightsEnum):
+    COCO_V1 = _coco_w(
+        "https://download.pytorch.org/models/fasterrcnn_mobilenet_v3_large_fpn-fb6a3cc7.pth",
+        32.8, 19386354,
+    )
+    DEFAULT = COCO_V1
+
+
+class FasterRCNN_MobileNet_V3_Large_320_FPN_Weights(WeightsEnum):
+    COCO_V1 = _coco_w(
+        "https://download.pytorch.org/models/fasterrcnn_mobilenet_v3_large_320_fpn-907ea3f9.pth",
+        22.8, 19386354,
+    )
+    DEFAULT = COCO_V1
+
+
+@register_model()
+def fasterrcnn_mobilenet_v3_large_fpn(
+    *,
+    weights: Optional[FasterRCNN_MobileNet_V3_Large_FPN_Weights] = None,
+    **kwargs,
+) -> VisionModel:
+    """reference ``faster_rcnn.py:784``: high-res mobilenet-v3-large FPN
+    variant (rpn_score_thresh=0.05)."""
+    weights = FasterRCNN_MobileNet_V3_Large_FPN_Weights.verify(weights)
+    kwargs.setdefault("rpn_score_thresh", 0.05)
+    return _build_frcnn(
+        weights, v2=False, backbone_type="mobilenet_v3_large", **kwargs
+    )
+
+
+@register_model()
+def fasterrcnn_mobilenet_v3_large_320_fpn(
+    *,
+    weights: Optional[FasterRCNN_MobileNet_V3_Large_320_FPN_Weights] = None,
+    **kwargs,
+) -> VisionModel:
+    """reference ``faster_rcnn.py:710``: low-res (320-640) variant with
+    rpn top-n 150 test-time defaults."""
+    weights = FasterRCNN_MobileNet_V3_Large_320_FPN_Weights.verify(weights)
+    kwargs.setdefault("rpn_score_thresh", 0.05)
+    kwargs.setdefault("rpn_pre_nms_top_n", 150)
+    kwargs.setdefault("rpn_post_nms_top_n", 150)
+    return _build_frcnn(
+        weights, v2=False, backbone_type="mobilenet_v3_large", **kwargs
+    )

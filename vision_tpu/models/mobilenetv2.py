@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import functools
-from typing import List, Optional
+from typing import Callable, List, Optional
 
 import flax.linen as nn
 import jax
@@ -23,7 +23,10 @@ def _bn(train, name):
 
 
 class _CNA(nn.Module):
-    """Conv2dNormActivation with torch child names 0 (conv), 1 (bn)."""
+    """Conv2dNormActivation with torch child names 0 (conv), 1 (bn).
+
+    ``norm``: optional ``(features, name) -> nn.Module`` factory replacing
+    the default BatchNorm (detection backbones pass FrozenBatchNorm)."""
 
     features: int
     kernel: int = 3
@@ -31,6 +34,7 @@ class _CNA(nn.Module):
     groups: int = 1
     act: Optional[str] = "relu6"
     dilation: int = 1
+    norm: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -45,7 +49,10 @@ class _CNA(nn.Module):
             use_bias=False,
             name="0",
         )(x)
-        x = _bn(train, "1")(x)
+        if self.norm is not None:
+            x = self.norm(self.features, "1")(x)
+        else:
+            x = _bn(train, "1")(x)
         if self.act == "relu6":
             x = jnp.minimum(nn.relu(x), 6.0)
         elif self.act == "hardswish":

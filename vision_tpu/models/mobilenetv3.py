@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -64,9 +64,11 @@ class _SE(nn.Module):
 
 
 class InvertedResidualV3(nn.Module):
-    """reference ``mobilenetv3.py:56``; torch child path ``block.N``."""
+    """reference ``mobilenetv3.py:56``; torch child path ``block.N``.
+    ``norm`` forwards to each _CNA (FrozenBatchNorm for detection)."""
 
     cnf: IRConf
+    norm: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -76,7 +78,10 @@ class InvertedResidualV3(nn.Module):
         out = x
         i = 0
         if cnf.expanded_channels != cnf.input_channels:
-            out = _CNA(cnf.expanded_channels, 1, act=act, name=f"block.{i}")(out, train)
+            out = _CNA(
+                cnf.expanded_channels, 1, act=act, norm=self.norm,
+                name=f"block.{i}",
+            )(out, train)
             i += 1
         stride = 1 if cnf.dilation > 1 else cnf.stride
         out = _CNA(
@@ -86,6 +91,7 @@ class InvertedResidualV3(nn.Module):
             groups=cnf.expanded_channels,
             act=act,
             dilation=cnf.dilation,
+            norm=self.norm,
             name=f"block.{i}",
         )(out, train)
         i += 1
@@ -93,7 +99,9 @@ class InvertedResidualV3(nn.Module):
             squeeze = _make_divisible(cnf.expanded_channels // 4, 8)
             out = _SE(cnf.expanded_channels, squeeze, name=f"block.{i}")(out)
             i += 1
-        out = _CNA(cnf.out_channels, 1, act=None, name=f"block.{i}")(out, train)
+        out = _CNA(
+            cnf.out_channels, 1, act=None, norm=self.norm, name=f"block.{i}"
+        )(out, train)
         return x + out if use_res else out
 
 
