@@ -1,0 +1,105 @@
+"""API-surface parity lock-in: every public name the reference exports
+from ops / transforms.v2 / transforms.v2.functional / tv_tensors exists
+here. Uses a frozen snapshot of the reference's export lists (so the test
+doesn't depend on /root/reference at runtime)."""
+
+import numpy as np
+
+
+REF_OPS = """
+Conv2dNormActivation Conv3dNormActivation DeformConv2d DropBlock2d
+DropBlock3d FeaturePyramidNetwork FrozenBatchNorm2d MLP MultiScaleRoIAlign
+PSRoIAlign PSRoIPool Permute RoIAlign RoIPool SqueezeExcitation
+StochasticDepth batched_nms box_area box_convert box_iou
+clip_boxes_to_image complete_box_iou complete_box_iou_loss deform_conv2d
+distance_box_iou distance_box_iou_loss drop_block2d drop_block3d
+generalized_box_iou generalized_box_iou_loss masks_to_boxes nms
+ps_roi_align ps_roi_pool remove_small_boxes roi_align roi_pool
+sigmoid_focal_loss stochastic_depth
+""".split()
+
+REF_TV_TENSORS = """
+BoundingBoxes BoundingBoxFormat Image KeyPoints Mask TVTensor Video
+is_rotated_bounding_format set_return_type wrap
+""".split()
+
+REF_V2_CLASSES = """
+AugMix AutoAugment AutoAugmentPolicy CenterCrop ClampBoundingBoxes
+ClampKeyPoints ColorJitter Compose ConvertBoundingBoxFormat
+ConvertImageDtype CutMix ElasticTransform FiveCrop GaussianBlur
+GaussianNoise Grayscale Identity InterpolationMode JPEG Lambda
+LinearTransformation MixUp Normalize PILToTensor Pad RGB RandAugment
+RandomAdjustSharpness RandomAffine RandomApply RandomAutocontrast
+RandomChannelPermutation RandomChoice RandomCrop RandomEqualize
+RandomErasing RandomGrayscale RandomHorizontalFlip RandomInvert
+RandomIoUCrop RandomOrder RandomPerspective RandomPhotometricDistort
+RandomPosterize RandomResize RandomResizedCrop RandomRotation
+RandomShortestSize RandomSolarize RandomVerticalFlip RandomZoomOut Resize
+SanitizeBoundingBoxes SanitizeKeyPoints ScaleJitter SetClampingMode
+TenCrop ToDtype ToImage ToPILImage ToPureTensor ToTensor Transform
+TrivialAugmentWide UniformTemporalSubsample check_type get_bounding_boxes
+get_keypoints has_all has_any query_chw query_size
+""".split()
+
+REF_V2_FUNCTIONAL = """
+adjust_brightness adjust_contrast adjust_gamma adjust_hue
+adjust_saturation adjust_sharpness affine autocontrast center_crop
+clamp_bounding_boxes clamp_keypoints convert_bounding_box_format
+convert_image_dtype crop elastic elastic_transform equalize erase
+five_crop gaussian_blur gaussian_noise get_dimensions
+get_image_num_channels get_image_size get_num_channels get_num_frames
+get_size grayscale_to_rgb hflip horizontal_flip invert jpeg normalize pad
+perspective pil_to_tensor posterize resize resized_crop rgb_to_grayscale
+rotate sanitize_bounding_boxes sanitize_keypoints solarize ten_crop
+to_dtype to_grayscale to_image to_pil_image to_tensor
+uniform_temporal_subsample vertical_flip vflip is_pure_tensor
+register_kernel resize_image resize_video resize_mask
+resize_bounding_boxes pad_video rgb_to_grayscale_image
+""".split()
+
+
+def test_ops_surface():
+    import vision_tpu.ops as O
+
+    missing = [n for n in REF_OPS if not hasattr(O, n)]
+    assert not missing, missing
+
+
+def test_tv_tensors_surface():
+    import vision_tpu.tv_tensors as tv
+
+    missing = [n for n in REF_TV_TENSORS if not hasattr(tv, n)]
+    assert not missing, missing
+
+
+def test_v2_surface():
+    from vision_tpu.transforms import v2
+
+    missing = [n for n in REF_V2_CLASSES if not hasattr(v2, n)]
+    assert not missing, missing
+
+
+def test_v2_functional_surface():
+    from vision_tpu.transforms.v2 import functional as F
+
+    missing = [n for n in REF_V2_FUNCTIONAL if not hasattr(F, n)]
+    assert not missing, missing
+
+
+def test_alias_behaviors():
+    import jax.numpy as jnp
+
+    from vision_tpu.transforms.v2 import functional as F
+
+    v = jnp.arange(10 * 4 * 4 * 3, dtype=jnp.float32).reshape(10, 4, 4, 3)
+    sub = F.uniform_temporal_subsample(v, 5)
+    assert sub.shape == (5, 4, 4, 3)
+    np.testing.assert_array_equal(sub[0], v[0])
+    np.testing.assert_array_equal(sub[-1], v[-1])
+
+    img = jnp.zeros((4, 6, 3), jnp.uint8)
+    assert F.get_dimensions(img) == [3, 4, 6]
+    assert F.get_image_size(img) == [6, 4]
+    np.testing.assert_array_equal(F.hflip(img), F.horizontal_flip(img))
+    out = F.to_tensor(np.full((2, 2, 3), 255, np.uint8))
+    np.testing.assert_allclose(np.asarray(out), 1.0)

@@ -262,3 +262,40 @@ def test_squeeze_excitation_shapes(rng):
     x = jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32))
     v = m.init(jax.random.PRNGKey(0), x)
     assert m.apply(v, x).shape == x.shape
+
+
+def test_module_wrappers_match_functional():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vision_tpu import ops
+
+    feat = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 4), jnp.float32)
+    rois = jnp.asarray([[0.0, 0.0, 0.0, 4.0, 4.0]])
+    np.testing.assert_array_equal(
+        ops.RoIAlign((2, 2), 1.0, 2)(feat, rois),
+        ops.roi_align(feat, rois, (2, 2), 1.0, 2),
+    )
+    np.testing.assert_array_equal(
+        ops.RoIPool((2, 2))(feat, rois), ops.roi_pool(feat, rois, (2, 2))
+    )
+    np.testing.assert_array_equal(
+        ops.PSRoIPool((2, 2))(feat, rois), ops.ps_roi_pool(feat, rois, (2, 2))
+    )
+    # StochasticDepth eval mode is identity
+    np.testing.assert_array_equal(
+        ops.StochasticDepth(0.5, "row")(feat, training=False), feat
+    )
+
+    # DeformConv2d with zero offsets == plain convolution of its weights
+    dc = ops.DeformConv2d(features=6, kernel_size=3, padding=1)
+    offset = jnp.zeros((1, 8, 8, 2 * 9))
+    variables = dc.init(jax.random.PRNGKey(0), feat, offset)
+    out = dc.apply(variables, feat, offset)
+    assert out.shape == (1, 8, 8, 6)
+    w = variables["params"]["weight"]
+    ref = jax.lax.conv_general_dilated(
+        feat, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + variables["params"]["bias"]
+    np.testing.assert_allclose(out, ref, atol=1e-4)

@@ -12,6 +12,16 @@ from vision_tpu.ops.boxes import (
     remove_small_boxes,
 )
 from vision_tpu.ops._box_iou_rotated import box_iou_rotated
+from vision_tpu.ops._wrappers import (
+    DeformConv2d,
+    DropBlock2d,
+    DropBlock3d,
+    PSRoIAlign,
+    PSRoIPool,
+    RoIAlign,
+    RoIPool,
+    StochasticDepth,
+)
 from vision_tpu.ops.deform_conv import deform_conv2d
 from vision_tpu.ops.drop_block import drop_block2d, drop_block3d
 from vision_tpu.ops.feature_pyramid_network import (
@@ -45,8 +55,16 @@ __all__ = [
     "MLP",
     "Conv2dNormActivation",
     "Conv3dNormActivation",
+    "DeformConv2d",
+    "DropBlock2d",
+    "DropBlock3d",
     "FeaturePyramidNetwork",
     "FrozenBatchNorm2d",
+    "PSRoIAlign",
+    "PSRoIPool",
+    "RoIAlign",
+    "RoIPool",
+    "StochasticDepth",
     "LastLevelMaxPool",
     "LastLevelP6P7",
     "LevelMapper",

@@ -1,6 +1,7 @@
 from vision_tpu.transforms.v2 import functional  # noqa: F401
 from vision_tpu.transforms.v2._augment import JPEG, CutMix, MixUp, RandomErasing
 from vision_tpu.transforms.v2._auto_augment import (
+    AutoAugmentPolicy,
     AugMix,
     AutoAugment,
     RandAugment,
@@ -57,6 +58,8 @@ from vision_tpu.transforms.v2._misc import (
     LinearTransformation,
     Normalize,
     SanitizeBoundingBoxes,
+    SanitizeKeyPoints,
+    SetClampingMode,
     ToDtype,
 )
 from vision_tpu.transforms.v2._temporal import UniformTemporalSubsample
@@ -66,4 +69,19 @@ from vision_tpu.transforms.v2._type_conversion import (
     ToImage,
     ToPILImage,
     ToPureTensor,
+)
+
+from vision_tpu.transforms._compat import (  # noqa: E402,F401
+    ConvertImageDtype,
+    InterpolationMode,
+    ToTensor,
+)
+from vision_tpu.transforms.v2._utils import (  # noqa: E402,F401
+    check_type,
+    get_bounding_boxes,
+    get_keypoints,
+    has_all,
+    has_any,
+    query_chw,
+    query_size,
 )

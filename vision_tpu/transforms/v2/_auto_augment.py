@@ -9,6 +9,7 @@ TrivialAugment: Müller & Hutter 2021; AugMix: Hendrycks et al. 2020).
 
 from __future__ import annotations
 
+import enum
 import math
 from typing import Dict, List, Optional, Tuple
 
@@ -20,7 +21,22 @@ from vision_tpu import tv_tensors
 from vision_tpu.transforms.v2 import functional as F
 from vision_tpu.transforms.v2._transform import Transform
 
-__all__ = ["AutoAugment", "RandAugment", "TrivialAugmentWide", "AugMix"]
+__all__ = [
+    "AutoAugment",
+    "AutoAugmentPolicy",
+    "RandAugment",
+    "TrivialAugmentWide",
+    "AugMix",
+]
+
+
+class AutoAugmentPolicy(str, enum.Enum):
+    """reference ``transforms/autoaugment.py:93``; str subclass so members
+    pass anywhere a policy string is accepted."""
+
+    IMAGENET = "imagenet"
+    CIFAR10 = "cifar10"
+    SVHN = "svhn"
 
 _IMG_TYPES = (tv_tensors.Image, tv_tensors.Video, jax.Array, np.ndarray)
 

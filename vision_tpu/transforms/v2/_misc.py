@@ -23,6 +23,8 @@ __all__ = [
     "ClampBoundingBoxes",
     "ClampKeyPoints",
     "SanitizeBoundingBoxes",
+    "SanitizeKeyPoints",
+    "SetClampingMode",
 ]
 
 _IMG_TYPES = (tv_tensors.Image, tv_tensors.Video, jax.Array, np.ndarray)
@@ -207,3 +209,82 @@ class SanitizeBoundingBoxes(Transform):
 
         flat_out = [fixup(x) for x in flat]
         return jax.tree_util.tree_unflatten(spec, flat_out)
+
+
+class SanitizeKeyPoints(Transform):
+    """Remove keypoints (or whole keypoint groups) outside the canvas and
+    their labels (reference v2 ``_misc.py:483`` SanitizeKeyPoints).
+
+    Host-side like SanitizeBoundingBoxes: output size is data-dependent,
+    so it belongs to the input pipeline, not the jitted step."""
+
+    def __init__(self, labels_getter: Union[Callable, str, None] = None):
+        super().__init__()
+        self.labels_getter = labels_getter
+
+    def _get_labels(self, sample):
+        if callable(self.labels_getter):
+            return self.labels_getter(sample)
+        if self.labels_getter == "default":
+            if isinstance(sample, dict) and "labels" in sample:
+                return sample["labels"]
+            if (
+                isinstance(sample, (list, tuple))
+                and len(sample) == 2
+                and isinstance(sample[1], dict)
+                and "labels" in sample[1]
+            ):
+                return sample[1]["labels"]
+        return None
+
+    def __call__(self, *inputs, key=None):
+        sample = inputs if len(inputs) > 1 else inputs[0]
+        labels = self._get_labels(sample)
+        flat, spec = jax.tree_util.tree_flatten(
+            sample, is_leaf=lambda x: isinstance(x, tv_tensors.TVTensor)
+        )
+        kps = next(
+            (x for x in flat if isinstance(x, tv_tensors.KeyPoints)), None
+        )
+        if kps is None:
+            return sample
+        h, w = kps.canvas_size
+        pts = np.asarray(kps.data)
+        inside = (
+            (pts[..., 0] >= 0) & (pts[..., 0] < w)
+            & (pts[..., 1] >= 0) & (pts[..., 1] < h)
+        )
+        # groups (ndim > 2): drop a group only if ANY member is outside
+        valid = inside.reshape(inside.shape[0], -1).all(axis=-1)
+
+        def fixup(x):
+            if isinstance(x, tv_tensors.KeyPoints) and x.shape[0] == len(valid):
+                return tv_tensors.KeyPoints(
+                    x.data[valid], canvas_size=x.canvas_size
+                )
+            if labels is not None and x is labels:
+                return x[valid]
+            return x
+
+        return jax.tree_util.tree_unflatten(spec, [fixup(x) for x in flat])
+
+
+class SetClampingMode(Transform):
+    """Set ``clamping_mode`` on bounding boxes for downstream transforms
+    (reference v2 ``_meta.py:58``)."""
+
+    _transformed_types = (tv_tensors.BoundingBoxes,)
+
+    def __init__(self, clamping_mode):
+        super().__init__()
+        if clamping_mode not in (None, "soft", "hard"):
+            raise ValueError(
+                f"clamping_mode must be soft, hard or None, got {clamping_mode}"
+            )
+        self.clamping_mode = clamping_mode
+
+    def transform(self, inpt, params):
+        return tv_tensors.BoundingBoxes(
+            inpt.data, format=inpt.format, canvas_size=inpt.canvas_size,
+            clamping_mode=self.clamping_mode,
+        )

@@ -79,3 +79,14 @@ from vision_tpu.transforms.v2.functional._misc import (
     to_dtype_image,
 )
 from vision_tpu.transforms.v2.functional._utils import register_kernel
+from vision_tpu.transforms.v2.functional._utils import (  # noqa: E402
+    is_pure_tensor,
+    register_kernel,
+)
+from vision_tpu.transforms.v2.functional._aliases import *  # noqa: E402,F401,F403
+from vision_tpu.transforms.v2.functional import _aliases as _aliases_mod  # noqa: E402
+
+_aliases_mod._alias_per_type(globals())
+_aliases_mod._get_size_aliases(globals())
+del _aliases_mod
+from vision_tpu.transforms._compat import InterpolationMode  # noqa: E402,F401
