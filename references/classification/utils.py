@@ -177,3 +177,18 @@ def reduce_across_processes(val):
     """reference ``utils.py`` reduce_across_processes: under SPMD jit the
     psum already happened; this is the host-side fetch."""
     return jax.device_get(val)
+
+
+def average_checkpoints(paths):
+    """reference ``utils.py:272`` average_checkpoints: elementwise mean of
+    the params across checkpoint files (post-training weight averaging)."""
+    if not paths:
+        raise ValueError("need at least one checkpoint path")
+    states = [load_checkpoint(p) for p in paths]
+    n = float(len(states))
+    return jax.tree_util.tree_map(
+        lambda *leaves: sum(
+            leaf.astype(jnp.float32) for leaf in leaves
+        ) / n,
+        *states,
+    )

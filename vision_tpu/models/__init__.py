@@ -30,3 +30,4 @@ from vision_tpu.models import detection  # noqa: F401
 from vision_tpu.models import optical_flow  # noqa: F401
 from vision_tpu.models import segmentation  # noqa: F401
 from vision_tpu.models import video  # noqa: F401
+from vision_tpu.models import quantization  # noqa: F401

@@ -16,6 +16,8 @@ import numpy as np
 
 __all__ = [
     "make_grid",
+    "profile_trace",
+    "trace_annotation",
     "save_image",
     "draw_bounding_boxes",
     "draw_segmentation_masks",
@@ -295,3 +297,30 @@ def flow_to_image(flow: np.ndarray) -> np.ndarray:
         col[~idx] = col[~idx] * 0.75
         img[..., c] = np.floor(255 * col)
     return img
+
+
+# -- profiling (SURVEY §5: jax.profiler annotations + perfetto traces) ----
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def trace_annotation(name: str):
+    """Named region in a jax.profiler trace (the TPU-side analog of the
+    reference's torch.profiler record_function; shows up in perfetto)."""
+    import jax.profiler
+
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+@_contextlib.contextmanager
+def profile_trace(log_dir: str):
+    """Capture a perfetto/tensorboard trace of the enclosed block
+    (``jax.profiler.start_trace``/``stop_trace``)."""
+    import jax.profiler
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
