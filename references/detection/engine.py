@@ -22,22 +22,49 @@ import utils  # classification/utils.py (MetricLogger etc.)
 from coco_eval import CocoEvaluator
 
 
-def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None):
-    """jit'ed train step over FasterRCNN/RetinaNet-style ``compute_loss``
-    modules. Batch: {"image": [N,H,W,C], "boxes": [N,G,4],
-    "labels": [N,G], "valid": [N,G]}."""
+def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None,
+                              one_stage: bool = False, variables=None):
+    """jit'ed train step over detection ``compute_loss`` modules.
+    Batch: {"image": [N,H,W,C], "boxes": [N,G,4], "labels": [N,G],
+    "valid": [N,G]}.
+
+    Two conventions (matching the model families):
+    * two-stage (Faster/Mask/Keypoint R-CNN): ``compute_loss(images,
+      gt_boxes, gt_labels, gt_valid, key)`` runs the whole path (RPN
+      sampling needs the key).
+    * one-stage (RetinaNet/SSD/FCOS, ``one_stage=True``): forward first
+      (raw head outputs + anchors), then ``compute_loss(*outputs,
+      gt_boxes, gt_labels, gt_valid)``."""
+
+    # non-trainable collections (FrozenBatchNorm buffers, batch_stats)
+    extra = {
+        k: v for k, v in (variables or {}).items() if k != "params"
+    }
 
     def step(params, opt_state, batch, key):
         def loss_fn(p):
-            losses = module.apply(
-                {"params": p},
-                batch["image"],
-                batch["boxes"],
-                batch["labels"],
-                batch["valid"],
-                key,
-                method="compute_loss",
-            )
+            if one_stage:
+                outputs = module.apply(
+                    {"params": p, **extra}, batch["image"], train=True
+                )
+                losses = module.apply(
+                    {"params": p, **extra},
+                    *outputs,
+                    batch["boxes"],
+                    batch["labels"],
+                    batch["valid"],
+                    method="compute_loss",
+                )
+            else:
+                losses = module.apply(
+                    {"params": p, **extra},
+                    batch["image"],
+                    batch["boxes"],
+                    batch["labels"],
+                    batch["valid"],
+                    key,
+                    method="compute_loss",
+                )
             total = sum(losses.values())
             return total, losses
 

@@ -139,3 +139,41 @@ def test_stereo_depth_losses_and_smoke():
         "--steps-per-epoch", "1", "--size", "64", "--num-flow-updates", "2",
     ])
     depth.main(args)
+
+
+def test_detection_train_cli_smoke():
+    det = _load("det_train", "detection")
+    args = det.get_args_parser().parse_args([
+        "--model", "retinanet_resnet50_fpn", "--fake-data", "--epochs", "1",
+        "--batch-size", "2", "--steps-per-epoch", "1", "--size", "64",
+        "--max-boxes", "4", "--num-classes", "5",
+    ])
+    det.main(args)
+    sched = det.warmup_schedule(0.02, warmup_iters=100)
+    np.testing.assert_allclose(float(sched(100)), 0.02, rtol=1e-6)
+    assert float(sched(0)) < 0.001
+
+
+def test_phototour_layout(tmp_path):
+    import os
+
+    from PIL import Image
+
+    from vision_tpu import datasets
+
+    d = tmp_path / "fakeset"
+    os.makedirs(d)
+    # one 128x128 bmp = 4 patches
+    grid = np.arange(128 * 128, dtype=np.uint8).reshape(128, 128)
+    Image.fromarray(grid, "L").save(d / "patches0000.bmp")
+    with open(d / "info.txt", "w") as f:
+        f.write("0 0\n0 0\n1 0\n1 0\n")
+    with open(d / "m50_100000_100000_0.txt", "w") as f:
+        f.write("0 0 0 1 0 0 0\n0 0 0 2 1 0 0\n")
+    train = datasets.PhotoTour(tmp_path, "fakeset", train=True)
+    assert len(train) == 4
+    assert train[0].shape == (64, 64, 1)
+    test = datasets.PhotoTour(tmp_path, "fakeset", train=False)
+    p1, p2, is_match = test[0]
+    assert is_match == 1 and test[1][2] == 0
+    np.testing.assert_array_equal(p1[..., 0], grid[:64, :64])
