@@ -77,3 +77,47 @@ def test_jnp_consumes_containers():
     img = tv_tensors.Image(np.ones((2, 2, 3), np.float32))
     s = jnp.sum(img)
     assert float(s) == 12.0
+
+
+def test_wrap_dataset_for_transforms_v2(tmp_path):
+    import json
+    import os
+
+    import numpy as np
+
+    from vision_tpu import datasets, tv_tensors
+    from vision_tpu.io.image import write_png
+
+    root = tmp_path / "imgs"
+    os.makedirs(root)
+    write_png(np.zeros((10, 12, 3), np.uint8), str(root / "000001.png"))
+    ann = {
+        "images": [{"id": 1, "file_name": "000001.png", "height": 10, "width": 12}],
+        "annotations": [
+            {"id": 7, "image_id": 1, "category_id": 3,
+             "bbox": [1, 2, 4, 5], "area": 20, "iscrowd": 0}
+        ],
+        "categories": [{"id": 3, "name": "cat"}],
+    }
+    ann_file = tmp_path / "ann.json"
+    with open(ann_file, "w") as f:
+        json.dump(ann, f)
+    ds = datasets.CocoDetection(str(root), str(ann_file))
+    wrapped = datasets.wrap_dataset_for_transforms_v2(ds)
+    img, target = wrapped[0]
+    assert isinstance(img, tv_tensors.Image)
+    assert isinstance(target["boxes"], tv_tensors.BoundingBoxes)
+    np.testing.assert_array_equal(np.asarray(target["boxes"].data), [[1, 2, 5, 7]])
+    np.testing.assert_array_equal(target["labels"], [3])
+    assert target["boxes"].canvas_size == (10, 12)
+
+    # the wrapped boxes flow through a v2 geometric transform
+    from vision_tpu.transforms import v2
+    import jax
+
+    out_img, out_target = v2.RandomHorizontalFlip(p=1.0)(
+        (img, target), key=jax.random.PRNGKey(0)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_target["boxes"].data), [[12 - 5, 2, 12 - 1, 7]]
+    )
