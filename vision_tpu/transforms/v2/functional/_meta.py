@@ -92,8 +92,10 @@ def clamp_bounding_boxes(
     """Clamp boxes to the canvas (reference ``_meta.py:403,663``).
 
     Non-rotated: clamp xyxy to [0, W] x [0, H] (soft == hard).
-    Rotated boxes currently pass through unclamped (the reference's rotated
-    polygon clamping, ``_meta.py:512-660``, is a niche path; tracked TODO).
+    Rotated: the reference's polygon algorithm (``_meta.py:512-660``) —
+    order vertices, clamp y-intercepts against the left edge, rotate the
+    frame 90° four times; "soft" = smallest angle-preserving box enclosing
+    the canvas∩box intersection, "hard" = largest enclosed box.
     """
     if isinstance(inpt, BoundingBoxes):
         fmt, cs = inpt.format, inpt.canvas_size
@@ -108,15 +110,143 @@ def clamp_bounding_boxes(
     return _clamp_array(inpt, format, canvas_size, mode)
 
 
+def _order_box_points(boxes8, indices=None):
+    """reference ``_meta.py:428`` _order_bounding_boxes_points: roll each
+    polygon so (x1, y1) is the lowest-x (ties: lowest-y) vertex."""
+    if indices is None:
+        x, y = boxes8[..., 0::2], boxes8[..., 1::2]
+        y_max = jnp.maximum(jnp.max(jnp.abs(y), axis=1, keepdims=True), 1e-12)
+        x_max = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-12)
+        start = jnp.argmin(y / y_max + (x / x_max) * 100.0, axis=1)
+        base = jnp.ones_like(boxes8)
+        base = base.at[:, 0].set(start * 2)
+        indices = jnp.remainder(jnp.cumsum(base, axis=1), 8).astype(jnp.int32)
+    return indices, jnp.take_along_axis(boxes8, indices, axis=1)
+
+
+def _slope_intercept(box8):
+    """reference ``_meta.py:459``: per-edge slope a and y-intercept b."""
+    x, y = box8[..., ::2], box8[..., 1::2]
+    dx = jnp.diff(x, append=x[..., 0:1])
+    dy = jnp.diff(y, append=y[..., 0:1])
+    a = dy / dx  # inf on vertical edges, like the reference
+    b = y - a * x
+    return a, b
+
+
+def _intersection_point(a, b):
+    """reference ``_meta.py:472``: pairwise line intersections -> 8-vec."""
+    x = -jnp.diff(b, prepend=b[..., 3:4]) / jnp.diff(a, prepend=a[..., 3:4])
+    y = a * x + b
+    return jnp.concatenate([x[..., :, None], y[..., :, None]], -1).reshape(
+        a.shape[0], 8
+    )
+
+
+def _clamp_y_intercept(boxes8, orig8, canvas_size, mode):
+    """reference ``_meta.py:484``."""
+    a, b = _slope_intercept(boxes8)
+    a1, a2, a3, a4 = [a[..., i] for i in range(4)]
+    b1, b2, b3, b4 = [b[..., i] for i in range(4)]
+    _, bm = _slope_intercept(orig8)
+    b1m, b2m, b3m, b4m = [bm[..., i] for i in range(4)]
+    h, w = canvas_size
+
+    b1 = jnp.clip(jnp.clip(b2, b1, b3), 0, h)
+    b4 = jnp.clip(jnp.clip(b3, b2, b4), 0, h)
+    if mode == "hard":
+        b1 = b4 = (b1 + b4) / 2
+        b2_cand = jnp.stack(
+            [b1 * a2 / a1, b3 * a2 / a3, (a1 - a2) * w + b1, (a3 - a2) * w + b3],
+            axis=1,
+        )
+        b2 = jnp.minimum(jnp.max(b2_cand, axis=1), b2)
+        b3_cand = jnp.stack(
+            [
+                h * (1 - a3 / a4) + b4 * a3 / a4,
+                h * (1 - a3 / a2) + b2 * a3 / a2,
+                (a2 - a3) * w + b2,
+                (a4 - a3) * w + b4,
+            ],
+            axis=1,
+        )
+        b3 = jnp.maximum(jnp.min(b3_cand, axis=1), b3)
+    b1 = jnp.clip(b1, b1m, b3m)
+    b3 = jnp.clip(b3, b1m, b3m)
+    b2 = jnp.clip(b2, b2m, b4m)
+    b4 = jnp.clip(b4, b2m, b4m)
+    return jnp.stack([b1, b2, b3, b4], axis=-1)
+
+
+def _clamp_along_y_axis(boxes8, orig8, canvas_size, mode):
+    """reference ``_meta.py:553`` _clamp_along_y_axis."""
+    a, _ = _slope_intercept(boxes8)
+    x1, y1, x2, y2, x3, y3, x4, y4 = [boxes8[..., i] for i in range(8)]
+    b = _clamp_y_intercept(boxes8, orig8, canvas_size, mode)
+
+    case_a = _intersection_point(a, b)
+    case_b = boxes8.at[..., 0].set(jnp.maximum(boxes8[..., 0], 0))
+    case_b = case_b.at[..., 6].set(jnp.maximum(case_b[..., 6], 0))
+    case_c = jnp.zeros_like(boxes8)
+
+    cond_a = (x1 < 0) & ~jnp.any(jnp.isnan(case_a), axis=-1)
+    cond_b = jnp.isclose(y1, y2) | jnp.isclose(y3, y4)
+    cond_c = (x1 <= 0) & (x2 <= 0) & (x3 <= 0) & (x4 <= 0)
+    cond_c = (
+        cond_c
+        | jnp.isclose(y1, y4)
+        | jnp.isclose(y2, y3)
+        | (cond_b & jnp.isclose(x1, x2))
+    )
+    out = boxes8
+    for cond, case in ((cond_a, case_a), (cond_b, case_b), (cond_c, case_c)):
+        out = jnp.where(cond[..., None], case, out)
+    return out
+
+
+def _clamp_rotated_array(boxes, fmt, canvas_size, mode):
+    """reference ``_meta.py:603`` _clamp_rotated_bounding_boxes: order
+    points, clamp against the left edge, rotate the frame 90° CCW four
+    times so each canvas edge takes a turn as "left"."""
+    original_shape = boxes.shape
+    fmt_str = _fmt_str(fmt)
+    out = box_convert(
+        boxes.astype(jnp.float32).reshape(-1, boxes.shape[-1]),
+        fmt_str, "xyxyxyxy",
+    ).reshape(-1, 8)
+    orig = out
+    h, w = canvas_size
+    for _ in range(4):
+        indices, out = _order_box_points(out)
+        _, orig = _order_box_points(orig, indices)
+        out = _clamp_along_y_axis(out, orig, (h, w), mode)
+        _, out = _order_box_points(out, indices)
+        _, orig = _order_box_points(orig, indices)
+        # rotate 90 degrees counter-clockwise
+        out = jnp.concatenate(
+            [out[:, 1::2][..., None], (w - out[:, ::2])[..., None]], -1
+        ).reshape(-1, 8)
+        orig = jnp.concatenate(
+            [orig[:, 1::2][..., None], (w - orig[:, ::2])[..., None]], -1
+        ).reshape(-1, 8)
+        h, w = w, h
+    return box_convert(out, "xyxyxyxy", fmt_str).reshape(original_shape)
+
+
 def _clamp_array(boxes, fmt, canvas_size, mode):
     if mode is None:
         return boxes
+    if isinstance(fmt, str):
+        fmt = BoundingBoxFormat[fmt.upper()]
     if fmt in (
         BoundingBoxFormat.XYWHR,
         BoundingBoxFormat.CXCYWHR,
         BoundingBoxFormat.XYXYXYXY,
     ):
-        return boxes  # TODO: rotated polygon clamping
+        in_dtype = boxes.dtype
+        return _clamp_rotated_array(boxes, fmt, canvas_size, mode).astype(
+            in_dtype
+        )
     h, w = canvas_size
     in_dtype = boxes.dtype
     xyxy = box_convert(boxes.astype(jnp.float32), _fmt_str(fmt), "xyxy")
