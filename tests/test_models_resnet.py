@@ -80,3 +80,13 @@ def test_return_features():
     _, feats = m(x, return_features=True)
     assert set(feats.keys()) == {"layer1", "layer2", "layer3", "layer4"}
     assert feats["layer4"].shape == (1, 2, 2, 512)
+
+
+def test_mobilenet_v2_matches_torch():
+    from tests.torch_refs import TorchMobileNetV2
+
+    from vision_tpu.models import mobilenet_v2
+
+    tm = randomize_bn_stats(TorchMobileNetV2(num_classes=10))
+    fm = mobilenet_v2(num_classes=10)
+    _convert_and_compare(tm, fm, atol=5e-4)

@@ -188,3 +188,83 @@ class TorchMiniViT(nn.Module):
             x = blk(x)
         x = self.encoder.ln(x)
         return self.heads.head(x[:, 0])
+
+
+# ---- MobileNetV2 (reference ``mobilenetv2.py``: inverted residuals with
+# ReLU6, depthwise 3x3; exercises grouped convs + BN + ReLU6 numerics) ----
+class TorchInvertedResidual(nn.Module):
+    def __init__(self, inp, oup, stride, expand_ratio):
+        super().__init__()
+        hidden = int(round(inp * expand_ratio))
+        self.use_res_connect = stride == 1 and inp == oup
+        # mirror torchvision naming: Conv2dNormActivation children are
+        # nested Sequentials (conv.N.0 = conv, conv.N.1 = bn), then the
+        # project conv/bn are flat (conv.K / conv.K+1)
+        layers = []
+        if expand_ratio != 1:
+            layers.append(
+                nn.Sequential(
+                    nn.Conv2d(inp, hidden, 1, bias=False),
+                    nn.BatchNorm2d(hidden),
+                    nn.ReLU6(inplace=True),
+                )
+            )
+        layers.append(
+            nn.Sequential(
+                nn.Conv2d(
+                    hidden, hidden, 3, stride, 1, groups=hidden, bias=False
+                ),
+                nn.BatchNorm2d(hidden),
+                nn.ReLU6(inplace=True),
+            )
+        )
+        layers += [
+            nn.Conv2d(hidden, oup, 1, bias=False),
+            nn.BatchNorm2d(oup),
+        ]
+        self.conv = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return x + self.conv(x) if self.use_res_connect else self.conv(x)
+
+
+class TorchMobileNetV2(nn.Module):
+    """Full mobilenet_v2 architecture (width 1.0) transcribed from the
+    reference's layer table for numerical-parity testing."""
+
+    def __init__(self, num_classes=10):
+        super().__init__()
+        cfg = [
+            (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+            (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1),
+        ]
+        features = [
+            nn.Sequential(
+                nn.Conv2d(3, 32, 3, 2, 1, bias=False),
+                nn.BatchNorm2d(32),
+                nn.ReLU6(inplace=True),
+            )
+        ]
+        inp = 32
+        for t, c, n, s in cfg:
+            for i in range(n):
+                features.append(
+                    TorchInvertedResidual(inp, c, s if i == 0 else 1, t)
+                )
+                inp = c
+        features.append(
+            nn.Sequential(
+                nn.Conv2d(inp, 1280, 1, bias=False),
+                nn.BatchNorm2d(1280),
+                nn.ReLU6(inplace=True),
+            )
+        )
+        self.features = nn.Sequential(*features)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.2), nn.Linear(1280, num_classes)
+        )
+
+    def forward(self, x):
+        x = self.features(x)
+        x = torch.nn.functional.adaptive_avg_pool2d(x, 1).flatten(1)
+        return self.classifier(x)
