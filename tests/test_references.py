@@ -143,3 +143,33 @@ def test_coco_map_area_ranges():
     np.testing.assert_allclose(res["map_small"], 1.0, atol=1e-6)
     np.testing.assert_allclose(res["map_large"], 1.0, atol=1e-6)
     assert res["map_medium"] == -1.0  # no medium gt
+
+
+def test_ra_sampler():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ra_sampler",
+        os.path.join(
+            os.path.dirname(__file__), "..", "references", "classification",
+            "sampler.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    dataset = list(range(512))
+    s0 = mod.RASampler(dataset, num_replicas=2, rank=0, shuffle=True,
+                       seed=0, repetitions=3)
+    s1 = mod.RASampler(dataset, num_replicas=2, rank=1, shuffle=True,
+                       seed=0, repetitions=3)
+    i0, i1 = list(iter(s0)), list(iter(s1))
+    assert len(i0) == len(s0) == 512 // 2  # floor(512/256*256)/2
+    # repeated augmentation: with 3 reps across 2 ranks, consecutive rank-0
+    # positions reuse indices that rank 1 also sees
+    overlap = set(i0) & set(i1)
+    assert len(overlap) > 0
+    # same epoch -> deterministic
+    assert list(iter(s0)) == i0
+    s0.set_epoch(1)
+    assert list(iter(s0)) != i0
