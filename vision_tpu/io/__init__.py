@@ -15,7 +15,11 @@ from vision_tpu.io.image import (
     write_png,
 )
 from vision_tpu.io.prefetch import PrefetchIterator, decode_batch, prefetch_to_device
+from vision_tpu.io.image import decode_avif, decode_heic
 from vision_tpu.io.video import (
+    Timebase,
+    VideoMetaData,
+    VideoReader,
     read_video,
     read_video_timestamps,
     video_backend_available,

@@ -21,6 +21,8 @@ __all__ = [
     "ImageReadMode",
     "read_file",
     "write_file",
+    "decode_avif",
+    "decode_heic",
     "decode_image",
     "decode_jpeg",
     "decode_png",
@@ -227,3 +229,29 @@ def read_image(
 ) -> np.ndarray:
     """reference ``io/image.py:350``: read + decode."""
     return decode_image(read_file(path), mode)
+
+
+def _pil_decode_optional(data: bytes, what: str) -> np.ndarray:
+    import io as _io2
+
+    try:
+        import PIL.Image
+
+        with PIL.Image.open(_io2.BytesIO(data)) as im:
+            return np.asarray(im.convert("RGB"))
+    except Exception as e:
+        raise RuntimeError(
+            f"decode_{what} requires an {what.upper()}-capable decoder "
+            "(the reference gates this on the optional "
+            "torchvision-extra-decoders package; here on PIL plugin support)"
+        ) from e
+
+
+def decode_avif(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
+    """reference ``io/image.py:464`` (optional-decoder gated)."""
+    return _apply_mode(_pil_decode_optional(data, "avif"), mode)
+
+
+def decode_heic(data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED) -> np.ndarray:
+    """reference ``io/image.py:501`` (optional-decoder gated)."""
+    return _apply_mode(_pil_decode_optional(data, "heic"), mode)

@@ -95,3 +95,97 @@ def read_video_timestamps(path: str, pts_unit: str = "sec"):
             if p.pts is not None
         ]
     return pts, float(stream.average_rate)
+
+
+class Timebase:
+    """reference ``io`` Timebase: rational stream time base."""
+
+    def __init__(self, numerator: int = 0, denominator: int = 1):
+        self.numerator = numerator
+        self.denominator = denominator
+
+
+class VideoMetaData:
+    """reference ``io`` VideoMetaData."""
+
+    def __init__(self):
+        self.has_video = False
+        self.video_timebase = Timebase()
+        self.video_duration = 0.0
+        self.video_fps = 0.0
+        self.has_audio = False
+        self.audio_timebase = Timebase()
+        self.audio_duration = 0.0
+        self.audio_sample_rate = 0.0
+
+
+class VideoReader:
+    """Fine-grained frame iterator (reference ``io`` VideoReader): yields
+    {"data": (H, W, C) uint8, "pts": seconds}; ``seek`` + ``get_metadata``.
+    pyav-backed; raises if no backend is installed."""
+
+    def __init__(self, src: str, stream: str = "video"):
+        if not _has_av():
+            raise RuntimeError("VideoReader requires pyav")
+        import av
+
+        self._container = av.open(src)
+        self._stream_kind = stream.split(":")[0]
+        self._gen = None
+        self._start = 0.0
+
+    def _frames(self):
+        stream = (
+            self._container.streams.video[0]
+            if self._stream_kind == "video"
+            else self._container.streams.audio[0]
+        )
+        for frame in self._container.decode(stream):
+            pts = float(frame.pts * stream.time_base) if frame.pts else 0.0
+            if pts < self._start:
+                continue
+            data = (
+                frame.to_ndarray(format="rgb24")
+                if self._stream_kind == "video"
+                else frame.to_ndarray()
+            )
+            yield {"data": data, "pts": pts}
+
+    def __iter__(self):
+        self._gen = self._frames()
+        return self
+
+    def __next__(self):
+        if self._gen is None:
+            self._gen = self._frames()
+        return next(self._gen)
+
+    def seek(self, time_s: float, keyframes_only: bool = False):
+        import av
+
+        stream = self._container.streams.video[0]
+        self._container.seek(
+            int(time_s / stream.time_base), stream=stream,
+            any_frame=not keyframes_only,
+        )
+        self._start = time_s
+        self._gen = None
+        return self
+
+    def get_metadata(self):
+        out = {}
+        v = self._container.streams.video
+        if v:
+            out["video"] = {
+                "duration": [float(v[0].duration * v[0].time_base)
+                             if v[0].duration else 0.0],
+                "fps": [float(v[0].average_rate or 0.0)],
+            }
+        a = self._container.streams.audio
+        if a:
+            out["audio"] = {
+                "duration": [float(a[0].duration * a[0].time_base)
+                             if a[0].duration else 0.0],
+                "framerate": [float(a[0].sample_rate or 0.0)],
+            }
+        return out
