@@ -31,3 +31,7 @@ from vision_tpu.models import optical_flow  # noqa: F401
 from vision_tpu.models import segmentation  # noqa: F401
 from vision_tpu.models import video  # noqa: F401
 from vision_tpu.models import quantization  # noqa: F401
+from vision_tpu.models.feature_extraction import (  # noqa: F401
+    create_feature_extractor,
+    get_graph_node_names,
+)
