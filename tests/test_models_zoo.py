@@ -135,3 +135,29 @@ def test_raft_param_counts_and_flow():
         jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)), num_flow_updates=2
     )
     assert len(flows) == 2 and flows[-1].shape == (1, 64, 64, 2)
+
+
+def test_maxvit_partition_roundtrip():
+    """reference ``test_architecture_ops.py``: window/grid partition +
+    departition are exact inverses, and grid partitioning strides."""
+    import numpy as np
+
+    from vision_tpu.models.maxvit import _window_departition, _window_partition
+
+    x = jnp.asarray(
+        np.arange(2 * 8 * 8 * 3, dtype=np.float32).reshape(2, 8, 8, 3)
+    )
+    for p in (2, 4):
+        gh = gw = 8 // p
+        t = _window_partition(x, p)
+        assert t.shape == (2, gh * gw, p * p, 3)
+        back = _window_departition(t, p, gh, gw)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    # window 0 of a p=4 partition is the top-left 4x4 block, row-major
+    t = _window_partition(x, 4)
+    np.testing.assert_array_equal(
+        np.asarray(t[0, 0]).reshape(4, 4, 3), np.asarray(x[0, :4, :4])
+    )
+    # grid mode (swap axes): tokens within a partition stride by gh
+    g = jnp.swapaxes(_window_partition(x, 2), -2, -3)
+    assert g.shape == (2, 4, 16, 3)

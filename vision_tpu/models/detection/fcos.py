@@ -184,10 +184,13 @@ class FCOS(nn.Module):
 
     def compute_loss(
         self, logits, reg, ctr, anchors, gt_boxes, gt_labels, gt_valid,
-        num_anchors_per_level,
+        num_anchors_per_level=None,
     ):
         """reference ``fcos.py:440``: center-sampling match + focal/GIoU/
-        ctrness losses, batched with padded gt."""
+        ctrness losses, batched with padded gt. ``num_anchors_per_level``
+        defaults to the per-level anchor counts."""
+        if num_anchors_per_level is None:
+            num_anchors_per_level = [a.shape[0] for a in anchors]
         all_logits = jnp.concatenate(logits, axis=1)
         all_reg = jnp.concatenate(reg, axis=1)
         all_ctr = jnp.concatenate(ctr, axis=1)[..., 0]
