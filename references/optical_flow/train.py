@@ -62,6 +62,37 @@ def epe_metrics(pred, gt, valid_mask=None):
     }
 
 
+def _chairs_batches(args, split="train", seed=0):
+    """Real-data path over vision_tpu.datasets.FlyingChairs: random crop
+    to a fixed canvas (static shapes), images scaled to [-1, 1] (the RAFT
+    preset's input range)."""
+    from vision_tpu.datasets import FlyingChairs
+
+    ds = FlyingChairs(args.data_path, split=split)
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(len(ds)) if split == "train" else np.arange(len(ds))
+    b1, b2, bf = [], [], []
+    for idx in order:
+        img1, img2, flow = ds[int(idx)]
+        h, w = img1.shape[:2]
+        s = args.size
+        if h < s or w < s:
+            continue
+        top = rng.randint(0, h - s + 1)
+        left = rng.randint(0, w - s + 1)
+        sl = np.s_[top : top + s, left : left + s]
+        b1.append(np.asarray(img1[sl], np.float32) / 127.5 - 1.0)
+        b2.append(np.asarray(img2[sl], np.float32) / 127.5 - 1.0)
+        bf.append(np.asarray(flow[sl], np.float32))
+        if len(b1) == args.batch_size:
+            yield {
+                "image1": np.stack(b1),
+                "image2": np.stack(b2),
+                "flow": np.stack(bf),
+            }
+            b1, b2, bf = [], [], []
+
+
 def _fake_batches(args, steps, seed=0):
     rng = np.random.RandomState(seed)
     for _ in range(steps):
@@ -121,25 +152,25 @@ def main(args):
 
     for epoch in range(args.epochs):
         logger = utils.MetricLogger()
-        steps = args.steps_per_epoch or 100
-        if not args.fake_data:
-            raise NotImplementedError(
-                "real FlyingChairs/Sintel loading: wire "
-                "vision_tpu.datasets.FlyingChairs here; use --fake-data for "
-                "the smoke path"
-            )
+        if args.fake_data:
+            steps = args.steps_per_epoch or 100
+            train_iter = _fake_batches(args, steps, seed=epoch)
+            eval_iter = _fake_batches(args, 1, seed=999)
+        else:
+            train_iter = _chairs_batches(args, "train", seed=epoch)
+            eval_iter = _chairs_batches(args, "val")
         t0 = time.time()
         for batch in logger.log_every(
-            _fake_batches(args, steps, seed=epoch),
-            args.print_freq, f"Epoch [{epoch}]",
+            train_iter, args.print_freq, f"Epoch [{epoch}]",
         ):
             state, loss = train_step(state, shard_batch(batch, mesh))
             logger.update(loss=float(loss))
         print(f"epoch {epoch} done in {time.time() - t0:.1f}s")
 
-        for batch in _fake_batches(args, 1, seed=999):
+        for batch in eval_iter:
             m = eval_step(state, shard_batch(batch, mesh))
             print({k: float(v) for k, v in m.items()})
+            break
 
     if args.output_dir:
         utils.save_checkpoint(

@@ -103,6 +103,57 @@ def _fake_batches(args, num_classes, steps, seed=0):
         }
 
 
+_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def _voc_sample(img, mask, size, train, rng):
+    """Fixed-canvas preprocessing (static shapes for jit): random-resize +
+    crop/pad to size x size for training, resize for eval; normalize."""
+    from vision_tpu.transforms.v2 import functional as TF
+
+    h, w = img.shape[:2]
+    if train:
+        scale = rng.uniform(0.5, 2.0) * size / min(h, w)
+    else:
+        scale = size / min(h, w)
+    nh, nw = max(int(h * scale), size), max(int(w * scale), size)
+    img = np.asarray(TF.resize(img, (nh, nw)))
+    mask = np.asarray(TF.resize(mask[..., None], (nh, nw),
+                                interpolation="nearest"))[..., 0]
+    top = rng.randint(0, nh - size + 1) if train else (nh - size) // 2
+    left = rng.randint(0, nw - size + 1) if train else (nw - size) // 2
+    img = img[top : top + size, left : left + size]
+    mask = mask[top : top + size, left : left + size]
+    if train and rng.rand() < 0.5:
+        img, mask = img[:, ::-1], mask[:, ::-1]
+    img = (img.astype(np.float32) / 255.0 - _MEAN) / _STD
+    return img, mask.astype(np.int32)
+
+
+def _voc_batches(args, split, train, seed=0):
+    """Real-data path over vision_tpu.datasets.VOCSegmentation."""
+    from vision_tpu.datasets import VOCSegmentation
+
+    ds = VOCSegmentation(args.data_path, image_set=split)
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(len(ds)) if train else np.arange(len(ds))
+    batch_imgs, batch_masks = [], []
+    for idx in order:
+        img, mask = ds[int(idx)]
+        img, mask = _voc_sample(
+            np.asarray(img), np.asarray(mask), args.size, train, rng
+        )
+        batch_imgs.append(img)
+        batch_masks.append(mask)
+        if len(batch_imgs) == args.batch_size:
+            yield {
+                "image": np.stack(batch_imgs),
+                "target": np.stack(batch_masks),
+            }
+            batch_imgs, batch_masks = [], []
+
+
 def main(args):
     print(args)
     num_classes = args.num_classes
@@ -168,16 +219,16 @@ def main(args):
 
     for epoch in range(args.epochs):
         logger = utils.MetricLogger()
-        steps = args.steps_per_epoch or 100
-        if not args.fake_data:
-            raise NotImplementedError(
-                "real VOC/COCO loading: use --fake-data for the smoke path; "
-                "wire vision_tpu.datasets.VOCSegmentation here for real runs"
-            )
+        if args.fake_data:
+            steps = args.steps_per_epoch or 100
+            train_iter = _fake_batches(args, num_classes, steps, seed=epoch)
+            eval_iter = _fake_batches(args, num_classes, 2, seed=999)
+        else:
+            train_iter = _voc_batches(args, "train", True, seed=epoch)
+            eval_iter = _voc_batches(args, "val", False)
         t0 = time.time()
         for batch in logger.log_every(
-            _fake_batches(args, num_classes, steps, seed=epoch),
-            args.print_freq, f"Epoch [{epoch}]",
+            train_iter, args.print_freq, f"Epoch [{epoch}]",
         ):
             batch = shard_batch(batch, mesh)
             state, loss = train_step(state, batch)
@@ -185,7 +236,7 @@ def main(args):
         print(f"epoch {epoch} done in {time.time() - t0:.1f}s")
 
         confmat = ConfusionMatrix(num_classes)
-        for batch in _fake_batches(args, num_classes, 2, seed=999):
+        for batch in eval_iter:
             batch = shard_batch(batch, mesh)
             pred = eval_step(state, batch)
             confmat.update(batch["target"], np.asarray(pred))

@@ -177,3 +177,72 @@ def test_phototour_layout(tmp_path):
     p1, p2, is_match = test[0]
     assert is_match == 1 and test[1][2] == 0
     np.testing.assert_array_equal(p1[..., 0], grid[:64, :64])
+
+
+def test_segmentation_cli_real_voc_path(tmp_path):
+    """_voc_batches over a synthetic VOC tree (real-data code path)."""
+    import os
+
+    from vision_tpu.io.image import write_png
+
+    base = tmp_path / "VOCdevkit" / "VOC2012"
+    os.makedirs(base / "JPEGImages")
+    os.makedirs(base / "SegmentationClass")
+    os.makedirs(base / "ImageSets" / "Segmentation")
+    names = []
+    for i in range(2):
+        name = f"2007_{i:06d}"
+        names.append(name)
+        img = np.random.RandomState(i).randint(0, 255, (40, 60, 3), np.uint8)
+        write_png(img, str(base / "JPEGImages" / f"{name}.jpg"))
+        os.rename(
+            base / "JPEGImages" / f"{name}.jpg",
+            base / "JPEGImages" / f"{name}.jpg",
+        )
+        mask = np.random.RandomState(i).randint(0, 3, (40, 60, 1), np.uint8)
+        write_png(mask, str(base / "SegmentationClass" / f"{name}.png"))
+    with open(base / "ImageSets" / "Segmentation" / "train.txt", "w") as f:
+        f.write("\n".join(names) + "\n")
+
+    args = seg.get_args_parser().parse_args([
+        "--data-path", str(tmp_path), "--batch-size", "2", "--size", "32",
+    ])
+    batches = list(seg._voc_batches(args, "train", True, seed=0))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["image"].shape == (2, 32, 32, 3)
+    assert b["target"].shape == (2, 32, 32) and b["target"].dtype == np.int32
+    assert b["target"].max() <= 2
+
+
+def test_optical_flow_cli_real_chairs_path(tmp_path):
+    import os
+
+    from PIL import Image
+
+    from vision_tpu.datasets._optical_flow import write_flo
+
+    base = tmp_path / "FlyingChairs" / "data"
+    os.makedirs(base)
+    rng = np.random.RandomState(0)
+    for i in (1, 2):
+        for k in (1, 2):
+            Image.fromarray(
+                rng.randint(0, 255, (80, 96, 3), dtype=np.uint8)
+            ).save(base / f"{i:05d}_img{k}.ppm")
+        write_flo(
+            rng.randn(80, 96, 2).astype(np.float32), base / f"{i:05d}_flow.flo"
+        )
+    np.savetxt(
+        tmp_path / "FlyingChairs" / "FlyingChairs_train_val.txt", [1, 1],
+        fmt="%d",
+    )
+    args = flow.get_args_parser().parse_args([
+        "--data-path", str(tmp_path), "--batch-size", "2", "--size", "64",
+    ])
+    batches = list(flow._chairs_batches(args, "train", seed=0))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["image1"].shape == (2, 64, 64, 3)
+    assert b["flow"].shape == (2, 64, 64, 2)
+    assert -1.0 <= b["image1"].min() and b["image1"].max() <= 1.0
