@@ -42,6 +42,59 @@ def warmup_schedule(base_lr: float, warmup_iters: int = 1000,
     return schedule
 
 
+def _coco_batches(args, ann_file, img_dir, train=True, seed=0):
+    """Real-data path over vision_tpu.datasets.CocoDetection: resize the
+    longer side to the fixed canvas, pad, scale boxes, pad GT to
+    ``--max-boxes`` with a valid mask (static shapes for jit)."""
+    from vision_tpu.datasets import CocoDetection
+    from vision_tpu.transforms.v2 import functional as TF
+
+    ds = CocoDetection(img_dir, ann_file)
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(len(ds)) if train else np.arange(len(ds))
+    s, g = args.size, args.max_boxes
+    imgs, boxes_l, labels_l, valid_l = [], [], [], []
+    for idx in order:
+        img, annos = ds[int(idx)]
+        img = np.asarray(img)
+        h, w = img.shape[:2]
+        scale = s / max(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        img = np.asarray(TF.resize(img, (nh, nw))).astype(np.float32) / 255.0
+        canvas = np.zeros((s, s, 3), np.float32)
+        canvas[:nh, :nw] = img
+        if train and rng.rand() < 0.5:
+            canvas = canvas[:, ::-1].copy()
+            flip = True
+        else:
+            flip = False
+        boxes = np.zeros((g, 4), np.float32)
+        labels = np.zeros((g,), np.int32)
+        valid = np.zeros((g,), bool)
+        for j, a in enumerate(annos[:g]):
+            x, y, bw, bh = a["bbox"]
+            x1, y1 = x * scale, y * scale
+            x2, y2 = (x + bw) * scale, (y + bh) * scale
+            if flip:
+                x1, x2 = nw - x2, nw - x1
+            if x2 > x1 + 1 and y2 > y1 + 1:
+                boxes[j] = [x1, y1, x2, y2]
+                labels[j] = a["category_id"]
+                valid[j] = True
+        imgs.append(canvas)
+        boxes_l.append(boxes)
+        labels_l.append(labels)
+        valid_l.append(valid)
+        if len(imgs) == args.batch_size:
+            yield {
+                "image": np.stack(imgs),
+                "boxes": np.stack(boxes_l),
+                "labels": np.stack(labels_l),
+                "valid": np.stack(valid_l),
+            }
+            imgs, boxes_l, labels_l, valid_l = [], [], [], []
+
+
 def _fake_batches(args, steps, seed=0):
     rng = np.random.RandomState(seed)
     for _ in range(steps):
@@ -79,16 +132,21 @@ def main(args):
 
     key = jax.random.PRNGKey(args.seed)
     for epoch in range(args.epochs):
-        if not args.fake_data:
-            raise NotImplementedError(
-                "real COCO loading: wire vision_tpu.datasets.CocoDetection + "
-                "fixed-canvas collate here; use --fake-data for the smoke path"
+        if args.fake_data:
+            steps = args.steps_per_epoch or 100
+            train_iter = _fake_batches(args, steps, seed=epoch)
+        else:
+            train_iter = _coco_batches(
+                args,
+                os.path.join(
+                    args.data_path, "annotations", "instances_train2017.json"
+                ),
+                os.path.join(args.data_path, "train2017"),
+                train=True, seed=epoch,
             )
-        steps = args.steps_per_epoch or 100
         t0 = time.time()
         params, opt_state, key = train_one_epoch(
-            step_fn, params, opt_state,
-            _fake_batches(args, steps, seed=epoch), key, epoch,
+            step_fn, params, opt_state, train_iter, key, epoch,
             print_freq=args.print_freq,
         )
         print(f"epoch {epoch} done in {time.time() - t0:.1f}s")

@@ -246,3 +246,48 @@ def test_optical_flow_cli_real_chairs_path(tmp_path):
     assert b["image1"].shape == (2, 64, 64, 3)
     assert b["flow"].shape == (2, 64, 64, 2)
     assert -1.0 <= b["image1"].min() and b["image1"].max() <= 1.0
+
+
+def test_detection_cli_real_coco_path(tmp_path):
+    import json
+    import os
+
+    from vision_tpu.io.image import write_png
+
+    det = _load("det_train2", "detection")
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(0)
+    images, annos = [], []
+    for i in range(2):
+        write_png(
+            rng.randint(0, 255, (40, 60, 3), dtype=np.uint8),
+            str(img_dir / f"{i:012d}.png"),
+        )
+        images.append(
+            {"id": i, "file_name": f"{i:012d}.png", "height": 40, "width": 60}
+        )
+        annos.append(
+            {"id": i, "image_id": i, "category_id": 1,
+             "bbox": [5, 5, 20, 15], "area": 300, "iscrowd": 0}
+        )
+    ann_file = tmp_path / "ann.json"
+    with open(ann_file, "w") as f:
+        json.dump(
+            {"images": images, "annotations": annos,
+             "categories": [{"id": 1, "name": "thing"}]},
+            f,
+        )
+    args = det.get_args_parser().parse_args([
+        "--batch-size", "2", "--size", "64", "--max-boxes", "4",
+    ])
+    batches = list(det._coco_batches(args, str(ann_file), str(img_dir),
+                                     train=False))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["image"].shape == (2, 64, 64, 3)
+    assert b["boxes"].shape == (2, 4, 4) and b["valid"].sum() == 2
+    # box scaled by 64/60
+    np.testing.assert_allclose(
+        b["boxes"][0, 0], np.asarray([5, 5, 25, 20]) * (64 / 60), atol=0.5
+    )
