@@ -347,3 +347,92 @@ def test_flickr8k(tmp_path):
     ds = datasets.Flickr8k(tmp_path / "imgs", str(ann))
     img, captions = ds[0]
     assert captions == ["A dog runs.", "A dog sprints."]
+
+
+def test_places365_layout(tmp_path):
+    os.makedirs(tmp_path / "data_large" / "a" / "abbey", exist_ok=True)
+    _png(tmp_path / "data_large" / "a" / "abbey" / "00000001.jpg".replace(".jpg", ".png"))
+    os.rename(
+        tmp_path / "data_large" / "a" / "abbey" / "00000001.png",
+        tmp_path / "data_large" / "a" / "abbey" / "00000001.jpg",
+    )
+    with open(tmp_path / "categories_places365.txt", "w") as f:
+        f.write("/a/abbey 0\n/a/airfield 1\n")
+    with open(tmp_path / "places365_train_standard.txt", "w") as f:
+        f.write("/a/abbey/00000001.jpg 0\n")
+    ds = datasets.Places365(tmp_path, split="train-standard")
+    assert len(ds) == 1 and ds.classes[0] == "/a/abbey"
+    img, label = ds[0]
+    assert label == 0 and img.shape == (8, 8, 3)
+
+
+def test_inaturalist_layout(tmp_path):
+    base = tmp_path / "2021_train"
+    name = "00001_Animalia_Chordata_Aves_Passeriformes_Corvidae_Corvus_corax"
+    _png(base / name / "x.jpg")
+    os.rename(base / name / "x.jpg", base / name / "x.jpg")
+    ds = datasets.INaturalist(
+        tmp_path, version="2021_train", target_type=["full", "kingdom"]
+    )
+    assert len(ds) == 1
+    img, (full, kingdom) = ds[0]
+    assert full == 0 and kingdom == 0
+    assert ds.category_name("kingdom", 0) == "Animalia"
+
+
+def test_sbu_layout(tmp_path):
+    base = tmp_path / "dataset"
+    _png(base / "photo1.jpg".replace(".jpg", ".png"))
+    os.rename(base / "photo1.png", base / "photo1.jpg")
+    with open(base / "SBU_captioned_photo_dataset_urls.txt", "w") as f:
+        f.write("http://x/photo1.jpg\nhttp://x/missing.jpg\n")
+    with open(base / "SBU_captioned_photo_dataset_captions.txt", "w") as f:
+        f.write("a dog\na cat\n")
+    ds = datasets.SBU(tmp_path)
+    assert len(ds) == 1  # missing.jpg skipped
+    img, caption = ds[0]
+    assert caption == "a dog"
+
+
+def test_stanford_cars_layout(tmp_path):
+    sio = pytest.importorskip("scipy.io")
+    base = tmp_path / "stanford_cars"
+    os.makedirs(base / "devkit")
+    os.makedirs(base / "cars_train")
+    _png(base / "cars_train" / "00001.jpg".replace(".jpg", ".png"))
+    os.rename(base / "cars_train" / "00001.png", base / "cars_train" / "00001.jpg")
+    sio.savemat(
+        base / "devkit" / "cars_train_annos.mat",
+        {"annotations": np.asarray(
+            [(np.uint8(1), np.uint8(1), np.uint8(1), np.uint8(1),
+              np.uint8(3), "00001.jpg")],
+            dtype=[("bbox_x1", "O"), ("bbox_y1", "O"), ("bbox_x2", "O"),
+                   ("bbox_y2", "O"), ("class", "O"), ("fname", "O")],
+        )},
+    )
+    sio.savemat(
+        base / "devkit" / "cars_meta.mat",
+        {"class_names": np.asarray(["A", "B", "C"], object)},
+    )
+    ds = datasets.StanfordCars(tmp_path, split="train")
+    assert len(ds) == 1
+    img, label = ds[0]
+    assert label == 2 and ds.classes == ["A", "B", "C"]
+
+
+def test_sbd_layout(tmp_path):
+    sio = pytest.importorskip("scipy.io")
+    _png(tmp_path / "img" / "2008_000002.jpg".replace(".jpg", ".png"))
+    os.rename(tmp_path / "img" / "2008_000002.png",
+              tmp_path / "img" / "2008_000002.jpg")
+    os.makedirs(tmp_path / "cls")
+    seg = np.random.RandomState(0).randint(0, 3, (8, 8)).astype(np.uint8)
+    sio.savemat(
+        tmp_path / "cls" / "2008_000002.mat",
+        {"GTcls": {"Segmentation": seg, "Boundaries": np.zeros((20, 1), object)}},
+    )
+    with open(tmp_path / "train.txt", "w") as f:
+        f.write("2008_000002\n")
+    ds = datasets.SBDataset(tmp_path, image_set="train", mode="segmentation")
+    img, target = ds[0]
+    np.testing.assert_array_equal(target, seg)
