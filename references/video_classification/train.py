@@ -56,6 +56,38 @@ class VideoAccuracy:
         return correct / len(self.scores)
 
 
+def _kinetics_batches(args, split="train", seed=0):
+    """Real-data path over vision_tpu.datasets.Kinetics +
+    RandomClipSampler (requires a video backend: pyav)."""
+    from vision_tpu.datasets import Kinetics, RandomClipSampler
+    from vision_tpu.transforms.v2 import functional as TF
+
+    ds = Kinetics(
+        args.data_path, frames_per_clip=args.clip_len, split=split,
+        step_between_clips=args.clip_len,
+    )
+    sampler = RandomClipSampler(ds.video_clips, max_clips_per_video=5)
+    rng = np.random.RandomState(seed)
+    vids, labels, ids = [], [], []
+    for clip_idx in iter(sampler):
+        video, _audio, label = ds[int(clip_idx)]
+        video = np.asarray(
+            TF.resize(video.astype(np.float32) / 255.0, (args.size, args.size))
+        )
+        if split == "train" and rng.rand() < 0.5:
+            video = video[:, :, ::-1].copy()
+        vids.append(video)
+        labels.append(label)
+        ids.append(ds.video_clips.get_clip_location(int(clip_idx))[0])
+        if len(vids) == args.batch_size:
+            yield {
+                "video": np.stack(vids),
+                "label": np.asarray(labels, np.int32),
+                "video_id": np.asarray(ids),
+            }
+            vids, labels, ids = [], [], []
+
+
 def _fake_batches(args, num_classes, steps, seed=0):
     rng = np.random.RandomState(seed)
     for i in range(steps):
@@ -135,16 +167,14 @@ def main(args):
 
     for epoch in range(args.epochs):
         logger = utils.MetricLogger()
-        steps = args.steps_per_epoch or 100
-        if not args.fake_data:
-            raise NotImplementedError(
-                "real Kinetics loading: wire vision_tpu.datasets.Kinetics + "
-                "RandomClipSampler here; use --fake-data for the smoke path"
-            )
+        if args.fake_data:
+            steps = args.steps_per_epoch or 100
+            train_iter = _fake_batches(args, num_classes, steps, seed=epoch)
+        else:
+            train_iter = _kinetics_batches(args, "train", seed=epoch)
         t0 = time.time()
         for batch in logger.log_every(
-            _fake_batches(args, num_classes, steps, seed=epoch),
-            args.print_freq, f"Epoch [{epoch}]",
+            train_iter, args.print_freq, f"Epoch [{epoch}]",
         ):
             sharded = shard_batch(
                 {"video": batch["video"], "label": batch["label"]}, mesh
