@@ -159,3 +159,26 @@ def verify_str_arg(value, arg=None, valid_values=None, custom_msg=None):
             f"{{{', '.join(valid_values)}}}."
         )
     return value
+
+
+def iterable_to_str(iterable) -> str:
+    """reference ``utils.py`` iterable_to_str."""
+    return "'" + "', '".join(str(item) for item in iterable) + "'"
+
+
+def path_or_str(path):
+    """reference ``utils.py``: normalize PathLike to str."""
+    import os as _os
+
+    return _os.fspath(path) if hasattr(path, "__fspath__") else path
+
+
+def download_file_from_google_drive(file_id, root, filename=None, md5=None):
+    """reference ``utils.py:172``. Google Drive requires interactive token
+    handling that needs the gdown package; unavailable here (and this
+    environment has no egress) — datasets that need it (CelebA, PCAM)
+    document manual placement instead."""
+    raise RuntimeError(
+        "Google Drive downloads require the gdown package (not installed); "
+        f"place the file manually under {root}"
+    )
