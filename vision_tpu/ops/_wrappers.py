@@ -8,11 +8,9 @@ parameters)."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import flax.linen as nn
-import jax
-import jax.numpy as jnp
 
 from vision_tpu.ops.deform_conv import deform_conv2d
 from vision_tpu.ops.drop_block import drop_block2d, drop_block3d
