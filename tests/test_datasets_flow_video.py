@@ -436,3 +436,18 @@ def test_sbd_layout(tmp_path):
     ds = datasets.SBDataset(tmp_path, image_set="train", mode="segmentation")
     img, target = ds[0]
     np.testing.assert_array_equal(target, seg)
+
+
+def test_hmdb51_split_selection(tmp_path):
+    from vision_tpu.datasets.video import HMDB51
+
+    ann = tmp_path / "splits"
+    os.makedirs(ann)
+    with open(ann / "brush_hair_test_split1.txt", "w") as f:
+        f.write("vid_a.avi 1\nvid_b.avi 2\nvid_c.avi 0\n")
+    with open(ann / "brush_hair_test_split2.txt", "w") as f:
+        f.write("vid_d.avi 1\n")
+    train = HMDB51._select(str(ann), fold=1, tag=HMDB51.TRAIN_TAG)
+    test = HMDB51._select(str(ann), fold=1, tag=HMDB51.TEST_TAG)
+    assert train == {"vid_a.avi"} and test == {"vid_b.avi"}
+    assert HMDB51._select(str(ann), fold=2, tag=1) == {"vid_d.avi"}

@@ -164,13 +164,33 @@ class Food101(_ListDataset):
 class GTSRB(_ListDataset):
     """reference ``gtsrb.py``: train = class folders of .ppm; test = CSV."""
 
+    _BASE_URL = (
+        "https://sid.erda.dk/public/archives/"
+        "daaeac0d7ce1152aea9b61d9f1e19370/"
+    )
+
     def __init__(self, root, split="train", transform=None,
                  target_transform=None, download=False):
         super().__init__(root, transform, target_transform)
         split = verify_str_arg(split, "split", ("train", "test"))
         base = pathlib.Path(self.root) / "gtsrb"
+        if download and not base.exists():
+            if split == "train":
+                download_and_extract_archive(
+                    self._BASE_URL + "GTSRB-Training_fixed.zip", str(base),
+                    md5="513f3c79a4c5141765e10e952eaa2478",
+                )
+            else:
+                download_and_extract_archive(
+                    self._BASE_URL + "GTSRB_Final_Test_Images.zip", str(base),
+                    md5="c7e4e6327067d32654124b0fe9e82185",
+                )
+                download_and_extract_archive(
+                    self._BASE_URL + "GTSRB_Final_Test_GT.zip", str(base),
+                    md5="fe31e9c9270bbcd7b84b7f21a9d9d9e5",
+                )
         if not base.exists():
-            raise RuntimeError("Dataset not found (download via the GTSRB site)")
+            raise RuntimeError("Dataset not found; use download=True")
         if split == "train":
             folder = base / "GTSRB" / "Training"
             # class id is the integer folder name (e.g. 00007 -> 7)
