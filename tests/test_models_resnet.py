@@ -90,3 +90,13 @@ def test_mobilenet_v2_matches_torch():
     tm = randomize_bn_stats(TorchMobileNetV2(num_classes=10))
     fm = mobilenet_v2(num_classes=10)
     _convert_and_compare(tm, fm, atol=5e-4)
+
+
+def test_efficientnet_b0_matches_torch():
+    from tests.torch_refs import TorchEfficientNetB0
+
+    from vision_tpu.models import efficientnet_b0
+
+    tm = randomize_bn_stats(TorchEfficientNetB0(num_classes=10))
+    fm = efficientnet_b0(num_classes=10)
+    _convert_and_compare(tm, fm, atol=1e-3)

@@ -268,3 +268,78 @@ class TorchMobileNetV2(nn.Module):
         x = self.features(x)
         x = torch.nn.functional.adaptive_avg_pool2d(x, 1).flatten(1)
         return self.classifier(x)
+
+
+# ---- EfficientNet-B0 (reference ``efficientnet.py``: MBConv with SiLU +
+# squeeze-excite; exercises SE gating + 5x5 depthwise + SiLU numerics) ----
+class TorchSqueezeExcite(nn.Module):
+    def __init__(self, input_c, squeeze_c):
+        super().__init__()
+        self.fc1 = nn.Conv2d(input_c, squeeze_c, 1)
+        self.fc2 = nn.Conv2d(squeeze_c, input_c, 1)
+
+    def forward(self, x):
+        s = torch.nn.functional.adaptive_avg_pool2d(x, 1)
+        s = torch.nn.functional.silu(self.fc1(s))
+        s = torch.sigmoid(self.fc2(s))
+        return x * s
+
+
+def _t_cna(inp, out, k, s=1, groups=1, act=True):
+    layers = [
+        nn.Conv2d(inp, out, k, s, (k - 1) // 2, groups=groups, bias=False),
+        nn.BatchNorm2d(out),
+    ]
+    if act:
+        layers.append(nn.SiLU(inplace=True))
+    return nn.Sequential(*layers)
+
+
+class TorchEffMBConv(nn.Module):
+    def __init__(self, expand, kernel, stride, inp, out):
+        super().__init__()
+        self.use_res = stride == 1 and inp == out
+        hidden = inp * expand
+        blocks = []
+        if hidden != inp:
+            blocks.append(_t_cna(inp, hidden, 1))
+        blocks.append(_t_cna(hidden, hidden, kernel, stride, groups=hidden))
+        blocks.append(TorchSqueezeExcite(hidden, max(1, inp // 4)))
+        blocks.append(_t_cna(hidden, out, 1, act=False))
+        self.block = nn.Sequential(*blocks)
+
+    def forward(self, x):
+        out = self.block(x)
+        return x + out if self.use_res else out
+
+
+class TorchEfficientNetB0(nn.Module):
+    _CFG = [
+        (1, 3, 1, 32, 16, 1), (6, 3, 2, 16, 24, 2), (6, 5, 2, 24, 40, 2),
+        (6, 3, 2, 40, 80, 3), (6, 5, 1, 80, 112, 3), (6, 5, 2, 112, 192, 4),
+        (6, 3, 1, 192, 320, 1),
+    ]
+
+    def __init__(self, num_classes=10):
+        super().__init__()
+        features = [_t_cna(3, 32, 3, 2)]
+        for expand, k, s, inp, out, n in self._CFG:
+            stage = []
+            for j in range(n):
+                stage.append(
+                    TorchEffMBConv(
+                        expand, k, s if j == 0 else 1,
+                        inp if j == 0 else out, out,
+                    )
+                )
+            features.append(nn.Sequential(*stage))
+        features.append(_t_cna(320, 1280, 1))
+        self.features = nn.Sequential(*features)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.2), nn.Linear(1280, num_classes)
+        )
+
+    def forward(self, x):
+        x = self.features(x)
+        x = torch.nn.functional.adaptive_avg_pool2d(x, 1).flatten(1)
+        return self.classifier(x)
