@@ -100,3 +100,13 @@ def test_efficientnet_b0_matches_torch():
     tm = randomize_bn_stats(TorchEfficientNetB0(num_classes=10))
     fm = efficientnet_b0(num_classes=10)
     _convert_and_compare(tm, fm, atol=1e-3)
+
+
+def test_shufflenet_v2_matches_torch():
+    from tests.torch_refs import TorchShuffleNetV2
+
+    from vision_tpu.models import shufflenet_v2_x1_0
+
+    tm = randomize_bn_stats(TorchShuffleNetV2(num_classes=10))
+    fm = shufflenet_v2_x1_0(num_classes=10)
+    _convert_and_compare(tm, fm, atol=5e-4)

@@ -343,3 +343,82 @@ class TorchEfficientNetB0(nn.Module):
         x = self.features(x)
         x = torch.nn.functional.adaptive_avg_pool2d(x, 1).flatten(1)
         return self.classifier(x)
+
+
+# ---- ShuffleNetV2 x1.0 (reference ``shufflenetv2.py``: channel shuffle is
+# the most layout-sensitive op in the zoo — verifies NHWC channel-group
+# semantics match torch's NCHW view/transpose trick) --------------------
+def _t_channel_shuffle(x, groups):
+    n, c, h, w = x.shape
+    x = x.view(n, groups, c // groups, h, w)
+    x = x.transpose(1, 2).contiguous()
+    return x.view(n, c, h, w)
+
+
+class TorchShuffleUnit(nn.Module):
+    def __init__(self, inp, oup, stride):
+        super().__init__()
+        self.stride = stride
+        branch_features = oup // 2
+        if stride > 1:
+            self.branch1 = nn.Sequential(
+                nn.Conv2d(inp, inp, 3, stride, 1, groups=inp, bias=False),
+                nn.BatchNorm2d(inp),
+                nn.Conv2d(inp, branch_features, 1, bias=False),
+                nn.BatchNorm2d(branch_features),
+                nn.ReLU(inplace=True),
+            )
+        else:
+            self.branch1 = nn.Sequential()
+        in2 = inp if stride > 1 else branch_features
+        self.branch2 = nn.Sequential(
+            nn.Conv2d(in2, branch_features, 1, bias=False),
+            nn.BatchNorm2d(branch_features),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(branch_features, branch_features, 3, stride, 1,
+                      groups=branch_features, bias=False),
+            nn.BatchNorm2d(branch_features),
+            nn.Conv2d(branch_features, branch_features, 1, bias=False),
+            nn.BatchNorm2d(branch_features),
+            nn.ReLU(inplace=True),
+        )
+
+    def forward(self, x):
+        if self.stride == 1:
+            x1, x2 = x.chunk(2, dim=1)
+            out = torch.cat((x1, self.branch2(x2)), dim=1)
+        else:
+            out = torch.cat((self.branch1(x), self.branch2(x)), dim=1)
+        return _t_channel_shuffle(out, 2)
+
+
+class TorchShuffleNetV2(nn.Module):
+    def __init__(self, num_classes=10):
+        super().__init__()
+        stages_repeats = [4, 8, 4]
+        out_c = [24, 116, 232, 464, 1024]
+        self.conv1 = nn.Sequential(
+            nn.Conv2d(3, out_c[0], 3, 2, 1, bias=False),
+            nn.BatchNorm2d(out_c[0]),
+            nn.ReLU(inplace=True),
+        )
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        inp = out_c[0]
+        for i, (reps, oup) in enumerate(zip(stages_repeats, out_c[1:4])):
+            stage = [TorchShuffleUnit(inp, oup, 2)]
+            for _ in range(reps - 1):
+                stage.append(TorchShuffleUnit(oup, oup, 1))
+            setattr(self, f"stage{i + 2}", nn.Sequential(*stage))
+            inp = oup
+        self.conv5 = nn.Sequential(
+            nn.Conv2d(inp, out_c[-1], 1, bias=False),
+            nn.BatchNorm2d(out_c[-1]),
+            nn.ReLU(inplace=True),
+        )
+        self.fc = nn.Linear(out_c[-1], num_classes)
+
+    def forward(self, x):
+        x = self.maxpool(self.conv1(x))
+        x = self.stage4(self.stage3(self.stage2(x)))
+        x = self.conv5(x)
+        return self.fc(x.mean([2, 3]))
