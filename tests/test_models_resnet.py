@@ -110,3 +110,21 @@ def test_shufflenet_v2_matches_torch():
     tm = randomize_bn_stats(TorchShuffleNetV2(num_classes=10))
     fm = shufflenet_v2_x1_0(num_classes=10)
     _convert_and_compare(tm, fm, atol=5e-4)
+
+
+def test_r3d_18_matches_torch():
+    from tests.torch_refs import TorchR3D18
+
+    from vision_tpu.models.video import r3d_18
+
+    tm = randomize_bn_stats(TorchR3D18(num_classes=7))
+    tm.eval()
+    fm = r3d_18(num_classes=7)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_torch_state_dict(sd, fm.variables)
+    # video input: ours NTHWC, torch NCTHW
+    x = np.random.RandomState(0).rand(1, 8, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x).permute(0, 4, 1, 2, 3)).numpy()
+    out = np.asarray(fm.module.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-4)

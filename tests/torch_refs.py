@@ -422,3 +422,54 @@ class TorchShuffleNetV2(nn.Module):
         x = self.stage4(self.stage3(self.stage2(x)))
         x = self.conv5(x)
         return self.fc(x.mean([2, 3]))
+
+
+# ---- r3d_18 (reference ``video/resnet.py``: 3D convolutions) -----------
+class TorchBasicBlock3D(nn.Module):
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Sequential(
+            nn.Conv3d(inplanes, planes, 3, stride, 1, bias=False),
+            nn.BatchNorm3d(planes),
+            nn.ReLU(inplace=True),
+        )
+        self.conv2 = nn.Sequential(
+            nn.Conv3d(planes, planes, 3, 1, 1, bias=False),
+            nn.BatchNorm3d(planes),
+        )
+        self.downsample = downsample
+        self.relu = nn.ReLU(inplace=True)
+
+    def forward(self, x):
+        identity = self.downsample(x) if self.downsample else x
+        return self.relu(self.conv2(self.conv1(x)) + identity)
+
+
+class TorchR3D18(nn.Module):
+    def __init__(self, num_classes=10):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv3d(3, 64, (3, 7, 7), (1, 2, 2), (1, 3, 3), bias=False),
+            nn.BatchNorm3d(64),
+            nn.ReLU(inplace=True),
+        )
+        inplanes = 64
+        for i, planes in enumerate((64, 128, 256, 512)):
+            stride = 1 if i == 0 else 2
+            ds = None
+            if stride != 1 or inplanes != planes:
+                ds = nn.Sequential(
+                    nn.Conv3d(inplanes, planes, 1, stride, bias=False),
+                    nn.BatchNorm3d(planes),
+                )
+            blocks = [TorchBasicBlock3D(inplanes, planes, stride, ds),
+                      TorchBasicBlock3D(planes, planes)]
+            setattr(self, f"layer{i + 1}", nn.Sequential(*blocks))
+            inplanes = planes
+        self.avgpool = nn.AdaptiveAvgPool3d(1)
+        self.fc = nn.Linear(512, num_classes)
+
+    def forward(self, x):  # x: [N, C, T, H, W]
+        x = self.stem(x)
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        return self.fc(self.avgpool(x).flatten(1))
