@@ -128,3 +128,13 @@ def test_r3d_18_matches_torch():
         ref = tm(torch.from_numpy(x).permute(0, 4, 1, 2, 3)).numpy()
     out = np.asarray(fm.module.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-4)
+
+
+def test_densenet121_matches_torch():
+    from tests.torch_refs import TorchDenseNet121
+
+    from vision_tpu.models import densenet121
+
+    tm = randomize_bn_stats(TorchDenseNet121(num_classes=10))
+    fm = densenet121(num_classes=10)
+    _convert_and_compare(tm, fm, atol=1e-3)

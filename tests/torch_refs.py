@@ -473,3 +473,65 @@ class TorchR3D18(nn.Module):
         x = self.stem(x)
         x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
         return self.fc(self.avgpool(x).flatten(1))
+
+
+# ---- DenseNet-121 (reference ``densenet.py``: concat feature growth) ----
+class TorchDenseLayer(nn.Module):
+    def __init__(self, inp, growth, bn_size):
+        super().__init__()
+        self.norm1 = nn.BatchNorm2d(inp)
+        self.conv1 = nn.Conv2d(inp, bn_size * growth, 1, bias=False)
+        self.norm2 = nn.BatchNorm2d(bn_size * growth)
+        self.conv2 = nn.Conv2d(bn_size * growth, growth, 3, padding=1,
+                               bias=False)
+
+    def forward(self, x):
+        out = self.conv1(torch.relu(self.norm1(x)))
+        return self.conv2(torch.relu(self.norm2(out)))
+
+
+class TorchDenseNet121(nn.Module):
+    def __init__(self, num_classes=10):
+        super().__init__()
+        growth, bn_size, init = 32, 4, 64
+        block_config = (6, 12, 24, 16)
+        features = nn.Module()
+        features.conv0 = nn.Conv2d(3, init, 7, 2, 3, bias=False)
+        features.norm0 = nn.BatchNorm2d(init)
+        n = init
+        for i, layers in enumerate(block_config):
+            block = nn.Module()
+            for j in range(layers):
+                setattr(
+                    block, f"denselayer{j + 1}",
+                    TorchDenseLayer(n + j * growth, growth, bn_size),
+                )
+            setattr(features, f"denseblock{i + 1}", block)
+            n += layers * growth
+            if i != len(block_config) - 1:
+                trans = nn.Module()
+                trans.norm = nn.BatchNorm2d(n)
+                trans.conv = nn.Conv2d(n, n // 2, 1, bias=False)
+                setattr(features, f"transition{i + 1}", trans)
+                n //= 2
+        features.norm5 = nn.BatchNorm2d(n)
+        self.features = features
+        self.classifier = nn.Linear(n, num_classes)
+        self._block_config = block_config
+
+    def forward(self, x):
+        f = self.features
+        x = torch.relu(f.norm0(f.conv0(x)))
+        x = torch.nn.functional.max_pool2d(x, 3, 2, 1)
+        for i, layers in enumerate(self._block_config):
+            block = getattr(f, f"denseblock{i + 1}")
+            for j in range(layers):
+                new = getattr(block, f"denselayer{j + 1}")(x)
+                x = torch.cat([x, new], dim=1)
+            if i != len(self._block_config) - 1:
+                t = getattr(f, f"transition{i + 1}")
+                x = t.conv(torch.relu(t.norm(x)))
+                x = torch.nn.functional.avg_pool2d(x, 2, 2)
+        x = torch.relu(f.norm5(x))
+        x = torch.nn.functional.adaptive_avg_pool2d(x, 1).flatten(1)
+        return self.classifier(x)
