@@ -138,3 +138,22 @@ def test_densenet121_matches_torch():
     tm = randomize_bn_stats(TorchDenseNet121(num_classes=10))
     fm = densenet121(num_classes=10)
     _convert_and_compare(tm, fm, atol=1e-3)
+
+
+def test_vgg11_matches_torch():
+    """VGG's classifier flattens CHW-ordered features — exercises the
+    CHW->HWC Linear-reorder conversion hook."""
+    from tests.torch_refs import TorchVGG11
+
+    from vision_tpu.models import vgg11
+
+    tm = TorchVGG11(num_classes=10)
+    tm.eval()
+    fm = vgg11(num_classes=10)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_torch_state_dict(sd, fm.variables)
+    x = np.random.RandomState(0).rand(1, 224, 224, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    out = np.asarray(fm.module.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-4)

@@ -535,3 +535,30 @@ class TorchDenseNet121(nn.Module):
         x = torch.relu(f.norm5(x))
         x = torch.nn.functional.adaptive_avg_pool2d(x, 1).flatten(1)
         return self.classifier(x)
+
+
+# ---- VGG-11 (reference ``vgg.py``: plain conv stacks + 3-layer head) ----
+class TorchVGG11(nn.Module):
+    _CFG = [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"]
+
+    def __init__(self, num_classes=10):
+        super().__init__()
+        layers = []
+        inp = 3
+        for v in self._CFG:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers += [nn.Conv2d(inp, v, 3, padding=1), nn.ReLU(True)]
+                inp = v
+        self.features = nn.Sequential(*layers)
+        self.avgpool = nn.AdaptiveAvgPool2d((7, 7))
+        self.classifier = nn.Sequential(
+            nn.Linear(512 * 7 * 7, 4096), nn.ReLU(True), nn.Dropout(),
+            nn.Linear(4096, 4096), nn.ReLU(True), nn.Dropout(),
+            nn.Linear(4096, num_classes),
+        )
+
+    def forward(self, x):
+        x = self.avgpool(self.features(x)).flatten(1)
+        return self.classifier(x)
