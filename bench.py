@@ -1,53 +1,84 @@
-"""Benchmark: ResNet-50 inference throughput (images/sec/chip).
+"""Benchmark: ResNet-50 end-to-end throughput (decode -> transform ->
+forward), images/sec/chip — the BASELINE.json north-star metric — plus
+forward-only throughput, detection-head NMS boxes/sec, and a bf16 MFU
+estimate, all in ONE JSON line:
 
-Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}``
+
+Backend guard: the axon TPU plugin can fail transiently on init
+(round-1 failure: BENCH_r01 rc=1 "Unable to initialize backend 'axon'").
+Before importing jax for real work, the backend is probed in bounded-retry
+SUBPROCESSES (a failed in-process init poisons jax's backend cache). On
+persistent failure a diagnostic JSON line is still printed (value 0.0,
+explicit "error" field) so the driver artifact is parseable.
 
 Measurement notes: the axon tunnel adds ~35 ms of fixed round-trip latency
-per host->device dispatch+fetch, and ``block_until_ready`` does not reliably
-block through it. So the benchmark runs all iterations in ONE on-device
-``lax.fori_loop`` whose carry chains iterations (preventing both XLA
-loop-invariant hoisting and overlapped timing illusions) and fetches a
-single scalar at the end — the honest wall-clock of N sequential forwards.
-
-The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
-reported against the north-star proxy of 2000 img/s/chip (≈2x A100-class
-ResNet-50 bf16 inference at batch 64).
+per host->device dispatch+fetch. Device-bound sections therefore run all
+iterations in ONE on-device ``lax.fori_loop`` whose carry chains iterations
+(preventing loop-invariant hoisting) and fetch a single scalar at the end.
+The e2e section instead chains batches through an on-device accumulator and
+fetches once after the last batch, so host decode / H2D / compute overlap is
+measured honestly without a per-batch sync.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-
 BASELINE_IMG_PER_SEC = 2000.0  # 2x A100-class proxy (BASELINE.json north star)
+V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e peak bf16 FLOP/s (public spec)
+RESNET50_FWD_FLOPS = 8.24e9  # 4.12 GMACs * 2, 224x224 (reference meta _ops)
 
 
-def main():
+def _probe_backend(max_attempts: int = 3):
+    """Probe device init in subprocesses with backoff. Returns
+    (ok, backend_or_error)."""
+    delays = [0, 10, 30]
+    last_err = "unknown"
+    for attempt in range(max_attempts):
+        if delays[attempt]:
+            time.sleep(delays[attempt])
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax, jax.numpy as jnp;"
+                    "jnp.zeros(()).block_until_ready();"
+                    "print('BACKEND=' + jax.default_backend())",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=420,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"probe attempt {attempt + 1}: timeout after 420s"
+            continue
+        if proc.returncode == 0 and "BACKEND=" in proc.stdout:
+            backend = proc.stdout.rsplit("BACKEND=", 1)[1].strip()
+            return True, backend
+        last_err = (
+            f"probe attempt {attempt + 1}: rc={proc.returncode} "
+            + proc.stderr.strip().splitlines()[-1:][0]
+            if proc.stderr.strip()
+            else f"probe attempt {attempt + 1}: rc={proc.returncode}"
+        )
+    return False, last_err
+
+
+def _bench_forward(module, variables, batch, n_iters):
+    """Forward-only img/s: n_iters chained forwards in one fori_loop."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from vision_tpu.models import resnet50
-
-    batch = 64
-    n_iters = 50
-    model = resnet50()
-    module, variables = model.module, model.variables
-
-    variables = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if isinstance(x, jax.Array) and x.dtype == jnp.float32
-        else x,
-        variables,
-    )
-
     @jax.jit
     def bench_fn(variables, x):
         def body(i, acc):
-            # acc feeds back into the input: serializes iterations and
-            # defeats loop-invariant code motion
             out = module.apply(
                 variables, x + (acc * 1e-12).astype(x.dtype), train=False
             )
@@ -58,20 +89,159 @@ def main():
     x = jnp.asarray(
         np.random.RandomState(0).rand(batch, 224, 224, 3), jnp.bfloat16
     )
-
     float(bench_fn(variables, x))  # compile + warm
     t0 = time.perf_counter()
     float(bench_fn(variables, x))  # scalar fetch forces full execution
     dt = time.perf_counter() - t0
+    return batch * n_iters / dt
 
-    img_per_sec = batch * n_iters / dt
+
+def _bench_e2e(module, variables, batch, n_batches):
+    """End-to-end decode -> transform -> forward img/s using the prefetch
+    pipeline (vision_tpu/io/prefetch.py). JPEG decode on host threads,
+    uint8 H2D, on-device resize/crop/normalize fused into the forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vision_tpu.io.image import decode_jpeg, encode_jpeg
+    from vision_tpu.io.prefetch import prefetch_to_device
+
+    # Synthetic ImageNet-val-like JPEGs (500x375, quality 75), encoded once.
+    rng = np.random.RandomState(0)
+    n_unique = 32
+    jpegs = [
+        encode_jpeg(
+            rng.randint(0, 256, (375, 500, 3)).astype(np.uint8), quality=75
+        )
+        for _ in range(n_unique)
+    ]
+
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32) * 255.0
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32) * 255.0
+
+    @jax.jit
+    def step(variables, raw_u8, acc):
+        # on-device preprocessing: resize short side 232 -> center crop 224
+        x = raw_u8.astype(jnp.float32)
+        x = jax.image.resize(
+            x, (x.shape[0], 232, 309, 3), method="bilinear", antialias=True
+        )
+        top, left = (232 - 224) // 2, (309 - 224) // 2
+        x = x[:, top : top + 224, left : left + 224, :]
+        x = ((x - mean) / std).astype(jnp.bfloat16)
+        out = module.apply(variables, x, train=False)
+        return acc + jnp.sum(out.astype(jnp.float32)) * 1e-9
+
+    def host_batches():
+        for b in range(n_batches):
+            arrs = [
+                np.asarray(decode_jpeg(jpegs[(b * batch + i) % n_unique]))
+                for i in range(batch)
+            ]
+            yield np.stack(arrs)
+
+    # warm: compile the step on one batch
+    warm = next(iter(host_batches()))
+    acc = jnp.float32(0.0)
+    acc = step(variables, jnp.asarray(warm), acc)
+    float(acc)
+
+    acc = jnp.float32(0.0)
+    t0 = time.perf_counter()
+    for raw in prefetch_to_device(host_batches(), depth=2):
+        acc = step(variables, raw, acc)
+    float(acc)  # single sync at the end
+    dt = time.perf_counter() - t0
+    return batch * n_batches / dt
+
+
+def _bench_nms(n_boxes=1024, n_iters=20):
+    """Detection-head NMS boxes/sec on device (BASELINE boxes/sec metric)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vision_tpu.ops.nms import nms_mask
+
+    rng = np.random.RandomState(0)
+    wh = rng.uniform(10, 80, (n_boxes, 2)).astype(np.float32)
+    xy = rng.uniform(0, 800, (n_boxes, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1))
+    scores = jnp.asarray(rng.rand(n_boxes).astype(np.float32))
+
+    @jax.jit
+    def nms_loop(boxes, scores):
+        def body(_, carry):
+            b, s = carry
+            keep = nms_mask(b, s, 0.5)
+            return b, s + keep.astype(s.dtype) * 1e-6
+
+        b, s = jax.lax.fori_loop(0, n_iters, body, (boxes, scores))
+        return s.sum()
+
+    float(nms_loop(boxes, scores))  # compile
+    t0 = time.perf_counter()
+    float(nms_loop(boxes, scores))
+    dt = (time.perf_counter() - t0) / n_iters
+    return n_boxes / dt
+
+
+def main():
+    ok, backend_or_err = _probe_backend()
+    if not ok:
+        print(
+            json.dumps(
+                {
+                    "metric": "resnet50_e2e_images_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "images/sec",
+                    "vs_baseline": 0.0,
+                    "error": f"backend init failed after retries: "
+                    f"{backend_or_err}",
+                }
+            )
+        )
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    from vision_tpu.models import resnet50
+
+    batch = 64
+    model = resnet50()
+    module, variables = model.module, model.variables
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if isinstance(x, jax.Array) and x.dtype == jnp.float32
+        else x,
+        variables,
+    )
+
+    fwd_img_s = _bench_forward(module, variables, batch, n_iters=50)
+    e2e_img_s = _bench_e2e(module, variables, batch, n_batches=12)
+    nms_boxes_s = _bench_nms()
+
+    mfu = fwd_img_s * RESNET50_FWD_FLOPS / V5E_BF16_PEAK_FLOPS
+
     print(
         json.dumps(
             {
-                "metric": "resnet50_fwd_images_per_sec_per_chip",
-                "value": round(img_per_sec, 1),
+                "metric": "resnet50_e2e_images_per_sec_per_chip",
+                "value": round(e2e_img_s, 1),
                 "unit": "images/sec",
-                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+                "vs_baseline": round(e2e_img_s / BASELINE_IMG_PER_SEC, 3),
+                "extra": {
+                    "backend": backend_or_err,
+                    "fwd_images_per_sec": round(fwd_img_s, 1),
+                    "fwd_bf16_mfu_vs_v5e_peak": round(mfu, 4),
+                    "nms_boxes_per_sec": round(nms_boxes_s, 0),
+                    "host_cpu_cores": os.cpu_count(),
+                    "note": "e2e includes host JPEG decode; this sandbox "
+                    "host has 1 vCPU so decode bounds e2e (prod v5e hosts "
+                    "have ~14 vCPU/chip)",
+                },
             }
         )
     )

@@ -426,3 +426,71 @@ def test_clamp_bounding_boxes():
     )
     out = F.clamp_bounding_boxes(bb)
     np.testing.assert_allclose(np.asarray(out.data), [[0, 0, 25, 20]])
+
+
+# ------------------------------------------------- rotate expand (r2) ----
+def test_rotate_keypoints_expand_tracks_image():
+    """ADVICE r1 (medium): rotate(KeyPoints, expand=True) must translate
+    points into the expanded canvas (reference
+    ``_affine_keypoints_with_expand`` subtracts the transformed-frame min).
+    Oracle-free check: a keypoint must stay on the image marker it tags."""
+    for angle in (30.0, -47.0, 120.0):
+        img = np.zeros((60, 80, 1), np.float32)
+        img[35, 10, 0] = 1.0  # marker at (x=10, y=35)
+        kp = tv_tensors.KeyPoints(
+            np.array([[10.0, 35.0]], np.float32), canvas_size=(60, 80)
+        )
+        oi = np.asarray(
+            F.rotate_image(jnp.asarray(img), angle, "bilinear", expand=True)
+        )
+        ok = F.rotate(kp, angle, expand=True)
+        ys, xs, _ = np.nonzero(oi > 0.05)
+        cx, cy = xs.mean() + 0.5, ys.mean() + 0.5  # pixel-center coords
+        px, py = np.asarray(ok.data)[0]
+        assert abs(cx - px) < 1.2 and abs(cy - py) < 1.2, (
+            f"angle={angle}: marker ({cx:.2f},{cy:.2f}) vs kp ({px:.2f},{py:.2f})"
+        )
+
+
+def test_rotate_expand_custom_center():
+    """ADVICE r1 (low): expand size must come from the actual matrix incl.
+    a non-default center (reference ``_compute_affine_output_size``), not a
+    center-ignoring closed form. A marker near the rotation center stays in
+    frame and must line up between the image and keypoint paths."""
+    img = np.zeros((40, 60, 1), np.float32)
+    img[12, 14, 0] = 1.0  # near the custom center (10, 10)
+    out = np.asarray(
+        F.rotate_image(jnp.asarray(img), 35.0, "bilinear", expand=True,
+                       center=[10.0, 10.0])
+    )
+    # canvas derived from the actual matrix: differs from default-center
+    default = np.asarray(
+        F.rotate_image(jnp.asarray(img), 35.0, "bilinear", expand=True)
+    )
+    assert out.shape != default.shape, (
+        "expand canvas ignored the custom center"
+    )
+    # content near the rotation center must stay inside the grown canvas
+    ys, xs, _ = np.nonzero(out > 0.05)
+    assert len(xs) > 0
+    # keypoints path must report the same grown canvas family (within the
+    # reference's own ±1 rounding between centered/absolute conventions)
+    kp = tv_tensors.KeyPoints(
+        np.array([[14.0, 12.0]], np.float32), canvas_size=(40, 60)
+    )
+    okp = F.rotate(kp, 35.0, expand=True, center=[10.0, 10.0])
+    assert abs(okp.canvas_size[0] - out.shape[0]) <= 1
+    assert abs(okp.canvas_size[1] - out.shape[1]) <= 1
+
+
+def test_affine_bounding_boxes_raw_kernel_clamps():
+    """ADVICE r1 (low): the raw-array kernel clamps internally to the
+    canvas like the reference kernel contract (``_geometry.py:1205``)."""
+    boxes = jnp.asarray(np.array([[-30.0, -30.0, 90.0, 90.0]], np.float32))
+    out = F.affine_bounding_boxes(
+        boxes, tv_tensors.BoundingBoxFormat.XYXY, (50, 50),
+        angle=0.0, translate=[0.0, 0.0], scale=1.5, shear=[0.0, 0.0],
+    )
+    out = np.asarray(out)
+    assert out[..., 0::2].min() >= 0 and out[..., 0::2].max() <= 50
+    assert out[..., 1::2].min() >= 0 and out[..., 1::2].max() <= 50

@@ -19,20 +19,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["infer_tp_sharding", "shard_params", "param_shardings"]
 
-# (path regex, partition spec builder) — applied to 2D kernels [in, out]
-# and their biases; first match wins. Column-parallel layers shard the
-# output dim; row-parallel shard the input dim.
-_TP_RULES = [
-    # ViT attention + MLP (Megatron split)
-    (r".*(in_proj|qkv)\.kernel$", ("col",)),
-    (r".*(out_proj|proj|merge)\.kernel$", ("row",)),
-    (r".*mlp\.0\.kernel$", ("col",)),
-    (r".*mlp\.3\.kernel$", ("col_bias_rep",)),  # placeholder, see below
-]
-
-
 def _spec_for(path: str, leaf, axis: str):
-    """TP spec for one param; returns PartitionSpec or None (replicate)."""
+    """TP spec for one param; returns PartitionSpec or None (replicate).
+
+    Megatron split: qkv/mlp-in kernels column-parallel (shard the output
+    dim, bias sharded along with it); out-proj/mlp-out kernels row-parallel
+    (shard the input dim; XLA SPMD inserts the psum, bias replicated)."""
     if leaf.ndim == 0:
         return None
     if re.search(r"(in_proj|qkv)\.kernel$", path) and leaf.ndim == 2:

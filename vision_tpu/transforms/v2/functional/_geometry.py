@@ -709,6 +709,38 @@ def affine_image(
     return _affine_grid_sample(image, matrix, (h, w), interpolation, fill)
 
 
+def _compute_affine_output_size(
+    matrix: Sequence[float], w: int, h: int
+) -> Tuple[int, int]:
+    """Expanded canvas (new_w, new_h) from the actual affine matrix —
+    PIL-style corner transform (reference ``_geometry.py:810-832``
+    ``_compute_affine_output_size_python``). Using the matrix (not a
+    closed-form rotation) keeps rotate(expand=True, center=...) correct."""
+    # float32 throughout + 1e-4 truncation before ceil/floor, exactly like
+    # the reference tensor path — in float64 the cos(90°)=6e-17 epsilon
+    # survives the sum and inflates the canvas by one pixel.
+    half_w, half_h = 0.5 * w, 0.5 * h
+    theta = np.asarray(matrix, dtype=np.float32).reshape(2, 3)
+    pts = np.array(
+        [
+            [-half_w, -half_h, 1.0],
+            [-half_w, half_h, 1.0],
+            [half_w, half_h, 1.0],
+            [half_w, -half_h, 1.0],
+        ],
+        dtype=np.float32,
+    )
+    new_pts = pts @ theta.T
+    halfs = np.array([half_w, half_h], dtype=np.float32)
+    min_vals = new_pts.min(axis=0) + halfs
+    max_vals = new_pts.max(axis=0) + halfs
+    tol, inv_tol = 1e-4, 1e4
+    cmax = np.ceil(np.trunc(max_vals * inv_tol) * tol)
+    cmin = np.floor(np.trunc(min_vals * inv_tol) * tol)
+    size = cmax - cmin
+    return int(size[0]), int(size[1])
+
+
 def _affine_bounding_boxes_with_expand(
     boxes: jax.Array,
     format: BoundingBoxFormat,
@@ -719,6 +751,7 @@ def _affine_bounding_boxes_with_expand(
     shear,
     center=None,
     expand: bool = False,
+    clamping_mode: Optional[str] = "soft",
 ) -> Tuple[jax.Array, Tuple[int, int]]:
     """Transform the 4 corners with the forward matrix, take the envelope
     (reference ``_affine_bounding_boxes_with_expand``)."""
@@ -757,7 +790,9 @@ def _affine_bounding_boxes_with_expand(
 
     new_canvas = canvas_size
     if expand:
-        # transform the image frame corners to get the new canvas + offset
+        # transform the image frame corners to get the translation offset,
+        # and the inverted matrix for the new canvas size — both exactly as
+        # the reference (``_geometry.py:1185-1203``)
         frame = np.array(
             [[0.0, 0.0, 1.0], [0.0, h, 1.0], [w, h, 1.0], [w, 0.0, 1.0]],
             dtype=np.float32,
@@ -765,27 +800,44 @@ def _affine_bounding_boxes_with_expand(
         Mn = np.array([[m[0], m[1], m[2]], [m[3], m[4], m[5]]], dtype=np.float32)
         new_pts = frame @ Mn.T
         tr = new_pts.min(axis=0)
-        new_w = int(np.ceil(new_pts[:, 0].max() - tr[0]))
-        new_h = int(np.ceil(new_pts[:, 1].max() - tr[1]))
         out = out - jnp.array([tr[0], tr[1], tr[0], tr[1]], dtype=jnp.float32)
+        inv = _get_inverse_affine_matrix(
+            center, angle, [float(t) for t in translate], scale,
+            list(map(float, shear)),
+        )
+        new_w, new_h = _compute_affine_output_size(inv, w, h)
         new_canvas = (new_h, new_w)
 
+    # clamp inside the kernel to the (possibly expanded) canvas — the
+    # reference kernel contract (``_geometry.py:1205-1207``); plain-array
+    # callers get clamped output without going through the TVTensor path
+    out = clamp_bounding_boxes(
+        out, format=BoundingBoxFormat.XYXY, canvas_size=new_canvas,
+        clamping_mode=clamping_mode,
+    )
     out = box_convert(out, "xyxy", fmt_name).astype(dtype)
     return out, new_canvas
 
 
 def affine_bounding_boxes(
-    boxes, format, canvas_size, angle, translate, scale, shear, center=None
+    boxes, format, canvas_size, angle, translate, scale, shear, center=None,
+    clamping_mode="soft",
 ):
     out, _ = _affine_bounding_boxes_with_expand(
-        boxes, format, canvas_size, angle, translate, scale, shear, center, False
+        boxes, format, canvas_size, angle, translate, scale, shear, center,
+        False, clamping_mode,
     )
     return out
 
 
-def affine_keypoints(
-    kp, canvas_size, angle, translate, scale, shear, center=None
+def _affine_keypoints_with_expand(
+    kp, canvas_size, angle, translate, scale, shear, center=None,
+    expand: bool = False,
 ):
+    """Affine-transform keypoints; with ``expand`` also translate them into
+    the expanded canvas (reference ``_geometry.py:1000-1070``
+    ``_affine_keypoints_with_expand``: subtract the transformed-frame
+    minimum ``tr``, size the canvas from the inverted matrix)."""
     h, w = canvas_size
     if center is None:
         center = [w * 0.5, h * 0.5]
@@ -796,7 +848,33 @@ def affine_keypoints(
     M = jnp.array([[m[0], m[1], m[2]], [m[3], m[4], m[5]]], dtype=jnp.float32)
     ones = jnp.ones(kp.shape[:-1] + (1,), dtype=jnp.float32)
     pts = jnp.concatenate([kp.astype(jnp.float32), ones], axis=-1)
-    return (pts @ M.T).astype(kp.dtype)
+    out = pts @ M.T
+
+    new_canvas = canvas_size
+    if expand:
+        frame = np.array(
+            [[0.0, 0.0, 1.0], [0.0, h, 1.0], [w, h, 1.0], [w, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+        Mn = np.array([[m[0], m[1], m[2]], [m[3], m[4], m[5]]], dtype=np.float32)
+        tr = (frame @ Mn.T).min(axis=0)
+        out = out - jnp.asarray(tr, dtype=jnp.float32)
+        inv = _get_inverse_affine_matrix(
+            center, angle, [float(t) for t in translate], scale,
+            list(map(float, shear)),
+        )
+        new_w, new_h = _compute_affine_output_size(inv, w, h)
+        new_canvas = (new_h, new_w)
+    return out.astype(kp.dtype), new_canvas
+
+
+def affine_keypoints(
+    kp, canvas_size, angle, translate, scale, shear, center=None
+):
+    """Returns ``(keypoints, canvas_size)`` like the reference kernel."""
+    return _affine_keypoints_with_expand(
+        kp, canvas_size, angle, translate, scale, shear, center, False
+    )
 
 
 def affine_mask(mask, angle, translate, scale, shear, fill=None, center=None):
@@ -827,23 +905,16 @@ def affine(
         return Mask(affine_mask(inpt.data, angle, translate, scale, shear, fill, center))
     if isinstance(inpt, BoundingBoxes):
         out = affine_bounding_boxes(
-            inpt.data, inpt.format, inpt.canvas_size, angle, translate, scale, shear, center
+            inpt.data, inpt.format, inpt.canvas_size, angle, translate,
+            scale, shear, center, clamping_mode=inpt.clamping_mode,
         )
-        return clamp_bounding_boxes(tv_tensors.wrap(out, like=inpt))
+        return tv_tensors.wrap(out, like=inpt)
     if isinstance(inpt, KeyPoints):
-        out = affine_keypoints(
+        out, _ = affine_keypoints(
             inpt.data, inpt.canvas_size, angle, translate, scale, shear, center
         )
         return clamp_keypoints(KeyPoints(out, canvas_size=inpt.canvas_size))
     raise TypeError(f"affine: unsupported type {type(inpt).__name__}")
-
-
-def _rotate_expand_size(w: int, h: int, angle: float) -> Tuple[int, int]:
-    rot = math.radians(angle)
-    abs_cos, abs_sin = abs(math.cos(rot)), abs(math.sin(rot))
-    new_w = int(math.ceil(w * abs_cos + h * abs_sin - 1e-7))
-    new_h = int(math.ceil(w * abs_sin + h * abs_cos - 1e-7))
-    return new_h, new_w
 
 
 def rotate_image(
@@ -861,7 +932,11 @@ def rotate_image(
     else:
         center_f = [c - s * 0.5 for c, s in zip(center, (w, h))]
     matrix = _get_inverse_affine_matrix(center_f, -angle, [0.0, 0.0], 1.0, [0.0, 0.0])
-    out_size = _rotate_expand_size(w, h, angle) if expand else (h, w)
+    if expand:
+        new_w, new_h = _compute_affine_output_size(matrix, w, h)
+        out_size = (new_h, new_w)
+    else:
+        out_size = (h, w)
     return _affine_grid_sample(image, matrix, out_size, interpolation, fill)
 
 
@@ -871,11 +946,12 @@ def rotate_mask(mask, angle, expand=False, center=None, fill=None):
 
 
 def rotate_bounding_boxes(
-    boxes, format, canvas_size, angle, expand=False, center=None
+    boxes, format, canvas_size, angle, expand=False, center=None,
+    clamping_mode="soft",
 ):
     return _affine_bounding_boxes_with_expand(
         boxes, format, canvas_size, -angle, [0.0, 0.0], 1.0, [0.0, 0.0],
-        center, expand,
+        center, expand, clamping_mode,
     )
 
 
@@ -897,19 +973,17 @@ def rotate(
         return Mask(rotate_mask(inpt.data, angle, expand, center, fill))
     if isinstance(inpt, BoundingBoxes):
         out, cs = rotate_bounding_boxes(
-            inpt.data, inpt.format, inpt.canvas_size, angle, expand, center
+            inpt.data, inpt.format, inpt.canvas_size, angle, expand, center,
+            clamping_mode=inpt.clamping_mode,
         )
-        bb = BoundingBoxes(
+        return BoundingBoxes(
             out, format=inpt.format, canvas_size=cs, clamping_mode=inpt.clamping_mode
         )
-        return clamp_bounding_boxes(bb)
     if isinstance(inpt, KeyPoints):
-        out = affine_keypoints(
-            inpt.data, inpt.canvas_size, -angle, [0.0, 0.0], 1.0, [0.0, 0.0], center
+        out, cs = _affine_keypoints_with_expand(
+            inpt.data, inpt.canvas_size, -angle, [0.0, 0.0], 1.0, [0.0, 0.0],
+            center, expand,
         )
-        cs = inpt.canvas_size
-        if expand:
-            cs = _rotate_expand_size(cs[1], cs[0], angle)
         return clamp_keypoints(KeyPoints(out, canvas_size=cs))
     raise TypeError(f"rotate: unsupported type {type(inpt).__name__}")
 
