@@ -157,12 +157,17 @@ def _bench_e2e(module, variables, batch, n_batches):
 
 
 def _bench_nms(n_boxes=1024, n_iters=20):
-    """Detection-head NMS boxes/sec on device (BASELINE boxes/sec metric)."""
+    """Detection-head NMS boxes/sec on device (BASELINE boxes/sec metric).
+
+    Returns (boxes/sec on the default path, boxes/sec with the Pallas
+    kernel disabled) — on TPU the default path IS the Pallas kernel
+    (ops/nms.py:_pallas_nms_enabled), so the pair quantifies its win."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from vision_tpu.ops.nms import nms_mask
+    from vision_tpu.ops import nms as nms_module
+    from vision_tpu.ops.nms import _nms_sorted_chunked, nms_mask
 
     rng = np.random.RandomState(0)
     wh = rng.uniform(10, 80, (n_boxes, 2)).astype(np.float32)
@@ -170,21 +175,28 @@ def _bench_nms(n_boxes=1024, n_iters=20):
     boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1))
     scores = jnp.asarray(rng.rand(n_boxes).astype(np.float32))
 
-    @jax.jit
-    def nms_loop(boxes, scores):
-        def body(_, carry):
-            b, s = carry
-            keep = nms_mask(b, s, 0.5)
-            return b, s + keep.astype(s.dtype) * 1e-6
+    def timed(fn):
+        @jax.jit
+        def loop(boxes, scores):
+            def body(_, carry):
+                b, s = carry
+                keep = fn(b, s)
+                return b, s + keep.astype(s.dtype) * 1e-6
 
-        b, s = jax.lax.fori_loop(0, n_iters, body, (boxes, scores))
-        return s.sum()
+            b, s = jax.lax.fori_loop(0, n_iters, body, (boxes, scores))
+            return s.sum()
 
-    float(nms_loop(boxes, scores))  # compile
-    t0 = time.perf_counter()
-    float(nms_loop(boxes, scores))
-    dt = (time.perf_counter() - t0) / n_iters
-    return n_boxes / dt
+        float(loop(boxes, scores))  # compile
+        t0 = time.perf_counter()
+        float(loop(boxes, scores))
+        dt = (time.perf_counter() - t0) / n_iters
+        return n_boxes / dt
+
+    default_bps = timed(lambda b, s: nms_mask(b, s, 0.5))
+    xla_bps = timed(
+        lambda b, s: _nms_sorted_chunked(b[jnp.argsort(-s, stable=True)], 0.5)
+    )
+    return default_bps, xla_bps
 
 
 def main():
@@ -221,7 +233,7 @@ def main():
 
     fwd_img_s = _bench_forward(module, variables, batch, n_iters=50)
     e2e_img_s = _bench_e2e(module, variables, batch, n_batches=12)
-    nms_boxes_s = _bench_nms()
+    nms_boxes_s, nms_xla_boxes_s = _bench_nms()
 
     mfu = fwd_img_s * RESNET50_FWD_FLOPS / V5E_BF16_PEAK_FLOPS
 
@@ -237,6 +249,9 @@ def main():
                     "fwd_images_per_sec": round(fwd_img_s, 1),
                     "fwd_bf16_mfu_vs_v5e_peak": round(mfu, 4),
                     "nms_boxes_per_sec": round(nms_boxes_s, 0),
+                    "nms_xla_fallback_boxes_per_sec": round(
+                        nms_xla_boxes_s, 0
+                    ),
                     "host_cpu_cores": os.cpu_count(),
                     "note": "e2e includes host JPEG decode; this sandbox "
                     "host has 1 vCPU so decode bounds e2e (prod v5e hosts "

@@ -32,8 +32,10 @@ DETECTION_PARAM_MODELS = [
 @pytest.mark.parametrize("name", DETECTION_PARAM_MODELS)
 def test_detection_param_count_matches_meta(name):
     from vision_tpu.models import get_model, get_model_weights
+    from vision_tpu.models._utils import abstract_init
 
-    m = get_model(name)
+    with abstract_init():  # shape-only init: no compute, fast
+        m = get_model(name)
     enum = get_model_weights(name)
     flat, _ = jax.tree_util.tree_flatten(m.variables["params"])
     n = sum(int(np.prod(l.shape)) for l in flat)

@@ -75,8 +75,10 @@ PARAM_COUNT_MODELS = [
 @pytest.mark.parametrize("name", PARAM_COUNT_MODELS)
 def test_param_count_matches_meta(name):
     from vision_tpu.models import get_model, get_model_weights
+    from vision_tpu.models._utils import abstract_init
 
-    m = get_model(name)
+    with abstract_init():  # shape-only init: no compute, fast
+        m = get_model(name)
     enum = get_model_weights(name)
     flat, _ = jax.tree_util.tree_flatten(m.variables["params"])
     n = sum(int(np.prod(l.shape)) for l in flat)
@@ -115,8 +117,10 @@ VIDEO_PARAM_MODELS = {
 @pytest.mark.parametrize("name,expected", sorted(VIDEO_PARAM_MODELS.items()))
 def test_video_param_counts(name, expected):
     from vision_tpu.models import get_model
+    from vision_tpu.models._utils import abstract_init
 
-    m = get_model(name)
+    with abstract_init():
+        m = get_model(name)
     flat, _ = jax.tree_util.tree_flatten(m.variables["params"])
     n = sum(int(np.prod(l.shape)) for l in flat)
     assert n == expected, name
@@ -124,9 +128,11 @@ def test_video_param_counts(name, expected):
 
 def test_raft_param_counts_and_flow():
     from vision_tpu.models import get_model
+    from vision_tpu.models._utils import abstract_init
 
     for name, expected in [("raft_large", 5257536), ("raft_small", 990162)]:
-        m = get_model(name)
+        with abstract_init():
+            m = get_model(name)
         flat, _ = jax.tree_util.tree_flatten(m.variables["params"])
         n = sum(int(np.prod(l.shape)) for l in flat)
         assert n == expected, name

@@ -221,3 +221,65 @@ def test_clip_boxes_to_image():
     b = jnp.asarray([[-5.0, -5.0, 120.0, 40.0]])
     out = np.asarray(B.clip_boxes_to_image(b, (50, 100)))
     np.testing.assert_allclose(out[0], [0, 0, 100, 40])
+
+
+# ------------------------------------------------- Pallas NMS kernel ----
+# The Pallas kernel rides the hot path whenever jax.default_backend()=="tpu"
+# (ops/nms.py:_pallas_nms_enabled). Parity is pinned two ways: the kernel
+# body in interpreter mode here (CPU), and the compiled kernel on real TPU
+# in a tpu-marked test.
+@pytest.mark.parametrize("n", [1, 64, 130, 300])
+@pytest.mark.parametrize("thr", [0.3, 0.5, 0.7])
+def test_nms_pallas_interpret_matches_greedy_reference(rng, n, thr):
+    from vision_tpu.ops._pallas.nms import nms_pallas_sorted
+
+    boxes = _random_boxes(rng, n)
+    scores = rng.rand(n).astype(np.float32)
+    order = np.argsort(-scores, kind="stable")
+    keep = np.asarray(
+        nms_pallas_sorted(
+            jnp.asarray(boxes[order]),
+            jnp.ones((n,), bool),
+            thr,
+            interpret=True,
+        )
+    )
+    ref = _ref_nms(boxes, scores, thr)
+    np.testing.assert_array_equal(order[keep], ref)
+
+
+def test_nms_pallas_interpret_padding_rows_never_suppress(rng):
+    from vision_tpu.ops._pallas.nms import nms_pallas_sorted
+
+    boxes = _random_boxes(rng, 40)
+    scores = rng.rand(40).astype(np.float32)
+    # mark the last 10 (lowest-score after sort manipulation) invalid
+    scores[30:] = -1.0  # sort them last
+    order = np.argsort(-scores, kind="stable")
+    valid = np.zeros(40, bool)
+    valid[:30] = True  # in sorted order: exactly the -1-score rows invalid
+    keep = np.asarray(
+        nms_pallas_sorted(
+            jnp.asarray(boxes[order]), jnp.asarray(valid), 0.5, interpret=True
+        )
+    )
+    assert not keep[30:].any()
+    ref = _ref_nms(boxes[order[:30]], scores[order[:30]], 0.5)
+    np.testing.assert_array_equal(np.nonzero(keep[:30])[0], np.sort(ref))
+
+
+@pytest.mark.tpu
+def test_nms_pallas_compiled_matches_reference_on_tpu(rng):
+    if jax.default_backend() != "tpu":
+        pytest.skip("requires TPU")
+    from vision_tpu.ops._pallas.nms import nms_pallas_sorted
+
+    for n, thr in [(200, 0.5), (1000, 0.5), (1000, 0.7)]:
+        boxes = _random_boxes(rng, n)
+        scores = rng.rand(n).astype(np.float32)
+        order = np.argsort(-scores, kind="stable")
+        keep = np.asarray(
+            nms_pallas_sorted(jnp.asarray(boxes[order]), jnp.ones((n,), bool), thr)
+        )
+        ref = _ref_nms(boxes, scores, thr)
+        np.testing.assert_array_equal(order[keep], ref)

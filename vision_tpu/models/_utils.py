@@ -11,7 +11,105 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["VisionModel", "_make_divisible", "BatchNorm", "build_model"]
+__all__ = [
+    "VisionModel",
+    "_make_divisible",
+    "BatchNorm",
+    "build_model",
+    "abstract_init",
+    "fast_init",
+    "init_variables",
+]
+
+# Builder init mode. "real" = flax module.init (runs the forward once);
+# "abstract" = ``jax.eval_shape`` ShapeDtypeStructs (no compute/memory — for
+# param-count/shape inspection, the fast path for the reference's num_params
+# meta validation, ``test/test_extended_models.py``); "fast" = materialize
+# real arrays per-leaf from the eval_shape tree (seeded normal / ones) — the
+# values differ from flax initializers but cost no forward pass, for
+# shape-level smoke tests and synthetic benchmarks.
+_INIT_MODE = "real"
+
+
+class _init_mode_ctx:
+    _mode = "real"
+
+    def __enter__(self):
+        global _INIT_MODE
+        self._prev = _INIT_MODE
+        _INIT_MODE = self._mode
+        return self
+
+    def __exit__(self, *exc):
+        global _INIT_MODE
+        _INIT_MODE = self._prev
+        return False
+
+
+class abstract_init(_init_mode_ctx):
+    """Context manager: builders produce shape-only variables (no compute).
+
+    >>> with abstract_init():
+    ...     m = get_model("resnet50")
+    >>> n_params = sum(int(np.prod(l.shape)) for l in tree_leaves(m.params))
+
+    Only valid for ``weights=None`` builds; loading weights requires real
+    arrays and raises under this context.
+    """
+
+    _mode = "abstract"
+
+
+class fast_init(_init_mode_ctx):
+    """Context manager: builders materialize variables from shapes only.
+
+    Params are seeded normals (norm/affine ``scale`` leaves get 1±0.1 so
+    signal still propagates), batch-norm ``var`` gets ones, everything else
+    zeros. Orders of magnitude cheaper than real init (no forward trace
+    execution) and fully deterministic — used by shape-smoke tests and
+    the golden-regression harness.
+    """
+
+    _mode = "fast"
+
+
+def _materialize_from_shapes(shapes, seed: int = 0):
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    out = []
+    for i, (path, leaf) in enumerate(leaves):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        last = names[-1] if names else ""
+        top = names[0] if names else ""
+        if top == "params":
+            # numpy Philox: fast on host (jax threefry on 100M-param leaves
+            # costs ~17s/leaf on one CPU core), deterministic across runs.
+            rng = np.random.Generator(np.random.Philox(key=seed + i))
+            noise = rng.standard_normal(leaf.shape, dtype=np.float32)
+            if len(leaf.shape) >= 2:  # fan-in scaling keeps activations O(1)
+                fan_in = float(np.prod(leaf.shape[:-1]))
+                noise *= 1.0 / max(fan_in, 1.0) ** 0.5
+            else:
+                noise *= 0.1
+            if last in ("scale", "gamma", "weight_g"):
+                noise = noise * 0.1 + 1.0
+            out.append(jnp.asarray(noise, leaf.dtype))
+        elif last in ("var",):
+            out.append(jnp.ones(leaf.shape, leaf.dtype))
+        else:
+            out.append(jnp.zeros(leaf.shape, leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def init_variables(module: nn.Module, rng, *args, **kwargs):
+    """``module.init`` that honors :class:`abstract_init`/:class:`fast_init`."""
+    if _INIT_MODE == "abstract":
+        return jax.eval_shape(lambda: module.init(rng, *args, **kwargs))
+    if _INIT_MODE == "fast":
+        shapes = jax.eval_shape(lambda: module.init(rng, *args, **kwargs))
+        return _materialize_from_shapes(shapes)
+    return module.init(rng, *args, **kwargs)
 
 
 def _make_divisible(v: float, divisor: int, min_value: Optional[int] = None) -> int:
@@ -79,8 +177,10 @@ def build_model(
     strict: bool = True,
 ) -> VisionModel:
     """Initialize variables (and load converted reference weights if given)."""
-    variables = module.init(
-        jax.random.PRNGKey(seed), jnp.zeros(input_shape, jnp.float32)
+    if _INIT_MODE != "real" and weights is not None:
+        raise RuntimeError("cannot load weights under abstract_init/fast_init")
+    variables = init_variables(
+        module, jax.random.PRNGKey(seed), jnp.zeros(input_shape, jnp.float32)
     )
     variables = jax.tree_util.tree_map(lambda x: x, variables)  # unfreeze copy
     preprocess = preprocess_override

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vision_tpu.models._api import Weights, WeightsEnum, register_model
-from vision_tpu.models._utils import VisionModel
+from vision_tpu.models._utils import VisionModel, init_variables
 from vision_tpu.models.detection import _utils as det_utils
 from vision_tpu.models.detection.anchor_utils import AnchorGenerator
 from vision_tpu.models.detection.backbone_utils import (
@@ -276,7 +276,7 @@ def _build_frcnn(weights, v2: bool, num_classes=91, **kwargs) -> VisionModel:
     module = FasterRCNN(num_classes=num_classes, v2=v2, **kwargs)
     # tiny init input: params are input-size independent, and init *runs*
     # the full path (incl. NMS loops) eagerly on host
-    variables = module.init(
+    variables = init_variables(module, 
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
     )
     preprocess = None

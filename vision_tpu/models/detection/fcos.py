@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from vision_tpu.models._api import Weights, WeightsEnum, register_model
-from vision_tpu.models._utils import VisionModel
+from vision_tpu.models._utils import VisionModel, init_variables
 from vision_tpu.models.detection import _utils as det_utils
 from vision_tpu.models.detection.anchor_utils import AnchorGenerator
 from vision_tpu.models.detection.backbone_utils import BackboneWithFPN
@@ -284,7 +284,7 @@ def fcos_resnet50_fpn(
 ) -> VisionModel:
     weights = FCOS_ResNet50_FPN_Weights.verify(weights)
     module = FCOS(num_classes=num_classes, **kwargs)
-    variables = module.init(
+    variables = init_variables(module, 
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
     )
     preprocess = None

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from vision_tpu.models._api import Weights, WeightsEnum, register_model
-from vision_tpu.models._utils import VisionModel
+from vision_tpu.models._utils import VisionModel, init_variables
 from vision_tpu.models.detection.faster_rcnn import FasterRCNN, _frcnn_hooks
 from vision_tpu.models.detection.roi_heads import (
     KeypointRCNNHeads,
@@ -128,7 +128,7 @@ def keypointrcnn_resnet50_fpn(
     module = KeypointRCNN(
         num_classes=num_classes, num_keypoints=num_keypoints, **kwargs
     )
-    variables = module.init(
+    variables = init_variables(module, 
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
     )
     preprocess = None

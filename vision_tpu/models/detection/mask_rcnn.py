@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from vision_tpu.models._api import Weights, WeightsEnum, register_model
-from vision_tpu.models._utils import VisionModel
+from vision_tpu.models._utils import VisionModel, init_variables
 from vision_tpu.models.detection.faster_rcnn import (
     FasterRCNN,
     _frcnn_hooks,
@@ -117,7 +117,7 @@ class MaskRCNN_ResNet50_FPN_V2_Weights(WeightsEnum):
 
 def _build_maskrcnn(weights, v2: bool, num_classes=91, **kwargs) -> VisionModel:
     module = MaskRCNN(num_classes=num_classes, v2=v2, **kwargs)
-    variables = module.init(
+    variables = init_variables(module, 
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
     )
     preprocess = None

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from vision_tpu.models._api import Weights, WeightsEnum, register_model
-from vision_tpu.models._utils import VisionModel
+from vision_tpu.models._utils import VisionModel, init_variables
 from vision_tpu.models.detection import _utils as det_utils
 from vision_tpu.models.detection.anchor_utils import AnchorGenerator
 from vision_tpu.models.detection.backbone_utils import BackboneWithFPN
@@ -357,7 +357,7 @@ def _build_retinanet(weights, v2: bool, num_classes=91, **kwargs) -> VisionModel
     )
     import numpy as np
 
-    variables = module.init(
+    variables = init_variables(module, 
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32)
     )
     preprocess = None

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vision_tpu.models._api import Weights, WeightsEnum, register_model
-from vision_tpu.models._utils import VisionModel
+from vision_tpu.models._utils import VisionModel, init_variables
 from vision_tpu.models.detection import _utils as det_utils
 from vision_tpu.models.detection.anchor_utils import DefaultBoxGenerator
 from vision_tpu.ops.nms import batched_nms_mask
@@ -251,7 +251,7 @@ def ssd300_vgg16(
 ) -> VisionModel:
     weights = SSD300_VGG16_Weights.verify(weights)
     module = SSD(num_classes=num_classes, **kwargs)
-    variables = module.init(
+    variables = init_variables(module, 
         jax.random.PRNGKey(0), jnp.zeros((1, 300, 300, 3), jnp.float32)
     )
     preprocess = None

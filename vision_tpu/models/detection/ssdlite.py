@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from vision_tpu.models._api import Weights, WeightsEnum, register_model
-from vision_tpu.models._utils import VisionModel, _make_divisible
+from vision_tpu.models._utils import VisionModel, _make_divisible, init_variables
 from vision_tpu.models.detection import _utils as det_utils
 from vision_tpu.models.detection.anchor_utils import DefaultBoxGenerator
 from vision_tpu.models.detection.ssd import SSD
@@ -261,7 +261,7 @@ def ssdlite320_mobilenet_v3_large(
     kwargs.setdefault("detections_per_img", 300)
     kwargs.setdefault("topk_candidates", 300)
     module = SSDLite(num_classes=num_classes, **kwargs)
-    variables = module.init(
+    variables = init_variables(module, 
         jax.random.PRNGKey(0), jnp.zeros((1, 320, 320, 3), jnp.float32)
     )
     preprocess = None

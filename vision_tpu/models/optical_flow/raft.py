@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from vision_tpu.models._api import Weights, WeightsEnum, register_model
-from vision_tpu.models._utils import VisionModel, build_model
+from vision_tpu.models._utils import VisionModel, build_model, init_variables
 from vision_tpu.transforms._presets import OpticalFlow
 
 __all__ = [
@@ -443,7 +443,7 @@ def raft_large(*, weights: Optional[Raft_Large_Weights] = None, **kwargs):
     """reference ``raft.py:841`` raft_large builder."""
     weights = Raft_Large_Weights.verify(weights)
     module = RAFT(**kwargs)
-    variables = module.init(
+    variables = init_variables(module, 
         jax.random.PRNGKey(0),
         jnp.zeros((1, 64, 64, 3), jnp.float32),
         jnp.zeros((1, 64, 64, 3), jnp.float32),
@@ -490,7 +490,7 @@ def raft_small(*, weights: Optional[Raft_Small_Weights] = None, **kwargs):
         flow_head_hidden=128,
         **kwargs,
     )
-    variables = module.init(
+    variables = init_variables(module, 
         jax.random.PRNGKey(0),
         jnp.zeros((1, 64, 64, 3), jnp.float32),
         jnp.zeros((1, 64, 64, 3), jnp.float32),

@@ -71,12 +71,16 @@ def _nms_kernel(smem_ref, thr_ref, data_ref, keep_ref):
 
 
 def nms_pallas_sorted(
-    boxes: jax.Array, valid: jax.Array, iou_threshold: float
+    boxes: jax.Array,
+    valid: jax.Array,
+    iou_threshold: float,
+    interpret: bool = False,
 ) -> jax.Array:
     """Greedy NMS over score-sorted boxes.
 
     boxes: [N, 4] float32 sorted by descending score; valid: [N] bool.
-    Returns keep mask [N] bool in the sorted order.
+    Returns keep mask [N] bool in the sorted order. ``interpret=True`` runs
+    the kernel in the Pallas interpreter (CPU parity tests).
     """
     n = boxes.shape[0]
     pad = (-n) % 128
@@ -103,5 +107,6 @@ def nms_pallas_sorted(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(smem_data, jnp.asarray([iou_threshold], jnp.float32), vmem_data)
     return keep[0, :n] > 0.0
