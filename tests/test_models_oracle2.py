@@ -1,0 +1,314 @@
+"""Torch-oracle forward parity for conversion-risky architectures
+(VERDICT.md round-1 item 4): Swin v1/v2, RegNet, MaxViT, and more.
+
+Strategy mirrors the reference's golden-output testing
+(``test/test_models.py:134``) with a live torch transcription as the golden
+source: random-init the torch model, convert its state dict, compare logits.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from tests.torch_refs import randomize_bn_stats
+from vision_tpu._torch_convert import convert_torch_state_dict
+
+
+def _compare(torch_model, module, x_hw, atol, hooks=None, in_ch=3, seed=0):
+    torch_model.eval()
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    x = np.random.RandomState(seed).rand(2, x_hw, x_hw, in_ch)
+    x = x.astype(np.float32)
+    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    variables = convert_torch_state_dict(sd, dict(variables), hooks=hooks)
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    out = np.asarray(module.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(out, ref, atol=atol, rtol=1e-4)
+
+
+def test_swin_v1_matches_torch():
+    """Shifted windows + relative position bias + patch merging."""
+    from tests.torch_refs2 import TorchMiniSwin
+    from vision_tpu.models.swin_transformer import SwinTransformer, _swin_hooks
+
+    tm = TorchMiniSwin(v2=False)
+    module = SwinTransformer(
+        patch_size=(2, 2), embed_dim=16, depths=(2, 2), num_heads=(2, 4),
+        window_size=(4, 4), mlp_ratio=2.0, num_classes=10, v2=False,
+    )
+    _compare(tm, module, 32, atol=2e-5, hooks=_swin_hooks)
+
+
+def test_swin_v2_matches_torch():
+    """v2: cosine attention, CPB-MLP bias, post-norm, k-bias zeroing."""
+    from tests.torch_refs2 import TorchMiniSwin
+    from vision_tpu.models.swin_transformer import SwinTransformer, _swin_hooks
+
+    tm = TorchMiniSwin(v2=True)
+    # make the qkv biases non-trivial so the k-zeroing path is exercised
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.Linear) and m.bias is not None:
+                m.bias.add_(torch.randn_like(m.bias) * 0.05)
+    module = SwinTransformer(
+        patch_size=(2, 2), embed_dim=16, depths=(2, 2), num_heads=(2, 4),
+        window_size=(4, 4), mlp_ratio=2.0, num_classes=10, v2=True,
+    )
+    _compare(tm, module, 32, atol=2e-5, hooks=_swin_hooks)
+
+
+def test_regnet_matches_torch():
+    """Grouped bottleneck + SE + trunk_output key layout."""
+    from tests.torch_refs2 import TorchMiniRegNet
+    from vision_tpu.models.regnet import RegNet
+
+    tm = randomize_bn_stats(TorchMiniRegNet())
+    module = RegNet(
+        stage_params=((16, 2, 1, 8, 1.0), (24, 2, 2, 8, 1.0)),
+        se_ratio=0.25, stem_width=8, num_classes=10,
+    )
+    _compare(tm, module, 32, atol=1e-4)
+
+
+def test_maxvit_matches_torch():
+    """MBConv + window/grid partition attention (feat_dim**-0.5 k-scaling)."""
+    from tests.torch_refs2 import TorchMiniMaxVit
+    from vision_tpu.models.maxvit import MaxVit, _maxvit_hooks
+
+    tm = randomize_bn_stats(TorchMiniMaxVit())
+    module = MaxVit(
+        stem_channels=8, block_channels=(8, 16), block_layers=(1, 1),
+        head_dim=4, partition_size=2, mlp_ratio=2, num_classes=10,
+        stochastic_depth_prob=0.0,
+    )
+    _compare(tm, module, 32, atol=5e-5, hooks=_maxvit_hooks)
+
+
+def test_convnext_matches_torch():
+    """LayerNorm2d stem/downsample + CNBlock layer-scale."""
+    from tests.torch_refs2 import TorchMiniConvNeXt
+    from vision_tpu.models.convnext import CNBlockConfig, ConvNeXt
+
+    tm = TorchMiniConvNeXt()
+    module = ConvNeXt(
+        block_setting=(CNBlockConfig(16, 32, 2), CNBlockConfig(32, None, 2)),
+        num_classes=10,
+    )
+    _compare(tm, module, 32, atol=2e-5)
+
+
+def test_mobilenet_v3_matches_torch():
+    """SE-hardsigmoid + hardswish + expand-skip inverted residuals."""
+    from tests.torch_refs2 import TorchMiniMobileNetV3
+    from vision_tpu.models.mobilenetv3 import IRConf, MobileNetV3
+
+    tm = randomize_bn_stats(TorchMiniMobileNetV3())
+    module = MobileNetV3(
+        setting=(
+            IRConf(8, 3, 8, 8, False, False, 1, 1),
+            IRConf(8, 3, 24, 12, False, True, 2, 1),
+            IRConf(12, 5, 36, 12, True, True, 1, 1),
+        ),
+        last_channel=32,
+        num_classes=10,
+    )
+    _compare(tm, module, 32, atol=5e-5)
+
+
+def test_googlenet_matches_torch_eval():
+    """Full GoogLeNet, eval logits (aux params converted but unused)."""
+    from tests.torch_refs2 import TorchGoogLeNet
+    from vision_tpu.models.googlenet import GoogLeNet, _googlenet_hooks
+
+    tm = randomize_bn_stats(TorchGoogLeNet(num_classes=10, aux_logits=True))
+    module = GoogLeNet(num_classes=10, aux_logits=True)
+    _compare(tm, module, 128, atol=1e-3, hooks=_googlenet_hooks(True))
+
+
+def test_googlenet_aux_heads_match_torch_train():
+    """Aux heads compared in train mode (BN batch stats, dropout=0)."""
+    from tests.torch_refs2 import TorchGoogLeNet
+    from vision_tpu.models.googlenet import GoogLeNet, _googlenet_hooks
+
+    tm = randomize_bn_stats(TorchGoogLeNet(num_classes=10, aux_logits=True))
+    tm.train()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    module = GoogLeNet(
+        num_classes=10, aux_logits=True, dropout=0.0, dropout_aux=0.0
+    )
+    x = np.random.RandomState(0).rand(2, 128, 128, 3).astype(np.float32)
+    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    variables = convert_torch_state_dict(
+        sd, dict(variables), hooks=_googlenet_hooks(True)
+    )
+    with torch.no_grad():
+        ref_logits, ref_aux2, ref_aux1 = tm(
+            torch.from_numpy(x).permute(0, 3, 1, 2)
+        )
+    out, _ = module.apply(
+        variables,
+        jnp.asarray(x),
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.logits), ref_logits.numpy(), atol=2e-3, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.aux_logits2), ref_aux2.numpy(), atol=2e-3, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.aux_logits1), ref_aux1.numpy(), atol=2e-3, rtol=1e-4
+    )
+
+
+def test_raft_corr_block_matches_torch_grid_sample():
+    """Correlation pyramid + neighborhood lookup vs the reference's
+    grid_sample(align_corners=True) formulation — pins the neighborhood
+    channel ORDER (weights consume it) and bilinear/out-of-bounds semantics."""
+    from tests.torch_refs2 import TorchCorrBlock
+    from vision_tpu.models.optical_flow.raft import CorrBlock
+
+    rng = np.random.RandomState(0)
+    b, h, w, c = 1, 16, 12, 8
+    f1 = rng.rand(b, h, w, c).astype(np.float32)
+    f2 = rng.rand(b, h, w, c).astype(np.float32)
+    # coords: base grid + random flow, partially out of bounds
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    coords = np.stack([xs, ys], -1)[None].astype(np.float32)
+    coords = coords + rng.uniform(-3, 3, coords.shape).astype(np.float32)
+
+    tcb = TorchCorrBlock(num_levels=2, radius=2)
+    tcb.build_pyramid(
+        torch.from_numpy(f1).permute(0, 3, 1, 2),
+        torch.from_numpy(f2).permute(0, 3, 1, 2),
+    )
+    with torch.no_grad():
+        ref = tcb.index_pyramid(
+            torch.from_numpy(coords).permute(0, 3, 1, 2)
+        ).permute(0, 2, 3, 1).numpy()
+
+    cb = CorrBlock(num_levels=2, radius=2)
+    pyr = cb.build_pyramid(jnp.asarray(f1), jnp.asarray(f2))
+    out = np.asarray(cb.index_pyramid(pyr, jnp.asarray(coords)))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_raft_update_block_matches_torch():
+    """Motion encoder + 1x5/5x1 ConvGRU chain + flow head."""
+    from tests.torch_refs2 import TorchUpdateBlock
+    from vision_tpu.models.optical_flow.raft import UpdateBlock
+
+    in_corr = 2 * (2 * 2 + 1) ** 2  # num_levels=2, radius=2
+    tm = TorchUpdateBlock(in_corr)
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    module = UpdateBlock(
+        in_channels_corr=in_corr, hidden_state_size=16,
+        corr_layers=(16, 12), flow_layers=(8, 4), motion_out=16,
+        flow_head_hidden=24,
+    )
+    rng = np.random.RandomState(1)
+    h = rng.rand(2, 8, 8, 16).astype(np.float32)
+    ctx = rng.rand(2, 8, 8, 16).astype(np.float32)
+    corr = rng.rand(2, 8, 8, in_corr).astype(np.float32)
+    flow = rng.uniform(-2, 2, (2, 8, 8, 2)).astype(np.float32)
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(h), jnp.asarray(ctx), jnp.asarray(corr), jnp.asarray(flow),
+    )
+    variables = convert_torch_state_dict(sd, dict(variables))
+    t = lambda a: torch.from_numpy(a).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        ref_h, ref_d = tm(t(h), t(ctx), t(corr), t(flow))
+    out_h, out_d = module.apply(
+        variables, jnp.asarray(h), jnp.asarray(ctx), jnp.asarray(corr),
+        jnp.asarray(flow),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_h), ref_h.permute(0, 2, 3, 1).numpy(), atol=2e-5,
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d), ref_d.permute(0, 2, 3, 1).numpy(), atol=2e-5,
+        rtol=1e-4,
+    )
+
+
+def test_rpn_slice_matches_torch():
+    """RPNHead conv tower + BoxCoder decode + filter_proposals on a tiny
+    2-level FPN vs a dynamic-shape torch transcription of rpn.py:242."""
+    from tests.torch_refs2 import TorchRPNHead, torch_filter_proposals
+    from vision_tpu.models.detection.rpn import (
+        RegionProposalNetwork, RPNHead,
+    )
+
+    rng = np.random.RandomState(0)
+    num_anchors = 3
+    feats = [
+        rng.rand(1, 8, 8, 16).astype(np.float32),
+        rng.rand(1, 4, 4, 16).astype(np.float32),
+    ]
+    tm = TorchRPNHead(16, num_anchors)
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    module = RPNHead(num_anchors=num_anchors)
+    variables = module.init(
+        jax.random.PRNGKey(0), [jnp.asarray(f) for f in feats]
+    )
+    variables = convert_torch_state_dict(sd, dict(variables))
+
+    # head output parity (incl. the (H, W, A) flatten order)
+    with torch.no_grad():
+        t_obj, t_dl = tm([torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats])
+    obj, dl = module.apply(variables, [jnp.asarray(f) for f in feats])
+    for lvl in range(2):
+        a = t_obj[lvl].permute(0, 2, 3, 1).reshape(1, -1).numpy()
+        np.testing.assert_allclose(np.asarray(obj[lvl]), a, atol=2e-6)
+        d = (
+            t_dl[lvl]
+            .permute(0, 2, 3, 1)
+            .reshape(1, -1, 4)
+            .numpy()
+        )
+        np.testing.assert_allclose(np.asarray(dl[lvl]), d, atol=2e-6)
+
+    # anchors: simple per-level grids (stride 8 / 16), 3 sizes
+    def grid_anchors(fh, fw, stride):
+        out = []
+        for y in range(fh):
+            for x in range(fw):
+                cx, cy = x * stride + stride / 2, y * stride + stride / 2
+                for s in (16, 32, 48):
+                    out.append([cx - s / 2, cy - s / 2, cx + s / 2, cy + s / 2])
+        return np.asarray(out, np.float32)
+
+    anchors = [grid_anchors(8, 8, 8), grid_anchors(4, 4, 16)]
+    image_size = (64, 64)
+
+    ref_boxes, ref_scores = torch_filter_proposals(
+        [t_obj[0].permute(0, 2, 3, 1).reshape(-1),
+         t_obj[1].permute(0, 2, 3, 1).reshape(-1)],
+        [t_dl[0].permute(0, 2, 3, 1).reshape(-1, 4),
+         t_dl[1].permute(0, 2, 3, 1).reshape(-1, 4)],
+        [torch.from_numpy(a) for a in anchors],
+        image_size,
+    )
+
+    rpn = RegionProposalNetwork(
+        pre_nms_top_n=60, post_nms_top_n=40, nms_thresh=0.7
+    )
+    props = rpn.filter_proposals(
+        obj, dl, [jnp.asarray(a) for a in anchors], image_size
+    )
+    got_valid = np.asarray(props.valid[0])
+    got_boxes = np.asarray(props.boxes[0])[got_valid]
+    got_scores = 1 / (1 + np.exp(-np.asarray(props.scores[0])[got_valid]))
+    assert got_boxes.shape == ref_boxes.shape, (
+        got_boxes.shape, ref_boxes.shape,
+    )
+    np.testing.assert_allclose(got_boxes, ref_boxes, atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(got_scores, ref_scores, atol=1e-5, rtol=1e-4)

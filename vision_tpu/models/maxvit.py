@@ -242,6 +242,15 @@ class MaxVit(nn.Module):
         return nn.Dense(self.num_classes, use_bias=False, name="classifier.5")(x)
 
 
+def _maxvit_hooks(sd):
+    """Drop the relative_position_index buffers (computed at build time)."""
+    return {
+        k: v
+        for k, v in sd.items()
+        if not k.endswith("relative_position_index")
+    }
+
+
 class MaxVit_T_Weights(WeightsEnum):
     IMAGENET1K_V1 = Weights(
         url="https://download.pytorch.org/models/maxvit_t-bc5ab103.pth",
@@ -261,4 +270,6 @@ class MaxVit_T_Weights(WeightsEnum):
 def maxvit_t(*, weights: Optional[MaxVit_T_Weights] = None, **kwargs):
     weights = MaxVit_T_Weights.verify(weights)
     module = MaxVit(**kwargs)
-    return build_model(module, weights, input_shape=(1, 224, 224, 3))
+    return build_model(
+        module, weights, input_shape=(1, 224, 224, 3), hooks=_maxvit_hooks
+    )

@@ -280,12 +280,14 @@ class CorrBlock:
         side = 2 * r + 1
         b, h, w, _ = coords.shape
         di = jnp.linspace(-r, r, side)
-        delta = jnp.stack(
+        delta_xy = jnp.stack(
             jnp.meshgrid(di, di, indexing="ij"), axis=-1
-        )  # [side, side, 2] (dy-major like torch meshgrid ij over (di, dj))
-        # torch: delta[..., 0] is di (y), [..., 1] is dj (x); sampling coords
-        # are (x, y) so swap
-        delta_xy = jnp.stack([delta[..., 1], delta[..., 0]], axis=-1)
+        )  # [side, side, 2], di-major channel order
+        # The reference adds the raw (di, dj) delta straight onto the (x, y)
+        # centroids (``raft.py:405-409``): offset x = di, y = dj. The
+        # neighborhood is square so the value SET matches either way, but the
+        # channel ORDER feeds learned conv weights — pinned by
+        # tests/test_models_oracle2.py::test_raft_corr_block_matches_torch_grid_sample.
         c = coords.reshape(b * h * w, 1, 2)
 
         feats = []
