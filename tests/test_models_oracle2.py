@@ -20,11 +20,16 @@ def _compare(torch_model, module, x_hw, atol, hooks=None, in_ch=3, seed=0):
     sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
     x = np.random.RandomState(seed).rand(2, x_hw, x_hw, in_ch)
     x = x.astype(np.float32)
-    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    # shape-only init: the conversion replaces every leaf (strict=True), so
+    # paying a real flax init (slow eager initializers) is wasted work
+    variables = jax.eval_shape(
+        lambda: module.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    )
     variables = convert_torch_state_dict(sd, dict(variables), hooks=hooks)
     with torch.no_grad():
         ref = torch_model(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
-    out = np.asarray(module.apply(variables, jnp.asarray(x), train=False))
+    fwd = jax.jit(lambda v, t: module.apply(v, t, train=False))
+    out = np.asarray(fwd(variables, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref, atol=atol, rtol=1e-4)
 
 
@@ -312,3 +317,75 @@ def test_rpn_slice_matches_torch():
     )
     np.testing.assert_allclose(got_boxes, ref_boxes, atol=1e-3, rtol=1e-4)
     np.testing.assert_allclose(got_scores, ref_scores, atol=1e-5, rtol=1e-4)
+
+
+def test_mnasnet_matches_torch():
+    """Flat layers.N key space + first-block expansion quirk."""
+    from tests.torch_refs2 import TorchMNASNet
+    from vision_tpu.models.mnasnet import MNASNet
+
+    tm = randomize_bn_stats(TorchMNASNet(num_classes=10))
+    module = MNASNet(alpha=1.0, num_classes=10)
+    _compare(tm, module, 64, atol=5e-4)
+
+
+def test_squeezenet_1_1_matches_torch():
+    """Fire modules + conv classifier + ceil-mode max pools."""
+    from tests.torch_refs2 import TorchSqueezeNet11
+    from vision_tpu.models.squeezenet import SqueezeNet
+
+    tm = TorchSqueezeNet11(num_classes=10)
+    module = SqueezeNet(version="1_1", num_classes=10)
+    _compare(tm, module, 64, atol=5e-5)
+
+
+def test_alexnet_matches_torch():
+    """CHW-flatten classifier reorder hook + adaptive pool."""
+    from tests.torch_refs2 import TorchAlexNet
+    from vision_tpu.models.alexnet import AlexNet, _alexnet_hooks
+
+    tm = TorchAlexNet(num_classes=10)
+    module = AlexNet(num_classes=10)
+    _compare(tm, module, 224, atol=2e-4, hooks=_alexnet_hooks)
+
+
+def test_inception_v3_matches_torch_eval():
+    """Full Inception v3 at 299: asymmetric 1x7/7x1 convs, mixed blocks."""
+    from tests.torch_refs2 import TorchInception3
+    from vision_tpu.models.inception import Inception3
+
+    tm = randomize_bn_stats(TorchInception3(num_classes=10, aux_logits=True))
+    module = Inception3(num_classes=10, aux_logits=True)
+    _compare(tm, module, 299, atol=1e-3)
+
+
+def test_inception_v3_aux_matches_torch_train():
+    """Aux head (avgpool5s3 + conv tower) in train mode, dropout 0."""
+    from tests.torch_refs2 import TorchInception3
+    from vision_tpu.models.inception import Inception3
+
+    tm = randomize_bn_stats(TorchInception3(num_classes=10, aux_logits=True))
+    tm.train()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    module = Inception3(num_classes=10, aux_logits=True, dropout=0.0)
+    # batch 2: torch BatchNorm refuses train-mode stats on 1 value/channel
+    x = np.random.RandomState(0).rand(2, 299, 299, 3).astype(np.float32)
+    variables = jax.eval_shape(
+        lambda: module.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    )
+    variables = convert_torch_state_dict(sd, dict(variables))
+    with torch.no_grad():
+        ref_logits, ref_aux = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+    fwd = jax.jit(
+        lambda v, t: module.apply(
+            v, t, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+    )
+    out, _ = fwd(variables, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out.logits), ref_logits.numpy(), atol=3e-3, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.aux_logits), ref_aux.numpy(), atol=3e-3, rtol=1e-4
+    )

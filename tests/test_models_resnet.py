@@ -14,28 +14,37 @@ from vision_tpu._torch_convert import convert_torch_state_dict
 from vision_tpu.models import resnet as R
 
 
-def _convert_and_compare(torch_model, flax_model, atol=2e-4):
+def _convert_and_compare(torch_model, flax_model, atol=2e-4, size=64):
     torch_model.eval()
     sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
     variables = convert_torch_state_dict(sd, flax_model.variables)
-    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    x = np.random.RandomState(0).rand(2, size, size, 3).astype(np.float32)
     with torch.no_grad():
         ref = torch_model(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
-    out = np.asarray(
-        flax_model.module.apply(variables, jnp.asarray(x), train=False)
-    )
+    module = flax_model.module
+    fwd = jax.jit(lambda v, t: module.apply(v, t, train=False))
+    out = np.asarray(fwd(variables, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref, atol=atol, rtol=1e-4)
+
+
+def _abstract_build(builder, **kwargs):
+    """Builder under abstract_init: oracle tests overwrite every variable
+    with converted torch weights, so real flax init is wasted work."""
+    from vision_tpu.models._utils import abstract_init
+
+    with abstract_init():
+        return builder(**kwargs)
 
 
 def test_resnet18_matches_torch():
     tm = randomize_bn_stats(torch_resnet18(num_classes=10))
-    fm = R.resnet18(num_classes=10)
+    fm = _abstract_build(R.resnet18, num_classes=10)
     _convert_and_compare(tm, fm)
 
 
 def test_resnet50_matches_torch():
     tm = randomize_bn_stats(torch_resnet50(num_classes=10))
-    fm = R.resnet50(num_classes=10)
+    fm = _abstract_build(R.resnet50, num_classes=10)
     _convert_and_compare(tm, fm)
 
 
@@ -46,7 +55,7 @@ def test_resnet_param_counts():
         (R.resnet18, R.ResNet18_Weights),
         (R.resnet50, R.ResNet50_Weights),
     ]:
-        m = builder()
+        m = _abstract_build(builder)
         flat, _ = jax.tree_util.tree_flatten(m.variables["params"])
         n = sum(int(np.prod(l.shape)) for l in flat)
         assert n == enum.DEFAULT.meta["num_params"]
@@ -88,7 +97,7 @@ def test_mobilenet_v2_matches_torch():
     from vision_tpu.models import mobilenet_v2
 
     tm = randomize_bn_stats(TorchMobileNetV2(num_classes=10))
-    fm = mobilenet_v2(num_classes=10)
+    fm = _abstract_build(mobilenet_v2, num_classes=10)
     _convert_and_compare(tm, fm, atol=5e-4)
 
 
@@ -98,7 +107,7 @@ def test_efficientnet_b0_matches_torch():
     from vision_tpu.models import efficientnet_b0
 
     tm = randomize_bn_stats(TorchEfficientNetB0(num_classes=10))
-    fm = efficientnet_b0(num_classes=10)
+    fm = _abstract_build(efficientnet_b0, num_classes=10)
     _convert_and_compare(tm, fm, atol=1e-3)
 
 
@@ -108,7 +117,7 @@ def test_shufflenet_v2_matches_torch():
     from vision_tpu.models import shufflenet_v2_x1_0
 
     tm = randomize_bn_stats(TorchShuffleNetV2(num_classes=10))
-    fm = shufflenet_v2_x1_0(num_classes=10)
+    fm = _abstract_build(shufflenet_v2_x1_0, num_classes=10)
     _convert_and_compare(tm, fm, atol=5e-4)
 
 
@@ -119,7 +128,7 @@ def test_r3d_18_matches_torch():
 
     tm = randomize_bn_stats(TorchR3D18(num_classes=7))
     tm.eval()
-    fm = r3d_18(num_classes=7)
+    fm = _abstract_build(r3d_18, num_classes=7)
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
     variables = convert_torch_state_dict(sd, fm.variables)
     # video input: ours NTHWC, torch NCTHW
@@ -136,7 +145,7 @@ def test_densenet121_matches_torch():
     from vision_tpu.models import densenet121
 
     tm = randomize_bn_stats(TorchDenseNet121(num_classes=10))
-    fm = densenet121(num_classes=10)
+    fm = _abstract_build(densenet121, num_classes=10)
     _convert_and_compare(tm, fm, atol=1e-3)
 
 
@@ -149,7 +158,7 @@ def test_vgg11_matches_torch():
 
     tm = TorchVGG11(num_classes=10)
     tm.eval()
-    fm = vgg11(num_classes=10)
+    fm = _abstract_build(vgg11, num_classes=10)
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
     variables = convert_torch_state_dict(sd, fm.variables)
     x = np.random.RandomState(0).rand(1, 224, 224, 3).astype(np.float32)

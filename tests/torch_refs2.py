@@ -1024,3 +1024,336 @@ def torch_filter_proposals(
         suppressed[i] = False
     keep_idx = np.asarray(keep_idx[:post_nms_top_n])
     return boxes[keep_idx], scores[keep_idx]
+
+
+# ---------------------------------------------------------- Inception v3 --
+class TorchIncBasicConv(nn.Module):
+    def __init__(self, in_ch, out_ch, k, stride=1, padding=0):
+        super().__init__()
+        self.conv = nn.Conv2d(in_ch, out_ch, k, stride, padding, bias=False)
+        self.bn = nn.BatchNorm2d(out_ch, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class TorchIncA(nn.Module):
+    def __init__(self, in_ch, pool_features):
+        super().__init__()
+        self.branch1x1 = TorchIncBasicConv(in_ch, 64, 1)
+        self.branch5x5_1 = TorchIncBasicConv(in_ch, 48, 1)
+        self.branch5x5_2 = TorchIncBasicConv(48, 64, 5, padding=2)
+        self.branch3x3dbl_1 = TorchIncBasicConv(in_ch, 64, 1)
+        self.branch3x3dbl_2 = TorchIncBasicConv(64, 96, 3, padding=1)
+        self.branch3x3dbl_3 = TorchIncBasicConv(96, 96, 3, padding=1)
+        self.branch_pool = TorchIncBasicConv(in_ch, pool_features, 1)
+
+    def forward(self, x):
+        return torch.cat(
+            [
+                self.branch1x1(x),
+                self.branch5x5_2(self.branch5x5_1(x)),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                self.branch_pool(F.avg_pool2d(x, 3, 1, 1)),
+            ],
+            1,
+        )
+
+
+class TorchIncB(nn.Module):
+    def __init__(self, in_ch):
+        super().__init__()
+        self.branch3x3 = TorchIncBasicConv(in_ch, 384, 3, 2)
+        self.branch3x3dbl_1 = TorchIncBasicConv(in_ch, 64, 1)
+        self.branch3x3dbl_2 = TorchIncBasicConv(64, 96, 3, padding=1)
+        self.branch3x3dbl_3 = TorchIncBasicConv(96, 96, 3, 2)
+
+    def forward(self, x):
+        return torch.cat(
+            [
+                self.branch3x3(x),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                F.max_pool2d(x, 3, 2),
+            ],
+            1,
+        )
+
+
+class TorchIncC(nn.Module):
+    def __init__(self, in_ch, c7):
+        super().__init__()
+        self.branch1x1 = TorchIncBasicConv(in_ch, 192, 1)
+        self.branch7x7_1 = TorchIncBasicConv(in_ch, c7, 1)
+        self.branch7x7_2 = TorchIncBasicConv(c7, c7, (1, 7), padding=(0, 3))
+        self.branch7x7_3 = TorchIncBasicConv(c7, 192, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = TorchIncBasicConv(in_ch, c7, 1)
+        self.branch7x7dbl_2 = TorchIncBasicConv(c7, c7, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = TorchIncBasicConv(c7, c7, (1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = TorchIncBasicConv(c7, c7, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = TorchIncBasicConv(c7, 192, (1, 7), padding=(0, 3))
+        self.branch_pool = TorchIncBasicConv(in_ch, 192, 1)
+
+    def forward(self, x):
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_1(x)
+        bd = self.branch7x7dbl_3(self.branch7x7dbl_2(bd))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(bd))
+        return torch.cat(
+            [
+                self.branch1x1(x),
+                b7,
+                bd,
+                self.branch_pool(F.avg_pool2d(x, 3, 1, 1)),
+            ],
+            1,
+        )
+
+
+class TorchIncD(nn.Module):
+    def __init__(self, in_ch):
+        super().__init__()
+        self.branch3x3_1 = TorchIncBasicConv(in_ch, 192, 1)
+        self.branch3x3_2 = TorchIncBasicConv(192, 320, 3, 2)
+        self.branch7x7x3_1 = TorchIncBasicConv(in_ch, 192, 1)
+        self.branch7x7x3_2 = TorchIncBasicConv(192, 192, (1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = TorchIncBasicConv(192, 192, (7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = TorchIncBasicConv(192, 192, 3, 2)
+
+    def forward(self, x):
+        b7 = self.branch7x7x3_2(self.branch7x7x3_1(x))
+        b7 = self.branch7x7x3_4(self.branch7x7x3_3(b7))
+        return torch.cat(
+            [
+                self.branch3x3_2(self.branch3x3_1(x)),
+                b7,
+                F.max_pool2d(x, 3, 2),
+            ],
+            1,
+        )
+
+
+class TorchIncE(nn.Module):
+    def __init__(self, in_ch):
+        super().__init__()
+        self.branch1x1 = TorchIncBasicConv(in_ch, 320, 1)
+        self.branch3x3_1 = TorchIncBasicConv(in_ch, 384, 1)
+        self.branch3x3_2a = TorchIncBasicConv(384, 384, (1, 3), padding=(0, 1))
+        self.branch3x3_2b = TorchIncBasicConv(384, 384, (3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = TorchIncBasicConv(in_ch, 448, 1)
+        self.branch3x3dbl_2 = TorchIncBasicConv(448, 384, 3, padding=1)
+        self.branch3x3dbl_3a = TorchIncBasicConv(384, 384, (1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = TorchIncBasicConv(384, 384, (3, 1), padding=(1, 0))
+        self.branch_pool = TorchIncBasicConv(in_ch, 192, 1)
+
+    def forward(self, x):
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        return torch.cat(
+            [
+                self.branch1x1(x),
+                b3,
+                bd,
+                self.branch_pool(F.avg_pool2d(x, 3, 1, 1)),
+            ],
+            1,
+        )
+
+
+class TorchIncAux(nn.Module):
+    def __init__(self, in_ch, num_classes):
+        super().__init__()
+        self.conv0 = TorchIncBasicConv(in_ch, 128, 1)
+        self.conv1 = TorchIncBasicConv(128, 768, 5)
+        self.fc = nn.Linear(768, num_classes)
+
+    def forward(self, x):
+        x = F.avg_pool2d(x, 5, 3)
+        x = self.conv1(self.conv0(x))
+        return self.fc(x.mean(dim=(2, 3)))
+
+
+class TorchInception3(nn.Module):
+    """Full Inception v3 (reference ``inception.py:28``), 299x299 input."""
+
+    def __init__(self, num_classes=10, aux_logits=True):
+        super().__init__()
+        self.aux_logits = aux_logits
+        self.Conv2d_1a_3x3 = TorchIncBasicConv(3, 32, 3, 2)
+        self.Conv2d_2a_3x3 = TorchIncBasicConv(32, 32, 3)
+        self.Conv2d_2b_3x3 = TorchIncBasicConv(32, 64, 3, padding=1)
+        self.Conv2d_3b_1x1 = TorchIncBasicConv(64, 80, 1)
+        self.Conv2d_4a_3x3 = TorchIncBasicConv(80, 192, 3)
+        self.Mixed_5b = TorchIncA(192, 32)
+        self.Mixed_5c = TorchIncA(256, 64)
+        self.Mixed_5d = TorchIncA(288, 64)
+        self.Mixed_6a = TorchIncB(288)
+        self.Mixed_6b = TorchIncC(768, 128)
+        self.Mixed_6c = TorchIncC(768, 160)
+        self.Mixed_6d = TorchIncC(768, 160)
+        self.Mixed_6e = TorchIncC(768, 192)
+        if aux_logits:
+            self.AuxLogits = TorchIncAux(768, num_classes)
+        self.Mixed_7a = TorchIncD(768)
+        self.Mixed_7b = TorchIncE(1280)
+        self.Mixed_7c = TorchIncE(2048)
+        self.fc = nn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+        x = F.max_pool2d(x, 3, 2)
+        x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+        x = F.max_pool2d(x, 3, 2)
+        x = self.Mixed_5d(self.Mixed_5c(self.Mixed_5b(x)))
+        x = self.Mixed_6e(self.Mixed_6d(self.Mixed_6c(self.Mixed_6b(self.Mixed_6a(x)))))
+        aux = (
+            self.AuxLogits(x) if (self.aux_logits and self.training) else None
+        )
+        x = self.Mixed_7c(self.Mixed_7b(self.Mixed_7a(x)))
+        logits = self.fc(x.mean(dim=(2, 3)))
+        if self.aux_logits and self.training:
+            return logits, aux
+        return logits
+
+
+# --------------------------------------------------------------- MNASNet --
+class TorchMnasIR(nn.Module):
+    def __init__(self, in_ch, out_ch, k, stride, expansion):
+        super().__init__()
+        mid = in_ch * expansion
+        self.apply_res = in_ch == out_ch and stride == 1
+        self.layers = nn.Sequential(
+            nn.Conv2d(in_ch, mid, 1, bias=False),
+            nn.BatchNorm2d(mid),
+            nn.ReLU(),
+            nn.Conv2d(mid, mid, k, stride, k // 2, groups=mid, bias=False),
+            nn.BatchNorm2d(mid),
+            nn.ReLU(),
+            nn.Conv2d(mid, out_ch, 1, bias=False),
+            nn.BatchNorm2d(out_ch),
+        )
+
+    def forward(self, x):
+        out = self.layers(x)
+        return out + x if self.apply_res else out
+
+
+class TorchMNASNet(nn.Module):
+    """MNASNet 1.0 (reference ``mnasnet.py``): flat ``layers.N`` key space."""
+
+    def __init__(self, num_classes=10):
+        super().__init__()
+        d = [32, 16, 24, 40, 80, 96, 192, 320]
+        mods = [
+            nn.Conv2d(3, d[0], 3, 2, 1, bias=False),
+            nn.BatchNorm2d(d[0]),
+            nn.ReLU(),
+            nn.Conv2d(d[0], d[0], 3, 1, 1, groups=d[0], bias=False),
+            nn.BatchNorm2d(d[0]),
+            nn.ReLU(),
+            nn.Conv2d(d[0], d[1], 1, bias=False),
+            nn.BatchNorm2d(d[1]),
+        ]
+        stacks = [
+            (d[1], d[2], 3, 2, 3, 3),
+            (d[2], d[3], 5, 2, 3, 3),
+            (d[3], d[4], 5, 2, 6, 3),
+            (d[4], d[5], 3, 1, 6, 2),
+            (d[5], d[6], 5, 2, 6, 4),
+            (d[6], d[7], 3, 1, 6, 1),
+        ]
+        for ic, oc, k, s, e, r in stacks:
+            stack = [TorchMnasIR(ic, oc, k, s, e)]
+            stack += [TorchMnasIR(oc, oc, k, 1, e) for _ in range(r - 1)]
+            mods.append(nn.Sequential(*stack))
+        mods += [
+            nn.Conv2d(d[7], 1280, 1, bias=False),
+            nn.BatchNorm2d(1280),
+            nn.ReLU(),
+        ]
+        self.layers = nn.Sequential(*mods)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.2), nn.Linear(1280, num_classes)
+        )
+
+    def forward(self, x):
+        x = self.layers(x)
+        return self.classifier(x.mean(dim=(2, 3)))
+
+
+# ------------------------------------------------------------- SqueezeNet --
+class TorchFire(nn.Module):
+    def __init__(self, in_ch, s, e1, e3):
+        super().__init__()
+        self.squeeze = nn.Conv2d(in_ch, s, 1)
+        self.expand1x1 = nn.Conv2d(s, e1, 1)
+        self.expand3x3 = nn.Conv2d(s, e3, 3, padding=1)
+
+    def forward(self, x):
+        x = F.relu(self.squeeze(x))
+        return torch.cat(
+            [F.relu(self.expand1x1(x)), F.relu(self.expand3x3(x))], 1
+        )
+
+
+class TorchSqueezeNet11(nn.Module):
+    def __init__(self, num_classes=10):
+        super().__init__()
+        self.features = nn.Sequential(
+            nn.Conv2d(3, 64, 3, 2),
+            nn.ReLU(),
+            nn.MaxPool2d(3, 2, ceil_mode=True),
+            TorchFire(64, 16, 64, 64),
+            TorchFire(128, 16, 64, 64),
+            nn.MaxPool2d(3, 2, ceil_mode=True),
+            TorchFire(128, 32, 128, 128),
+            TorchFire(256, 32, 128, 128),
+            nn.MaxPool2d(3, 2, ceil_mode=True),
+            TorchFire(256, 48, 192, 192),
+            TorchFire(384, 48, 192, 192),
+            TorchFire(384, 64, 256, 256),
+            TorchFire(512, 64, 256, 256),
+        )
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.5), nn.Conv2d(512, num_classes, 1), nn.ReLU()
+        )
+
+    def forward(self, x):
+        x = self.classifier(self.features(x))
+        return x.mean(dim=(2, 3))
+
+
+# ---------------------------------------------------------------- AlexNet --
+class TorchAlexNet(nn.Module):
+    def __init__(self, num_classes=10):
+        super().__init__()
+        self.features = nn.Sequential(
+            nn.Conv2d(3, 64, 11, 4, 2),
+            nn.ReLU(),
+            nn.MaxPool2d(3, 2),
+            nn.Conv2d(64, 192, 5, padding=2),
+            nn.ReLU(),
+            nn.MaxPool2d(3, 2),
+            nn.Conv2d(192, 384, 3, padding=1),
+            nn.ReLU(),
+            nn.Conv2d(384, 256, 3, padding=1),
+            nn.ReLU(),
+            nn.Conv2d(256, 256, 3, padding=1),
+            nn.ReLU(),
+            nn.MaxPool2d(3, 2),
+        )
+        self.classifier = nn.Sequential(
+            nn.Dropout(),
+            nn.Linear(256 * 6 * 6, 4096),
+            nn.ReLU(),
+            nn.Dropout(),
+            nn.Linear(4096, 4096),
+            nn.ReLU(),
+            nn.Linear(4096, num_classes),
+        )
+
+    def forward(self, x):
+        x = self.features(x)
+        x = F.adaptive_avg_pool2d(x, (6, 6))
+        return self.classifier(torch.flatten(x, 1))

@@ -46,3 +46,24 @@ def load_state_dict_from_url(url: str, progress: bool = True) -> Dict[str, Any]:
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+
+
+def save_variables_msgpack(variables: Dict[str, Any], path: str) -> None:
+    """Serialize flax variables to msgpack (scripts/convert_weights.py)."""
+    import jax.numpy as jnp
+    from flax import serialization
+
+    variables = {
+        k: v for k, v in variables.items()
+    }  # plain dict (serialization wants a pytree)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(variables))
+
+
+def load_variables_msgpack(path: str, like: Dict[str, Any]) -> Dict[str, Any]:
+    """Load variables written by :func:`save_variables_msgpack`; ``like``
+    gives the target structure (a model's variables)."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(dict(like), f.read())

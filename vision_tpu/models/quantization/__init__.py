@@ -29,6 +29,11 @@ import numpy as np
 from vision_tpu.models._utils import VisionModel
 
 __all__ = [
+    "calibrate_activations",
+    "apply_with_activation_quant",
+    "fake_quant_ste",
+    "fake_quant_params_ste",
+    "qat_apply",
     "quantize_weights",
     "dequantize_weights",
     "quantize_model",
@@ -87,9 +92,19 @@ def simulate_quantization(params: Any) -> Any:
 
 class QuantizedVisionModel:
     """int8-weight model: stores quantized kernels, dequantizes on the fly
-    inside the jitted forward (the rescale fuses into the consumer op)."""
+    inside the jitted forward (the rescale fuses into the consumer op).
 
-    def __init__(self, model: VisionModel, compute_dtype=jnp.float32):
+    Activation quantization (reference PTQ observer flow,
+    ``quantization/utils.py:21``): call :meth:`calibrate` with a few
+    batches to record per-layer scales, then set ``quantize_activations``
+    (or pass none and get dynamic per-batch scales)."""
+
+    def __init__(
+        self,
+        model: VisionModel,
+        compute_dtype=jnp.float32,
+        quantize_activations: bool = False,
+    ):
         self.module = model.module
         self.compute_dtype = compute_dtype
         variables = dict(model.variables)
@@ -97,6 +112,8 @@ class QuantizedVisionModel:
         self.other_variables = variables
         self.preprocess = model.preprocess
         self.meta = model.meta
+        self.quantize_activations = quantize_activations
+        self.activation_scales = None
 
     def _variables(self):
         params = dequantize_weights(
@@ -104,7 +121,32 @@ class QuantizedVisionModel:
         )
         return {"params": params, **self.other_variables}
 
+    def calibrate(self, batches, **apply_kwargs):
+        """PTQ observer pass over calibration batches (run eagerly)."""
+        from vision_tpu.models.quantization.activation import (
+            calibrate_activations,
+        )
+
+        self.activation_scales = calibrate_activations(
+            self.module.apply, self._variables(), batches, **apply_kwargs
+        )
+        self.quantize_activations = True
+        return self.activation_scales
+
     def __call__(self, *inputs, train: bool = False, **kwargs):
+        if self.quantize_activations:
+            from vision_tpu.models.quantization.activation import (
+                apply_with_activation_quant,
+            )
+
+            return apply_with_activation_quant(
+                self.module.apply,
+                self._variables(),
+                *inputs,
+                scales=self.activation_scales,
+                train=train,
+                **kwargs,
+            )
         return self.module.apply(
             self._variables(), *inputs, train=train, **kwargs
         )
@@ -114,16 +156,32 @@ class QuantizedVisionModel:
         return sum(l.size * l.dtype.itemsize for l in flat)
 
 
-def quantize_model(model: VisionModel, compute_dtype=jnp.float32) -> QuantizedVisionModel:
-    return QuantizedVisionModel(model, compute_dtype)
+def quantize_model(
+    model: VisionModel,
+    compute_dtype=jnp.float32,
+    quantize_activations: bool = False,
+) -> QuantizedVisionModel:
+    return QuantizedVisionModel(
+        model, compute_dtype, quantize_activations=quantize_activations
+    )
 
 
 def _make_quantized_builder(name):
     from vision_tpu.models._api import get_model_builder, register_model
 
-    def builder(*, weights=None, quantize: bool = True, **kwargs):
+    def builder(
+        *,
+        weights=None,
+        quantize: bool = True,
+        quantize_activations: bool = False,
+        **kwargs,
+    ):
         base = get_model_builder(name)(weights=weights, **kwargs)
-        return quantize_model(base) if quantize else base
+        if not quantize:
+            return base
+        return quantize_model(
+            base, quantize_activations=quantize_activations
+        )
 
     builder.__name__ = f"quantized_{name}"
     builder.__doc__ = (
@@ -139,4 +197,18 @@ quantized_googlenet = _make_quantized_builder("googlenet")
 quantized_inception_v3 = _make_quantized_builder("inception_v3")
 quantized_mobilenet_v2 = _make_quantized_builder("mobilenet_v2")
 quantized_mobilenet_v3_large = _make_quantized_builder("mobilenet_v3_large")
+quantized_shufflenet_v2_x0_5 = _make_quantized_builder("shufflenet_v2_x0_5")
 quantized_shufflenet_v2_x1_0 = _make_quantized_builder("shufflenet_v2_x1_0")
+quantized_shufflenet_v2_x1_5 = _make_quantized_builder("shufflenet_v2_x1_5")
+quantized_shufflenet_v2_x2_0 = _make_quantized_builder("shufflenet_v2_x2_0")
+quantized_resnext101_32x8d = _make_quantized_builder("resnext101_32x8d")
+quantized_resnext101_64x4d = _make_quantized_builder("resnext101_64x4d")
+
+
+from vision_tpu.models.quantization.activation import (  # noqa: E402
+    apply_with_activation_quant,
+    calibrate_activations,
+    fake_quant_params_ste,
+    fake_quant_ste,
+    qat_apply,
+)
