@@ -322,6 +322,13 @@ class OxfordIIITPet(_ListDataset):
                  transform=None, target_transform=None, download=False):
         super().__init__(root, transform, target_transform)
         split = verify_str_arg(split, "split", ("trainval", "test"))
+        self._target_types = (
+            [target_types]
+            if isinstance(target_types, str)
+            else list(target_types)
+        )
+        for t in self._target_types:
+            verify_str_arg(t, "target_types", ("category", "segmentation"))
         base = pathlib.Path(self.root) / "oxford-iiit-pet"
         if download and not base.exists():
             for url in self._URLS:
@@ -333,10 +340,31 @@ class OxfordIIITPet(_ListDataset):
         self._samples = [
             (str(base / "images" / f"{r[0]}.jpg"), int(r[1]) - 1) for r in rows
         ]
+        self._segs = [
+            str(base / "annotations" / "trimaps" / f"{r[0]}.png") for r in rows
+        ]
         names = sorted(
             {"_".join(r[0].split("_")[:-1]).lower() for r in rows}
         )
         self.classes = names
+
+    def __getitem__(self, idx):
+        path, label = self._samples[idx]
+        img = _load_image(path)
+        targets = []
+        for t in self._target_types:
+            if t == "category":
+                targets.append(label)
+            else:  # segmentation: trimap png (1=fg, 2=bg, 3=boundary)
+                from vision_tpu.io.image import decode_image, read_file
+
+                targets.append(np.asarray(decode_image(read_file(self._segs[idx]))))
+        target = targets[0] if len(targets) == 1 else tuple(targets)
+        if self.transform is not None:
+            img = self.transform(img)
+        if self.target_transform is not None:
+            target = self.target_transform(target)
+        return img, target
 
 
 class Country211(ImageFolder):
