@@ -43,56 +43,121 @@ def warmup_schedule(base_lr: float, warmup_iters: int = 1000,
 
 
 def _coco_batches(args, ann_file, img_dir, train=True, seed=0):
-    """Real-data path over vision_tpu.datasets.CocoDetection: resize the
-    longer side to the fixed canvas, pad, scale boxes, pad GT to
-    ``--max-boxes`` with a valid mask (static shapes for jit)."""
+    """Real-data path over vision_tpu.datasets.CocoDetection with
+    aspect-ratio grouped batching (reference
+    ``references/detection/group_by_aspect_ratio.py``): each group maps to
+    ONE static canvas shape so the jitted step compiles once per group.
+    Augmentation comes from ``presets.DetectionPresetTrain``; GT is padded
+    to ``--max-boxes`` with a valid mask (static shapes for jit)."""
+    # load detection-local modules by path: the bare name "presets" may
+    # already be bound to classification/presets.py in sys.modules
+    import importlib.util
+
+    def _load_local(name):
+        spec = importlib.util.spec_from_file_location(
+            f"_detection_{name}",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), f"{name}.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    gba = _load_local("group_by_aspect_ratio")
+    det_presets = _load_local("presets")
+    GroupedBatchSampler = gba.GroupedBatchSampler
+    create_aspect_ratio_groups = gba.create_aspect_ratio_groups
+    group_canvas_sizes = gba.group_canvas_sizes
+    DetectionPresetTrain = det_presets.DetectionPresetTrain
+    DetectionPresetEval = det_presets.DetectionPresetEval
+
+    from vision_tpu import tv_tensors
     from vision_tpu.datasets import CocoDetection
     from vision_tpu.transforms.v2 import functional as TF
 
     ds = CocoDetection(img_dir, ann_file)
     rng = np.random.RandomState(seed)
-    order = rng.permutation(len(ds)) if train else np.arange(len(ds))
-    s, g = args.size, args.max_boxes
-    imgs, boxes_l, labels_l, valid_l = [], [], [], []
-    for idx in order:
-        img, annos = ds[int(idx)]
-        img = np.asarray(img)
-        h, w = img.shape[:2]
-        scale = s / max(h, w)
-        nh, nw = int(round(h * scale)), int(round(w * scale))
-        img = np.asarray(TF.resize(img, (nh, nw))).astype(np.float32) / 255.0
-        canvas = np.zeros((s, s, 3), np.float32)
-        canvas[:nh, :nw] = img
-        if train and rng.rand() < 0.5:
-            canvas = canvas[:, ::-1].copy()
-            flip = True
-        else:
-            flip = False
-        boxes = np.zeros((g, 4), np.float32)
-        labels = np.zeros((g,), np.int32)
-        valid = np.zeros((g,), bool)
-        for j, a in enumerate(annos[:g]):
-            x, y, bw, bh = a["bbox"]
-            x1, y1 = x * scale, y * scale
-            x2, y2 = (x + bw) * scale, (y + bh) * scale
-            if flip:
-                x1, x2 = nw - x2, nw - x1
-            if x2 > x1 + 1 and y2 > y1 + 1:
-                boxes[j] = [x1, y1, x2, y2]
-                labels[j] = a["category_id"]
-                valid[j] = True
-        imgs.append(canvas)
-        boxes_l.append(boxes)
-        labels_l.append(labels)
-        valid_l.append(valid)
-        if len(imgs) == args.batch_size:
-            yield {
-                "image": np.stack(imgs),
-                "boxes": np.stack(boxes_l),
-                "labels": np.stack(labels_l),
-                "valid": np.stack(valid_l),
-            }
-            imgs, boxes_l, labels_l, valid_l = [], [], [], []
+    order = (rng.permutation(len(ds)) if train else np.arange(len(ds))).tolist()
+    k = args.aspect_ratio_group_factor if train else 0
+    if k > 0:
+        group_ids = create_aspect_ratio_groups(ds, k=k)
+        canvases = group_canvas_sizes(
+            k, short_side=args.size,
+            long_side=int(round(args.size * 1333 / 800)),
+        )
+        batches = iter(GroupedBatchSampler(order, group_ids, args.batch_size))
+    else:
+        group_ids = None
+        canvases = None
+        batches = (
+            order[i : i + args.batch_size]
+            for i in range(0, len(order) - args.batch_size + 1, args.batch_size)
+        )
+    preset = (
+        DetectionPresetTrain(data_augmentation=args.data_augmentation)
+        if train
+        else DetectionPresetEval()
+    )
+    key = jax.random.PRNGKey(seed)
+    g = args.max_boxes
+    for batch_indices in batches:
+        ch, cw = (
+            canvases[group_ids[batch_indices[0]]]
+            if canvases is not None
+            else (args.size, args.size)
+        )
+        imgs, boxes_l, labels_l, valid_l = [], [], [], []
+        for idx in batch_indices:
+            img, annos = ds[int(idx)]
+            img = np.asarray(img)
+            h, w = img.shape[:2]
+            scale = min(ch / h, cw / w)
+            nh, nw = int(round(h * scale)), int(round(w * scale))
+            img = np.asarray(TF.resize(img, (nh, nw)))
+            canvas = np.zeros((ch, cw, 3), img.dtype)
+            canvas[:nh, :nw] = img
+            raw_boxes, raw_labels = [], []
+            for a in annos[:g]:
+                x, y, bw, bh = a["bbox"]
+                raw_boxes.append(
+                    [x * scale, y * scale, (x + bw) * scale, (y + bh) * scale]
+                )
+                raw_labels.append(a["category_id"])
+            sample = (
+                tv_tensors.Image(canvas),
+                {
+                    "boxes": tv_tensors.BoundingBoxes(
+                        np.asarray(raw_boxes, np.float32).reshape(-1, 4),
+                        format="XYXY", canvas_size=(ch, cw),
+                    ),
+                    "labels": np.asarray(raw_labels, np.int64),
+                },
+            )
+            key, sub = jax.random.split(key)
+            img_t, target = preset(sample, key=sub)
+            out_boxes = np.asarray(target["boxes"].data, np.float32)
+            out_labels = np.asarray(target["labels"])
+            boxes = np.zeros((g, 4), np.float32)
+            labels = np.zeros((g,), np.int32)
+            valid = np.zeros((g,), bool)
+            keepable = (
+                (out_boxes[:, 2] > out_boxes[:, 0] + 1)
+                & (out_boxes[:, 3] > out_boxes[:, 1] + 1)
+            )
+            sel = np.nonzero(keepable)[0][:g]
+            boxes[: len(sel)] = out_boxes[sel]
+            labels[: len(sel)] = out_labels[sel]
+            valid[: len(sel)] = True
+            arr = np.asarray(img_t.data, np.float32)
+            imgs.append(arr)
+            boxes_l.append(boxes)
+            labels_l.append(labels)
+            valid_l.append(valid)
+        yield {
+            "image": np.stack(imgs),
+            "boxes": np.stack(boxes_l),
+            "labels": np.stack(labels_l),
+            "valid": np.stack(valid_l),
+        }
 
 
 def _fake_batches(args, steps, seed=0):
@@ -174,6 +239,14 @@ def get_args_parser():
     p.add_argument("--print-freq", default=20, type=int)
     p.add_argument("--output-dir", default=None, type=str)
     p.add_argument("--size", default=640, type=int)
+    p.add_argument(
+        "--aspect-ratio-group-factor", default=3, type=int,
+        help="2k+1 log-spaced aspect bins in [0.5, 2]; 0 disables grouping",
+    )
+    p.add_argument(
+        "--data-augmentation", default="hflip", type=str,
+        help="hflip | lsj | multiscale | ssd | ssdlite (presets.py)",
+    )
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--fake-data", action="store_true")
     return p

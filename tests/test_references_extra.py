@@ -291,3 +291,96 @@ def test_detection_cli_real_coco_path(tmp_path):
     np.testing.assert_allclose(
         b["boxes"][0, 0], np.asarray([5, 5, 25, 20]) * (64 / 60), atol=0.5
     )
+
+
+def test_grouped_batch_sampler_and_canvases():
+    """Aspect-ratio grouped batching (reference
+    ``references/detection/group_by_aspect_ratio.py``): same-group batches,
+    deterministic epoch length, per-group static canvases."""
+    import sys
+
+    sys.path.insert(0, "references/detection")
+    from group_by_aspect_ratio import (
+        GroupedBatchSampler,
+        create_aspect_ratio_groups,
+        group_canvas_sizes,
+    )
+
+    class FakeDS:
+        # alternating portrait / landscape
+        def __len__(self):
+            return 10
+
+        def get_height_and_width(self, i):
+            return (100, 50) if i % 2 == 0 else (50, 100)
+
+    groups = create_aspect_ratio_groups(FakeDS(), k=1)
+    assert len(set(groups)) == 2
+    sampler = GroupedBatchSampler(list(range(10)), groups, batch_size=2)
+    batches = list(sampler)
+    assert len(batches) == len(sampler) == 5
+    for b in batches:
+        assert len(b) == 2
+        assert groups[b[0]] == groups[b[1]]  # same group per batch
+
+    sizes = group_canvas_sizes(1, short_side=96, long_side=160)
+    assert all(h % 32 == 0 and w % 32 == 0 for h, w in sizes)
+    assert len(sizes) == 4  # 2k+2 groups
+    assert sizes[0][0] > sizes[0][1]  # most-portrait group is tall
+
+
+def test_detection_coco_batches_grouped(tmp_path):
+    """_coco_batches end to end: synthetic COCO tree -> grouped batches with
+    per-group canvases + preset augmentation + padded GT."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, "references/detection")
+    import numpy as np
+
+    from vision_tpu.io.image import write_png
+
+    root = tmp_path / "imgs"
+    os.makedirs(root)
+    images, annos = [], []
+    for i, (h, w) in enumerate([(40, 80), (80, 40), (40, 80), (80, 40)]):
+        name = f"{i:06d}.png"
+        write_png(
+            np.full((h, w, 3), 100, np.uint8), str(root / name)
+        )
+        images.append(
+            {"id": i, "file_name": name, "height": h, "width": w}
+        )
+        annos.append(
+            {"id": i, "image_id": i, "category_id": 1,
+             "bbox": [5, 5, 20, 10], "area": 200, "iscrowd": 0}
+        )
+    ann_file = tmp_path / "ann.json"
+    with open(ann_file, "w") as f:
+        json.dump(
+            {"images": images, "annotations": annos,
+             "categories": [{"id": 1, "name": "thing"}]},
+            f,
+        )
+
+    from train import _coco_batches, get_args_parser
+
+    args = get_args_parser().parse_args(
+        ["--batch-size", "2", "--size", "64", "--max-boxes", "8",
+         "--aspect-ratio-group-factor", "1"]
+    )
+    batches = list(
+        _coco_batches(args, str(ann_file), str(root), train=True, seed=0)
+    )
+    assert len(batches) == 2
+    shapes = {b["image"].shape[1:3] for b in batches}
+    assert len(shapes) == 2  # two groups -> two distinct static canvases
+    for b in batches:
+        assert b["image"].shape[0] == 2
+        assert b["boxes"].shape == (2, 8, 4)
+        assert b["valid"].any()
+        # boxes stay inside the canvas
+        h, w = b["image"].shape[1:3]
+        assert (b["boxes"][..., 2] <= w + 1e-3).all()
+        assert (b["boxes"][..., 3] <= h + 1e-3).all()
