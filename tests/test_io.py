@@ -110,3 +110,67 @@ def test_prefetch_iterator(rng):
     seen = list(vio.prefetch_to_device(batches, depth=2))
     assert len(seen) == 5
     np.testing.assert_allclose(np.asarray(seen[0]["x"]), batches[0]["x"])
+
+
+def test_decode_gif_native_matches_pil(rng):
+    """Clean-room native GIF decoder (LZW + palette + animation) vs PIL
+    (reference vendors giflib, csrc/io/image/cpu/decode_gif.cpp)."""
+    import io as _io
+
+    import PIL.Image
+
+    from vision_tpu.io._codecs import decode_gif_native
+    from vision_tpu.io.image import decode_gif
+
+    if decode_gif_native(b"GIF89a") is None:
+        pass  # invalid data returns None without crashing
+
+    # animated 3-frame palette GIF with full disposal replacement
+    frames = [
+        PIL.Image.fromarray(
+            rng.randint(0, 255, (9, 11, 3)).astype(np.uint8)
+        ).convert("P", palette=PIL.Image.ADAPTIVE)
+        for _ in range(3)
+    ]
+    b = _io.BytesIO()
+    frames[0].save(
+        b, "GIF", save_all=True, append_images=frames[1:], duration=100,
+        disposal=1,
+    )
+    data = b.getvalue()
+    got = decode_gif_native(data)
+    assert got is not None and got.shape[0] == 3
+
+    pil = PIL.Image.open(_io.BytesIO(data))
+    refs = []
+    try:
+        while True:
+            refs.append(np.asarray(pil.convert("RGB")))
+            pil.seek(pil.tell() + 1)
+    except EOFError:
+        pass
+    np.testing.assert_array_equal(got, np.stack(refs))
+
+    # public decode_gif returns (H, W, 3) for single frame
+    b2 = _io.BytesIO()
+    frames[0].save(b2, "GIF")
+    single = decode_gif(b2.getvalue())
+    assert single.ndim == 3 and single.shape[-1] == 3
+
+
+def test_decode_gif_interlaced(rng):
+    import io as _io
+
+    import PIL.Image
+
+    from vision_tpu.io._codecs import decode_gif_native
+
+    img = PIL.Image.fromarray(
+        rng.randint(0, 255, (16, 16, 3)).astype(np.uint8)
+    ).convert("P", palette=PIL.Image.ADAPTIVE)
+    b = _io.BytesIO()
+    img.save(b, "GIF", interlace=True)
+    data = b.getvalue()
+    got = decode_gif_native(data)
+    ref = np.asarray(PIL.Image.open(_io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(got[0], ref)

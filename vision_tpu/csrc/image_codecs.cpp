@@ -309,4 +309,311 @@ int vtpu_decode_webp(const uint8_t* buf, size_t len, VtpuImage* out) {
   return 0;
 }
 
+
+// ------------------------------------------------------------------- GIF
+// Clean-room GIF87a/89a decoder (no giflib on TPU-VM hosts; the reference
+// vendors giflib — csrc/io/image/cpu/decode_gif.cpp — and returns
+// (N, 3, H, W) animations; this implements the same observable behavior:
+// LZW decode, interlace, local/global color tables, frame compositing with
+// disposal methods and transparency, RGB output frames).
+namespace gif {
+
+struct Reader {
+  const uint8_t* p;
+  size_t len;
+  size_t pos = 0;
+  bool ok = true;
+  uint8_t u8() {
+    if (pos >= len) { ok = false; return 0; }
+    return p[pos++];
+  }
+  uint16_t u16() {  // little-endian
+    uint16_t lo = u8(), hi = u8();
+    return (uint16_t)(lo | (hi << 8));
+  }
+  bool skip(size_t n) {
+    if (pos + n > len) { ok = false; return false; }
+    pos += n;
+    return true;
+  }
+};
+
+// LZW over GIF data sub-blocks -> index stream (max n_out indices).
+static bool lzw_decode(Reader& r, int min_code_size, uint8_t* out,
+                       size_t n_out) {
+  if (min_code_size < 2 || min_code_size > 11) return false;
+  const int clear_code = 1 << min_code_size;
+  const int end_code = clear_code + 1;
+  static const int kMax = 4096;
+  uint16_t prefix[kMax];
+  uint8_t suffix[kMax];
+  uint8_t stack[kMax];
+  int code_size = min_code_size + 1;
+  int next_code = end_code + 1;
+  int prev = -1;
+
+  uint32_t bits = 0;
+  int n_bits = 0;
+  int block_left = 0;
+  size_t written = 0;
+
+  auto first_char = [&](int code) {
+    while (code >= clear_code) code = prefix[code];
+    return (uint8_t)code;
+  };
+
+  while (true) {
+    while (n_bits < code_size) {
+      if (block_left == 0) {
+        block_left = r.u8();
+        if (!r.ok) return false;
+        if (block_left == 0) return written == n_out;  // terminator
+      }
+      bits |= (uint32_t)r.u8() << n_bits;
+      if (!r.ok) return false;
+      n_bits += 8;
+      block_left--;
+    }
+    int code = bits & ((1 << code_size) - 1);
+    bits >>= code_size;
+    n_bits -= code_size;
+
+    if (code == clear_code) {
+      code_size = min_code_size + 1;
+      next_code = end_code + 1;
+      prev = -1;
+      continue;
+    }
+    if (code == end_code) {
+      // drain remaining sub-blocks
+      while (true) {
+        if (block_left > 0) { if (!r.skip(block_left)) return false; }
+        block_left = r.u8();
+        if (!r.ok || block_left == 0) break;
+      }
+      return written == n_out;
+    }
+    if (prev < 0) {
+      if (code >= clear_code) return false;
+      if (written < n_out) out[written++] = (uint8_t)code;
+      prev = code;
+      continue;
+    }
+
+    int sp = 0;
+    int cur = code;
+    if (code >= next_code || code == next_code) {
+      if (code != next_code) return false;
+      stack[sp++] = first_char(prev);
+      cur = prev;
+    }
+    while (cur >= clear_code) {
+      if (sp >= kMax) return false;
+      stack[sp++] = suffix[cur];
+      cur = prefix[cur];
+    }
+    stack[sp++] = (uint8_t)cur;
+
+    if (next_code < kMax) {
+      prefix[next_code] = (uint16_t)prev;
+      suffix[next_code] = stack[sp - 1] /* first char of this output */;
+      // first char of the emitted string is the LAST pushed (stack order)
+      next_code++;
+      if (next_code == (1 << code_size) && code_size < 12) code_size++;
+    }
+    while (sp > 0 && written < n_out) out[written++] = stack[--sp];
+    if (written == n_out) {
+      // consume to end of image data
+      while (true) {
+        if (block_left > 0) { if (!r.skip(block_left)) return false; }
+        block_left = r.u8();
+        if (!r.ok || block_left == 0) break;
+      }
+      return true;
+    }
+    prev = code;
+  }
+}
+
+}  // namespace gif
+
+// Decode every frame: out = malloc'd (n_frames * h * w * 3) RGB.
+int vtpu_decode_gif(const uint8_t* buf, size_t len, uint8_t** out_frames,
+                    int* out_n, int* out_h, int* out_w) {
+  gif::Reader r{buf, len};
+  if (len < 13 || memcmp(buf, "GIF8", 4) != 0) return -1;
+  r.pos = 6;
+  const int sw = r.u16(), sh = r.u16();
+  const uint8_t packed = r.u8();
+  r.u8();  // background color index (used below via gct)
+  const uint8_t bg_index = buf[11];
+  r.u8();  // aspect
+  if (!r.ok || sw <= 0 || sh <= 0) return -1;
+
+  uint8_t gct[256][3];
+  bool has_gct = (packed & 0x80) != 0;
+  int gct_size = 2 << (packed & 0x07);
+  if (has_gct) {
+    for (int i = 0; i < gct_size; ++i) {
+      gct[i][0] = r.u8();
+      gct[i][1] = r.u8();
+      gct[i][2] = r.u8();
+    }
+  }
+  if (!r.ok) return -1;
+
+  const size_t canvas_px = (size_t)sw * sh;
+  uint8_t* canvas = (uint8_t*)malloc(canvas_px * 3);
+  uint8_t* saved = (uint8_t*)malloc(canvas_px * 3);
+  if (!canvas || !saved) {
+    free(canvas); free(saved);
+    return -2;
+  }
+  // initial canvas: background color if GCT, else black
+  for (size_t i = 0; i < canvas_px; ++i) {
+    const uint8_t* c =
+        (has_gct && bg_index < gct_size) ? gct[bg_index] : nullptr;
+    canvas[i * 3 + 0] = c ? c[0] : 0;
+    canvas[i * 3 + 1] = c ? c[1] : 0;
+    canvas[i * 3 + 2] = c ? c[2] : 0;
+  }
+
+  uint8_t* frames = nullptr;
+  size_t frames_cap = 0;
+  int n_frames = 0;
+
+  int transparent = -1;
+  int disposal = 0;
+  int rc = -1;
+
+  while (r.ok) {
+    uint8_t block = r.u8();
+    if (!r.ok) break;
+    if (block == 0x3B) {  // trailer
+      rc = n_frames > 0 ? 0 : -1;
+      break;
+    }
+    if (block == 0x21) {  // extension
+      uint8_t label = r.u8();
+      if (label == 0xF9) {  // graphic control
+        uint8_t size = r.u8();
+        if (size >= 4) {
+          uint8_t flags = r.u8();
+          r.u16();  // delay
+          uint8_t tindex = r.u8();
+          disposal = (flags >> 2) & 0x07;
+          transparent = (flags & 1) ? tindex : -1;
+          if (size > 4) r.skip(size - 4);
+        } else {
+          r.skip(size);
+        }
+      }
+      // skip remaining sub-blocks (and the whole body for other labels)
+      while (r.ok) {
+        uint8_t n = r.u8();
+        if (n == 0) break;
+        r.skip(n);
+      }
+      continue;
+    }
+    if (block != 0x2C) break;  // unknown block: bail
+
+    // image descriptor
+    const int left = r.u16(), top = r.u16();
+    const int fw = r.u16(), fh = r.u16();
+    const uint8_t fpacked = r.u8();
+    if (!r.ok || fw <= 0 || fh <= 0 || left + fw > sw || top + fh > sh) break;
+    uint8_t lct[256][3];
+    const bool has_lct = (fpacked & 0x80) != 0;
+    const bool interlaced = (fpacked & 0x40) != 0;
+    const int lct_size = 2 << (fpacked & 0x07);
+    if (has_lct) {
+      for (int i = 0; i < lct_size; ++i) {
+        lct[i][0] = r.u8();
+        lct[i][1] = r.u8();
+        lct[i][2] = r.u8();
+      }
+    }
+    const uint8_t (*table)[3] = has_lct ? lct : gct;
+    const int table_size = has_lct ? lct_size : gct_size;
+    if (!has_lct && !has_gct) break;  // no palette at all
+
+    const int min_code = r.u8();
+    if (!r.ok) break;
+    uint8_t* fidx = (uint8_t*)malloc((size_t)fw * fh);
+    if (!fidx || !gif::lzw_decode(r, min_code, fidx, (size_t)fw * fh)) {
+      free(fidx);
+      break;
+    }
+
+    if (disposal == 3) memcpy(saved, canvas, canvas_px * 3);
+
+    // draw (with de-interlacing)
+    static const int i0[4] = {0, 4, 2, 1};
+    static const int istep[4] = {8, 8, 4, 2};
+    int src_row = 0;
+    for (int pass = interlaced ? 0 : 3; pass < 4; ++pass) {
+      const int start = interlaced ? i0[pass] : 0;
+      const int step = interlaced ? istep[pass] : 1;
+      for (int y = start; y < fh; y += step, ++src_row) {
+        const uint8_t* srow = fidx + (size_t)src_row * fw;
+        uint8_t* drow = canvas + ((size_t)(top + y) * sw + left) * 3;
+        for (int x = 0; x < fw; ++x) {
+          const int idx = srow[x];
+          if (idx == transparent || idx >= table_size) continue;
+          drow[x * 3 + 0] = table[idx][0];
+          drow[x * 3 + 1] = table[idx][1];
+          drow[x * 3 + 2] = table[idx][2];
+        }
+      }
+      if (!interlaced) break;
+    }
+    free(fidx);
+
+    // append the composed canvas as this frame's RGB
+    const size_t fbytes = canvas_px * 3;
+    if ((size_t)(n_frames + 1) * fbytes > frames_cap) {
+      size_t ncap = frames_cap ? frames_cap * 2 : fbytes * 4;
+      while (ncap < (size_t)(n_frames + 1) * fbytes) ncap *= 2;
+      frames = (uint8_t*)realloc(frames, ncap);
+      frames_cap = ncap;
+      if (!frames) break;
+    }
+    memcpy(frames + (size_t)n_frames * fbytes, canvas, fbytes);
+    n_frames++;
+
+    // disposal for the NEXT frame
+    if (disposal == 2) {  // restore to background within the frame rect
+      const uint8_t* c =
+          (has_gct && bg_index < gct_size) ? gct[bg_index] : nullptr;
+      for (int y = 0; y < fh; ++y) {
+        uint8_t* drow = canvas + ((size_t)(top + y) * sw + left) * 3;
+        for (int x = 0; x < fw; ++x) {
+          drow[x * 3 + 0] = c ? c[0] : 0;
+          drow[x * 3 + 1] = c ? c[1] : 0;
+          drow[x * 3 + 2] = c ? c[2] : 0;
+        }
+      }
+    } else if (disposal == 3) {
+      memcpy(canvas, saved, canvas_px * 3);
+    }
+    disposal = 0;
+    transparent = -1;
+
+    rc = 0;  // at least one frame decoded; trailer may still follow
+  }
+
+  free(canvas);
+  free(saved);
+  if (rc != 0 || n_frames == 0) {
+    free(frames);
+    return -1;
+  }
+  *out_frames = frames;
+  *out_n = n_frames;
+  *out_h = sh;
+  *out_w = sw;
+  return 0;
+}
+
 }  // extern "C"

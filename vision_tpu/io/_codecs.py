@@ -85,6 +85,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_size_t),
         ]
+        lib.vtpu_decode_gif.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
         lib.vtpu_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         _LIB = lib
         return lib
@@ -171,3 +177,26 @@ def encode_png_native(img: np.ndarray, compression: int = 6) -> Optional[bytes]:
     data = bytes(np.ctypeslib.as_array(buf, shape=(out_len.value,)))
     lib.vtpu_free(buf)
     return data
+
+
+def decode_gif_native(data: bytes) -> Optional[np.ndarray]:
+    """Animated GIF -> (N, H, W, 3) uint8 via the clean-room native decoder
+    (LZW + interlace + disposal compositing; the reference vendors giflib,
+    ``csrc/io/image/cpu/decode_gif.cpp``)."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = ctypes.POINTER(ctypes.c_uint8)()
+    n = ctypes.c_int()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.vtpu_decode_gif(
+        data, len(data), ctypes.byref(buf), ctypes.byref(n), ctypes.byref(h),
+        ctypes.byref(w),
+    )
+    if rc != 0:
+        return None
+    total = n.value * h.value * w.value * 3
+    arr = np.ctypeslib.as_array(buf, shape=(total,)).copy()
+    lib.vtpu_free(buf)
+    return arr.reshape(n.value, h.value, w.value, 3)

@@ -143,8 +143,14 @@ def decode_webp(
 
 
 def decode_gif(data: bytes) -> np.ndarray:
-    """reference ``io/image.py:362``: animated GIF -> (N, H, W, 3) uint8
-    (PIL-backed; giflib headers are not available in this image)."""
+    """reference ``io/image.py:362``: animated GIF -> (N, H, W, 3) uint8.
+    Native clean-room decoder (csrc vtpu_decode_gif — the giflib analog of
+    reference ``csrc/io/image/cpu/decode_gif.cpp``) with PIL fallback."""
+    from vision_tpu.io._codecs import decode_gif_native
+
+    native = decode_gif_native(data)
+    if native is not None:
+        return native[0] if native.shape[0] == 1 else native
     import PIL.Image
 
     frames = []

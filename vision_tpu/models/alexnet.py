@@ -22,18 +22,24 @@ class AlexNet(nn.Module):
     dropout: float = 0.5
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, return_features: bool = False
+    ) -> jax.Array:
+        feats = {}
         conv = lambda f, k, s, p, name: nn.Conv(
             f, (k, k), (s, s), padding=[(p, p)] * 2, name=name
         )
         x = nn.relu(conv(64, 11, 4, 2, "features.0")(x))
         x = nn.max_pool(x, (3, 3), (2, 2))
+        feats["features.2"] = x
         x = nn.relu(conv(192, 5, 1, 2, "features.3")(x))
         x = nn.max_pool(x, (3, 3), (2, 2))
+        feats["features.5"] = x
         x = nn.relu(conv(384, 3, 1, 1, "features.6")(x))
         x = nn.relu(conv(256, 3, 1, 1, "features.8")(x))
         x = nn.relu(conv(256, 3, 1, 1, "features.10")(x))
         x = nn.max_pool(x, (3, 3), (2, 2))
+        feats["features.12"] = x
         # adaptive avg pool to 6x6: inputs are 224 -> 6x6 already; general
         # case uses the area resample matrix
         if x.shape[-3] != 6 or x.shape[-2] != 6:
@@ -45,7 +51,10 @@ class AlexNet(nn.Module):
         x = nn.relu(nn.Dense(4096, name="classifier.1")(x))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.relu(nn.Dense(4096, name="classifier.4")(x))
-        return nn.Dense(self.num_classes, name="classifier.6")(x)
+        x = nn.Dense(self.num_classes, name="classifier.6")(x)
+        if return_features:
+            return x, feats
+        return x
 
 
 def _chw_to_hwc_linear(sd, key, c, h, w):

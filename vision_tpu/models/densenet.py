@@ -69,7 +69,8 @@ class DenseNet(nn.Module):
     num_classes: int = 1000
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        feats = {}
         x = nn.Conv(
             self.num_init_features, (7, 7), (2, 2), padding=[(3, 3)] * 2,
             use_bias=False, name="features.conv0",
@@ -87,6 +88,7 @@ class DenseNet(nn.Module):
                 )(x, train)
                 x = jnp.concatenate([x, new], axis=-1)
             num_features += num_layers * self.growth_rate
+            feats[f"features.denseblock{i + 1}"] = x
             if i != len(self.block_config) - 1:
                 x = _bn(train, f"features.transition{i + 1}.norm")(x)
                 x = nn.relu(x)
@@ -99,8 +101,12 @@ class DenseNet(nn.Module):
 
         x = _bn(train, "features.norm5")(x)
         x = nn.relu(x)
+        feats["features.norm5"] = x
         x = jnp.mean(x, axis=(-3, -2))
-        return nn.Dense(self.num_classes, name="classifier")(x)
+        x = nn.Dense(self.num_classes, name="classifier")(x)
+        if return_features:
+            return x, feats
+        return x
 
 
 def _w(url, acc1, acc5, num_params):

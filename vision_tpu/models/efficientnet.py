@@ -186,10 +186,12 @@ class EfficientNet(nn.Module):
     bn_momentum: float = 0.9
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        feats = {}
         first = self.setting[0].input_channels
         x = _CNA(first, 3, 2, bn_eps=self.bn_eps, bn_momentum=self.bn_momentum,
                  name="features.0")(x, train)
+        feats["features.0"] = x
 
         total_blocks = sum(c.num_layers for c in self.setting)
         block_id = 0
@@ -204,14 +206,19 @@ class EfficientNet(nn.Module):
                 x = cls(bc, sd, self.bn_eps, self.bn_momentum,
                         name=f"features.{stage_idx}.{j}")(x, train)
                 block_id += 1
+            feats[f"features.{stage_idx}"] = x
 
         last_in = self.setting[-1].out_channels
         last_out = self.last_channel if self.last_channel else 4 * last_in
         x = _CNA(last_out, 1, bn_eps=self.bn_eps, bn_momentum=self.bn_momentum,
                  name=f"features.{len(self.setting) + 1}")(x, train)
+        feats[f"features.{len(self.setting) + 1}"] = x
         x = jnp.mean(x, axis=(-3, -2))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.num_classes, name="classifier.1")(x)
+        x = nn.Dense(self.num_classes, name="classifier.1")(x)
+        if return_features:
+            return x, feats
+        return x
 
 
 def _b_setting(width_mult, depth_mult):

@@ -86,7 +86,8 @@ class GoogLeNet(nn.Module):
     dropout_aux: float = 0.7
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        feats = {}
         if self.transform_input:
             ch0 = x[..., 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
             ch1 = x[..., 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
@@ -100,6 +101,7 @@ class GoogLeNet(nn.Module):
         x = _max_pool_ceil(x, 3, 2)
         x = Inception(64, 96, 128, 16, 32, 32, name="inception3a")(x, train)
         x = Inception(128, 128, 192, 32, 96, 64, name="inception3b")(x, train)
+        feats["inception3b"] = x
         x = _max_pool_ceil(x, 3, 2)
         x = Inception(192, 96, 208, 16, 48, 64, name="inception4a")(x, train)
         aux1 = None
@@ -117,15 +119,19 @@ class GoogLeNet(nn.Module):
                 x, train
             )
         x = Inception(256, 160, 320, 32, 128, 128, name="inception4e")(x, train)
+        feats["inception4e"] = x
         x = _max_pool_ceil(x, 2, 2)
         x = Inception(256, 160, 320, 32, 128, 128, name="inception5a")(x, train)
         x = Inception(384, 192, 384, 48, 128, 128, name="inception5b")(x, train)
+        feats["inception5b"] = x
 
         x = jnp.mean(x, axis=(-3, -2))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         logits = nn.Dense(self.num_classes, name="fc")(x)
         if self.aux_logits and train:
             return GoogLeNetOutputs(logits, aux2, aux1)
+        if return_features:
+            return logits, feats
         return logits
 
 

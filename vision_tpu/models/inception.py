@@ -145,7 +145,8 @@ class Inception3(nn.Module):
     dropout: float = 0.5
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        feats = {}
         if self.transform_input:
             ch0 = x[..., 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
             ch1 = x[..., 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
@@ -162,22 +163,27 @@ class Inception3(nn.Module):
         x = InceptionA(32, name="Mixed_5b")(x, train)
         x = InceptionA(64, name="Mixed_5c")(x, train)
         x = InceptionA(64, name="Mixed_5d")(x, train)
+        feats["Mixed_5d"] = x
         x = InceptionB(name="Mixed_6a")(x, train)
         x = InceptionC(128, name="Mixed_6b")(x, train)
         x = InceptionC(160, name="Mixed_6c")(x, train)
         x = InceptionC(160, name="Mixed_6d")(x, train)
         x = InceptionC(192, name="Mixed_6e")(x, train)
+        feats["Mixed_6e"] = x
         aux = None
         if self.aux_logits:
             aux = InceptionAux(self.num_classes, name="AuxLogits")(x, train)
         x = InceptionD(name="Mixed_7a")(x, train)
         x = InceptionE(name="Mixed_7b")(x, train)
         x = InceptionE(name="Mixed_7c")(x, train)
+        feats["Mixed_7c"] = x
         x = jnp.mean(x, axis=(-3, -2))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         logits = nn.Dense(self.num_classes, name="fc")(x)
         if self.aux_logits and train:
             return InceptionOutputs(logits, aux)
+        if return_features:
+            return logits, feats
         return logits
 
 

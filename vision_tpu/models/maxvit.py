@@ -200,7 +200,8 @@ class MaxVit(nn.Module):
     num_classes: int = 1000
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        feats = {}
         x = nn.Conv(
             self.stem_channels, (3, 3), (2, 2), padding=[(1, 1)] * 2,
             use_bias=False, name="stem.0.0",
@@ -235,11 +236,15 @@ class MaxVit(nn.Module):
                     name=f"{prefix}.grid_attention",
                 )(x, train)
                 p_idx += 1
+            feats[f"blocks.{bi}"] = x
 
         x = jnp.mean(x, axis=(-3, -2))
         x = nn.LayerNorm(epsilon=1e-5, name="classifier.2")(x)
         x = jnp.tanh(nn.Dense(self.block_channels[-1], name="classifier.3")(x))
-        return nn.Dense(self.num_classes, use_bias=False, name="classifier.5")(x)
+        x = nn.Dense(self.num_classes, use_bias=False, name="classifier.5")(x)
+        if return_features:
+            return x, feats
+        return x
 
 
 def _maxvit_hooks(sd):

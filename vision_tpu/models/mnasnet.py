@@ -77,7 +77,8 @@ class MNASNet(nn.Module):
     dropout: float = 0.2
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        feats = {}
         d = _get_depths(self.alpha)
         x = nn.Conv(
             d[0], (3, 3), (2, 2), padding=[(1, 1)] * 2, use_bias=False,
@@ -106,12 +107,17 @@ class MNASNet(nn.Module):
                 x = _InvertedResidual(oc, k, 1, e, oc, name=f"layers.{si}.{j}")(
                     x, train
                 )
+            feats[f"layers.{si}"] = x
 
         x = nn.Conv(1280, (1, 1), use_bias=False, name="layers.14")(x)
         x = nn.relu(_bn(train, "layers.15")(x))
+        feats["layers.15"] = x
         x = jnp.mean(x, axis=(-3, -2))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.num_classes, name="classifier.1")(x)
+        x = nn.Dense(self.num_classes, name="classifier.1")(x)
+        if return_features:
+            return x, feats
+        return x
 
 
 def _w(url, acc1, acc5, num_params, resize=256):

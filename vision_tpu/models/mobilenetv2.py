@@ -108,12 +108,14 @@ class MobileNetV2(nn.Module):
     dropout: float = 0.2
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        feats = {}
         input_channel = _make_divisible(32 * self.width_mult, self.round_nearest)
         last_channel = _make_divisible(
             1280 * max(1.0, self.width_mult), self.round_nearest
         )
         x = _CNA(input_channel, 3, 2, name="features.0")(x, train)
+        feats["features.0"] = x
         idx = 1
         for t, c, n, s in _SETTING:
             out_c = _make_divisible(c * self.width_mult, self.round_nearest)
@@ -123,11 +125,16 @@ class MobileNetV2(nn.Module):
                     name=f"features.{idx}",
                 )(x, train)
                 input_channel = out_c
+                feats[f"features.{idx}"] = x
                 idx += 1
         x = _CNA(last_channel, 1, name=f"features.{idx}")(x, train)
+        feats[f"features.{idx}"] = x
         x = jnp.mean(x, axis=(-3, -2))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.num_classes, name="classifier.1")(x)
+        x = nn.Dense(self.num_classes, name="classifier.1")(x)
+        if return_features:
+            return x, feats
+        return x
 
 
 class MobileNet_V2_Weights(WeightsEnum):

@@ -138,8 +138,10 @@ class RegNet(nn.Module):
     num_classes: int = 1000
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        feats = {}
         x = _CNA(self.stem_width, 3, 2, name="stem")(x, train)
+        feats["stem"] = x
         current = self.stem_width
         for i, (width_out, stride, depth, gw, bm) in enumerate(self.stage_params):
             for j in range(depth):
@@ -152,9 +154,13 @@ class RegNet(nn.Module):
                     self.se_ratio,
                     name=f"trunk_output.block{i + 1}.block{i + 1}-{j}",
                 )(x, train)
+            feats[f"trunk_output.block{i + 1}"] = x
             current = width_out
         x = jnp.mean(x, axis=(-3, -2))
-        return nn.Dense(self.num_classes, name="fc")(x)
+        x = nn.Dense(self.num_classes, name="fc")(x)
+        if return_features:
+            return x, feats
+        return x
 
 
 def _w(url, acc1, acc5, num_params, crop=224, resize=232, interp="bilinear"):

@@ -91,7 +91,8 @@ class ShuffleNetV2(nn.Module):
     num_classes: int = 1000
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        feats = {}
         out_c = self.stages_out_channels
         x = nn.Conv(
             out_c[0], (3, 3), (2, 2), padding=[(1, 1)] * 2, use_bias=False,
@@ -112,13 +113,18 @@ class ShuffleNetV2(nn.Module):
                 x = InvertedResidual(
                     output_c, output_c, 1, name=f"stage{stage_i}.{j + 1}"
                 )(x, train)
+            feats[f"stage{stage_i}"] = x
             input_c = output_c
 
         x = nn.Conv(out_c[-1], (1, 1), use_bias=False, name="conv5.0")(x)
         x = _bn(train, "conv5.1")(x)
         x = nn.relu(x)
+        feats["conv5"] = x
         x = jnp.mean(x, axis=(-3, -2))
-        return nn.Dense(self.num_classes, name="fc")(x)
+        x = nn.Dense(self.num_classes, name="fc")(x)
+        if return_features:
+            return x, feats
+        return x
 
 
 def _w(url, acc1, acc5, num_params):

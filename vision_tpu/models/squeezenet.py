@@ -60,7 +60,8 @@ class SqueezeNet(nn.Module):
     dropout: float = 0.5
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        feats = {}
         f = lambda i, s, e1, e3: Fire(s, e1, e3, name=f"features.{i}")
         if self.version == "1_0":
             x = nn.relu(
@@ -75,8 +76,10 @@ class SqueezeNet(nn.Module):
             x = f(8, 48, 192, 192)(x)
             x = f(9, 48, 192, 192)(x)
             x = f(10, 64, 256, 256)(x)
+            feats["features.10"] = x
             x = _max_pool_ceil(x)
             x = f(12, 64, 256, 256)(x)
+            feats["features.12"] = x
         else:
             x = nn.relu(
                 nn.Conv(64, (3, 3), (2, 2), padding="VALID", name="features.0")(x)
@@ -87,15 +90,20 @@ class SqueezeNet(nn.Module):
             x = _max_pool_ceil(x)
             x = f(6, 32, 128, 128)(x)
             x = f(7, 32, 128, 128)(x)
+            feats["features.7"] = x
             x = _max_pool_ceil(x)
             x = f(9, 48, 192, 192)(x)
             x = f(10, 48, 192, 192)(x)
             x = f(11, 64, 256, 256)(x)
             x = f(12, 64, 256, 256)(x)
+            feats["features.12"] = x
 
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.relu(nn.Conv(self.num_classes, (1, 1), name="classifier.1")(x))
-        return jnp.mean(x, axis=(-3, -2))
+        x = jnp.mean(x, axis=(-3, -2))
+        if return_features:
+            return x, feats
+        return x
 
 
 def _w(url, acc1, acc5, num_params, resize=256):

@@ -53,11 +53,15 @@ class VGG(nn.Module):
     dropout: float = 0.5
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, return_features: bool = False
+    ) -> jax.Array:
+        feats = {}
         idx = 0
         for v in _CFGS[self.cfg]:
             if v == "M":
                 x = nn.max_pool(x, (2, 2), (2, 2))
+                feats[f"features.{idx}"] = x
                 idx += 1
             else:
                 x = nn.Conv(
@@ -81,7 +85,10 @@ class VGG(nn.Module):
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.relu(nn.Dense(4096, name="classifier.3")(x))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.num_classes, name="classifier.6")(x)
+        x = nn.Dense(self.num_classes, name="classifier.6")(x)
+        if return_features:
+            return x, feats
+        return x
 
 
 def _vgg_hooks(sd):

@@ -113,7 +113,8 @@ class VisionTransformer(nn.Module):
     representation_size: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        feats = {}
         n, h, w, _ = x.shape
         p = self.patch_size
         x = nn.Conv(
@@ -148,12 +149,17 @@ class VisionTransformer(nn.Module):
                 self.attention_dropout,
                 name=f"encoder.layers.encoder_layer_{i}",
             )(x, train)
+            feats[f"encoder.layers.encoder_layer_{i}"] = x
         x = nn.LayerNorm(epsilon=1e-6, name="encoder.ln")(x)
+        feats["encoder.ln"] = x
 
         x = x[:, 0]
         if self.representation_size is not None:
             x = jnp.tanh(nn.Dense(self.representation_size, name="heads.pre_logits")(x))
-        return nn.Dense(self.num_classes, name="heads.head")(x)
+        x = nn.Dense(self.num_classes, name="heads.head")(x)
+        if return_features:
+            return x, feats
+        return x
 
 
 def _interpolate_pos_embedding(pos, n_h, n_w):
