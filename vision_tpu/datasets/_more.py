@@ -853,21 +853,105 @@ class CLEVRClassification(VisionDataset):
         return img, target
 
 
+class LSUNClass(VisionDataset):
+    """reference ``lsun.py:17``: one LMDB database of encoded images
+    (requires the ``lmdb`` package). Keys are enumerated once at open;
+    values are compressed image bytes decoded on access."""
+
+    def __init__(self, root, transform=None, target_transform=None):
+        try:
+            import lmdb
+        except ImportError as e:
+            raise RuntimeError("LSUNClass requires the lmdb package") from e
+        super().__init__(
+            root, transform=transform, target_transform=target_transform
+        )
+        self.env = lmdb.open(
+            str(root), max_readers=1, readonly=True, lock=False,
+            readahead=False, meminit=False,
+        )
+        with self.env.begin(write=False) as txn:
+            self.length = txn.stat()["entries"]
+            self.keys = list(txn.cursor().iternext(keys=True, values=False))
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index):
+        from vision_tpu.io.image import ImageReadMode, decode_image
+
+        with self.env.begin(write=False) as txn:
+            buf = txn.get(self.keys[index])
+        img = np.asarray(decode_image(bytes(buf), ImageReadMode.RGB))
+        target = None
+        if self.transform is not None:
+            img = self.transform(img)
+        if self.target_transform is not None:
+            target = self.target_transform(target)
+        return img, target
+
+
 class LSUN(VisionDataset):
-    """reference ``lsun.py``: LMDB-backed scene classification (requires
-    the ``lmdb`` package)."""
+    """reference ``lsun.py:57``: scene classification over per-class LMDB
+    dirs ``{category}_{split}_lmdb`` (requires the ``lmdb`` package)."""
+
+    _CATEGORIES = (
+        "bedroom", "bridge", "church_outdoor", "classroom",
+        "conference_room", "dining_room", "kitchen", "living_room",
+        "restaurant", "tower",
+    )
 
     def __init__(self, root, classes="train", transform=None,
                  target_transform=None):
-        super().__init__(root, transform=transform, target_transform=target_transform)
-        try:
-            import lmdb  # noqa: F401
-        except ImportError as e:
-            raise RuntimeError("LSUN requires the lmdb package") from e
-        raise NotImplementedError(
-            "LSUN LMDB reading is gated on the lmdb package (unavailable "
-            "in this environment)"
+        super().__init__(
+            root, transform=transform, target_transform=target_transform
         )
+        self.classes = self._verify_classes(classes)
+        self.dbs = [
+            LSUNClass(os.path.join(str(root), f"{c}_lmdb"), transform=transform)
+            for c in self.classes
+        ]
+        self.indices = []
+        count = 0
+        for db in self.dbs:
+            count += len(db)
+            self.indices.append(count)
+        self.length = count
+
+    def _verify_classes(self, classes):
+        if isinstance(classes, str):
+            verify_str_arg(classes, "classes", ("train", "val", "test"))
+            if classes == "test":
+                return [classes]
+            return [f"{c}_{classes}" for c in self._CATEGORIES]
+        out = []
+        for c in classes:
+            category, _, split = c.rpartition("_")
+            if split == "test":
+                out.append(c)
+                continue
+            verify_str_arg(split, "classes", ("train", "val"))
+            verify_str_arg(category, "classes", self._CATEGORIES)
+            out.append(c)
+        return out
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index):
+        target = 0
+        sub = index
+        for db in self.dbs:
+            if sub < len(db):
+                img, _ = db[sub]
+                break
+            sub -= len(db)
+            target += 1
+        else:
+            raise IndexError(index)
+        if self.target_transform is not None:
+            target = self.target_transform(target)
+        return img, target
 
 
 class SBU(VisionDataset):

@@ -226,18 +226,24 @@ class ResNet(nn.Module):
 _COMMON_META = {"min_size": (1, 1), "categories": "imagenet-1k"}
 
 
-def _cls_weights(url, crop, resize, metrics, num_params, recipe=""):
+def _cls_weights(url, crop, resize, metrics, num_params, recipe="",
+                 ops=None, file_size=None):
+    meta = {
+        **_COMMON_META,
+        "num_params": num_params,
+        "recipe": recipe,
+        "_metrics": {"ImageNet-1K": metrics},
+    }
+    if ops is not None:
+        meta["_ops"] = ops  # GMACs at 224x224 (reference _ops meta)
+    if file_size is not None:
+        meta["_file_size"] = file_size  # checkpoint MB (reference meta)
     return Weights(
         url=url,
         transforms=functools.partial(
             ImageClassification, crop_size=crop, resize_size=resize
         ),
-        meta={
-            **_COMMON_META,
-            "num_params": num_params,
-            "recipe": recipe,
-            "_metrics": {"ImageNet-1K": metrics},
-        },
+        meta=meta,
     )
 
 
@@ -245,6 +251,7 @@ class ResNet18_Weights(WeightsEnum):
     IMAGENET1K_V1 = _cls_weights(
         "https://download.pytorch.org/models/resnet18-f37072fd.pth",
         224, 256, {"acc@1": 69.758, "acc@5": 89.078}, 11689512,
+        ops=1.814, file_size=44.661,
     )
     DEFAULT = IMAGENET1K_V1
 
@@ -253,6 +260,7 @@ class ResNet34_Weights(WeightsEnum):
     IMAGENET1K_V1 = _cls_weights(
         "https://download.pytorch.org/models/resnet34-b627a593.pth",
         224, 256, {"acc@1": 73.314, "acc@5": 91.420}, 21797672,
+        ops=3.664, file_size=83.275,
     )
     DEFAULT = IMAGENET1K_V1
 
@@ -261,10 +269,12 @@ class ResNet50_Weights(WeightsEnum):
     IMAGENET1K_V1 = _cls_weights(
         "https://download.pytorch.org/models/resnet50-0676ba61.pth",
         224, 256, {"acc@1": 76.130, "acc@5": 92.862}, 25557032,
+        ops=4.089, file_size=97.781,
     )
     IMAGENET1K_V2 = _cls_weights(
         "https://download.pytorch.org/models/resnet50-11ad3fa6.pth",
         224, 232, {"acc@1": 80.858, "acc@5": 95.434}, 25557032,
+        ops=4.089, file_size=97.79,
     )
     DEFAULT = IMAGENET1K_V2
 
@@ -273,10 +283,12 @@ class ResNet101_Weights(WeightsEnum):
     IMAGENET1K_V1 = _cls_weights(
         "https://download.pytorch.org/models/resnet101-63fe2227.pth",
         224, 256, {"acc@1": 77.374, "acc@5": 93.546}, 44549160,
+        ops=7.801, file_size=170.511,
     )
     IMAGENET1K_V2 = _cls_weights(
         "https://download.pytorch.org/models/resnet101-cd907fc2.pth",
         224, 232, {"acc@1": 81.886, "acc@5": 95.780}, 44549160,
+        ops=7.801, file_size=170.53,
     )
     DEFAULT = IMAGENET1K_V2
 
@@ -285,10 +297,12 @@ class ResNet152_Weights(WeightsEnum):
     IMAGENET1K_V1 = _cls_weights(
         "https://download.pytorch.org/models/resnet152-394f9c45.pth",
         224, 256, {"acc@1": 78.312, "acc@5": 94.046}, 60192808,
+        ops=11.514, file_size=230.434,
     )
     IMAGENET1K_V2 = _cls_weights(
         "https://download.pytorch.org/models/resnet152-f82ba261.pth",
         224, 232, {"acc@1": 82.284, "acc@5": 96.002}, 60192808,
+        ops=11.514, file_size=230.474,
     )
     DEFAULT = IMAGENET1K_V2
 
@@ -297,10 +311,12 @@ class ResNeXt50_32X4D_Weights(WeightsEnum):
     IMAGENET1K_V1 = _cls_weights(
         "https://download.pytorch.org/models/resnext50_32x4d-7cdf4587.pth",
         224, 256, {"acc@1": 77.618, "acc@5": 93.698}, 25028904,
+        ops=4.23, file_size=95.789,
     )
     IMAGENET1K_V2 = _cls_weights(
         "https://download.pytorch.org/models/resnext50_32x4d-1a0047aa.pth",
         224, 232, {"acc@1": 81.198, "acc@5": 95.340}, 25028904,
+        ops=4.23, file_size=95.833,
     )
     DEFAULT = IMAGENET1K_V2
 
@@ -309,10 +325,12 @@ class ResNeXt101_32X8D_Weights(WeightsEnum):
     IMAGENET1K_V1 = _cls_weights(
         "https://download.pytorch.org/models/resnext101_32x8d-8ba56ff5.pth",
         224, 256, {"acc@1": 79.312, "acc@5": 94.526}, 88791336,
+        ops=16.414, file_size=339.586,
     )
     IMAGENET1K_V2 = _cls_weights(
         "https://download.pytorch.org/models/resnext101_32x8d-110c445d.pth",
         224, 232, {"acc@1": 82.834, "acc@5": 96.228}, 88791336,
+        ops=16.414, file_size=339.673,
     )
     DEFAULT = IMAGENET1K_V2
 
@@ -321,6 +339,7 @@ class ResNeXt101_64X4D_Weights(WeightsEnum):
     IMAGENET1K_V1 = _cls_weights(
         "https://download.pytorch.org/models/resnext101_64x4d-173b62eb.pth",
         224, 232, {"acc@1": 83.246, "acc@5": 96.454}, 83455272,
+        ops=15.46, file_size=319.318,
     )
     DEFAULT = IMAGENET1K_V1
 
@@ -329,10 +348,12 @@ class Wide_ResNet50_2_Weights(WeightsEnum):
     IMAGENET1K_V1 = _cls_weights(
         "https://download.pytorch.org/models/wide_resnet50_2-95faca4d.pth",
         224, 256, {"acc@1": 78.468, "acc@5": 94.086}, 68883240,
+        ops=11.398, file_size=131.82,
     )
     IMAGENET1K_V2 = _cls_weights(
         "https://download.pytorch.org/models/wide_resnet50_2-9ba9bcbe.pth",
         224, 232, {"acc@1": 81.602, "acc@5": 95.758}, 68883240,
+        ops=11.398, file_size=263.124,
     )
     DEFAULT = IMAGENET1K_V2
 
@@ -341,10 +362,12 @@ class Wide_ResNet101_2_Weights(WeightsEnum):
     IMAGENET1K_V1 = _cls_weights(
         "https://download.pytorch.org/models/wide_resnet101_2-32ee1156.pth",
         224, 256, {"acc@1": 78.848, "acc@5": 94.284}, 126886696,
+        ops=22.753, file_size=242.896,
     )
     IMAGENET1K_V2 = _cls_weights(
         "https://download.pytorch.org/models/wide_resnet101_2-d733dc28.pth",
         224, 232, {"acc@1": 82.510, "acc@5": 96.020}, 126886696,
+        ops=22.753, file_size=484.747,
     )
     DEFAULT = IMAGENET1K_V2
 

@@ -184,7 +184,13 @@ def batched_nms_mask(
     if boxes.shape[0] == 0:
         return jnp.zeros((0,), dtype=bool)
     boxes = boxes.astype(jnp.float32)
-    max_coord = jnp.max(boxes)
+    # offset from the max coordinate of VALID boxes only: padded garbage
+    # rows must not inflate it toward inf (reference ops/boxes.py:93-111
+    # computes boxes.max() post-filter)
+    if valid is not None:
+        max_coord = jnp.max(jnp.where(valid[:, None], boxes, 0.0))
+    else:
+        max_coord = jnp.max(boxes)
     offsets = idxs.astype(jnp.float32) * (max_coord + 1.0)
     boxes_for_nms = boxes + offsets[:, None]
     return nms_mask(boxes_for_nms, scores, iou_threshold, valid=valid)
