@@ -389,3 +389,90 @@ def test_inception_v3_aux_matches_torch_train():
     np.testing.assert_allclose(
         np.asarray(out.aux_logits), ref_aux.numpy(), atol=3e-3, rtol=1e-4
     )
+
+
+def test_deeplab_head_matches_torch():
+    """ASPP (atrous branches + global pooling broadcast) + head convs."""
+    from tests.torch_refs2 import TorchDeepLabHead
+    from vision_tpu.models.segmentation.deeplabv3 import DeepLabHead
+
+    tm = randomize_bn_stats(TorchDeepLabHead(32, num_classes=7, rates=(2, 4, 6)))
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    module = DeepLabHead(num_classes=7, atrous_rates=(2, 4, 6))
+    x = np.random.RandomState(0).rand(2, 16, 16, 32).astype(np.float32)
+    variables = jax.eval_shape(
+        lambda: module.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    )
+    variables = convert_torch_state_dict(sd, dict(variables))
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    out = np.asarray(
+        jax.jit(lambda v, t: module.apply(v, t, train=False))(
+            variables, jnp.asarray(x)
+        )
+    )
+    np.testing.assert_allclose(
+        out, ref.transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_fcn_head_matches_torch():
+    from tests.torch_refs2 import TorchFCNHead
+    from vision_tpu.models.segmentation.fcn import FCNHead
+
+    tm = randomize_bn_stats(TorchFCNHead(64, num_classes=5))
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    module = FCNHead(channels=5)
+    x = np.random.RandomState(1).rand(2, 8, 8, 64).astype(np.float32)
+    variables = jax.eval_shape(
+        lambda: module.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    )
+    variables = convert_torch_state_dict(sd, dict(variables))
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    out = np.asarray(module.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(
+        out, ref.transpose(0, 2, 3, 1), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_mvit_pooled_attention_matches_torch():
+    """MViT multiscale attention: depthwise-conv3d token pooling, decomposed
+    relative positions (h/w/t), pooled-q residual (reference
+    ``video/mvit.py:196``)."""
+    from tests.torch_refs2 import TorchMultiscaleAttention
+    from vision_tpu.models.video.mvit import MSBlockConfig, MultiscaleAttention
+
+    thw = (2, 4, 4)
+    tm = TorchMultiscaleAttention(
+        thw, embed_dim=8, output_dim=8, heads=2,
+        kernel_q=(3, 3, 3), stride_q=(1, 2, 2),
+        kernel_kv=(3, 3, 3), stride_kv=(1, 2, 2),
+    )
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    cnf = MSBlockConfig(
+        num_heads=2, input_channels=8, output_channels=8,
+        kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3),
+        stride_q=(1, 2, 2), stride_kv=(1, 2, 2),
+    )
+    module = MultiscaleAttention(
+        thw=thw, embed_dim=8, output_dim=8, num_heads=2, cnf=cnf,
+        residual_pool=True, residual_with_cls_embed=False,
+        rel_pos_embed=True, input_size=thw,
+    )
+    n = 2 * 4 * 4 + 1
+    x = np.random.RandomState(0).rand(2, n, 8).astype(np.float32)
+    variables = jax.eval_shape(
+        lambda: module.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    )
+    variables = convert_torch_state_dict(sd, dict(variables))
+    with torch.no_grad():
+        ref, ref_thw = tm(torch.from_numpy(x), thw)
+    out, q_thw = module.apply(variables, jnp.asarray(x))
+    assert tuple(q_thw) == tuple(ref_thw)
+    np.testing.assert_allclose(
+        np.asarray(out), ref.numpy(), atol=2e-5, rtol=1e-4
+    )

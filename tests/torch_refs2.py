@@ -1357,3 +1357,215 @@ class TorchAlexNet(nn.Module):
         x = self.features(x)
         x = F.adaptive_avg_pool2d(x, (6, 6))
         return self.classifier(torch.flatten(x, 1))
+
+
+# ---------------------------------------------------- Segmentation heads --
+class TorchASPPConv(nn.Sequential):
+    def __init__(self, in_ch, out_ch, dilation):
+        super().__init__(
+            nn.Conv2d(in_ch, out_ch, 3, padding=dilation, dilation=dilation,
+                      bias=False),
+            nn.BatchNorm2d(out_ch),
+            nn.ReLU(),
+        )
+
+
+class TorchASPPPooling(nn.Module):
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        # child indices 1/2 match the reference's Sequential(pool, conv, bn, relu)
+        self.add_module("1", nn.Conv2d(in_ch, out_ch, 1, bias=False))
+        self.add_module("2", nn.BatchNorm2d(out_ch))
+
+    def forward(self, x):
+        size = x.shape[-2:]
+        y = x.mean(dim=(2, 3), keepdim=True)
+        y = F.relu(getattr(self, "2")(getattr(self, "1")(y)))
+        return y.expand(-1, -1, size[0], size[1])
+
+
+class TorchASPP(nn.Module):
+    """reference ``deeplabv3.py:85``."""
+
+    def __init__(self, in_ch, rates, out_ch=256):
+        super().__init__()
+        mods = [
+            nn.Sequential(
+                nn.Conv2d(in_ch, out_ch, 1, bias=False),
+                nn.BatchNorm2d(out_ch),
+                nn.ReLU(),
+            )
+        ]
+        mods += [TorchASPPConv(in_ch, out_ch, r) for r in rates]
+        mods.append(TorchASPPPooling(in_ch, out_ch))
+        self.convs = nn.ModuleList(mods)
+        self.project = nn.Sequential(
+            nn.Conv2d(out_ch * len(mods), out_ch, 1, bias=False),
+            nn.BatchNorm2d(out_ch),
+            nn.ReLU(),
+            nn.Dropout(0.5),
+        )
+
+    def forward(self, x):
+        return self.project(torch.cat([m(x) for m in self.convs], dim=1))
+
+
+class TorchDeepLabHead(nn.Module):
+    """reference ``deeplabv3.py:49``: key layout 0 (ASPP) / 1 / 2 / 4."""
+
+    def __init__(self, in_ch, num_classes, rates=(12, 24, 36)):
+        super().__init__()
+        self.add_module("0", TorchASPP(in_ch, rates))
+        self.add_module("1", nn.Conv2d(256, 256, 3, padding=1, bias=False))
+        self.add_module("2", nn.BatchNorm2d(256))
+        self.add_module("4", nn.Conv2d(256, num_classes, 1))
+
+    def forward(self, x):
+        x = getattr(self, "0")(x)
+        x = F.relu(getattr(self, "2")(getattr(self, "1")(x)))
+        return getattr(self, "4")(x)
+
+
+class TorchFCNHead(nn.Module):
+    """reference ``fcn.py:36``: key layout 0 / 1 / 4."""
+
+    def __init__(self, in_ch, num_classes):
+        super().__init__()
+        inter = in_ch // 4
+        self.add_module("0", nn.Conv2d(in_ch, inter, 3, padding=1, bias=False))
+        self.add_module("1", nn.BatchNorm2d(inter))
+        self.add_module("4", nn.Conv2d(inter, num_classes, 1))
+
+    def forward(self, x):
+        x = F.relu(getattr(self, "1")(getattr(self, "0")(x)))
+        return getattr(self, "4")(x)
+
+
+# ------------------------------------------------- MViT pooled attention --
+class TorchMViTPool(nn.Module):
+    """reference ``video/mvit.py:65`` Pool: depthwise conv3d over spatial
+    tokens (class token bypass) + LN. Key layout: pool / norm_act.0."""
+
+    def __init__(self, head_dim, kernel, stride):
+        super().__init__()
+        padding = [k // 2 for k in kernel]
+        self.pool = nn.Conv3d(
+            head_dim, head_dim, kernel, stride=stride, padding=padding,
+            groups=head_dim, bias=False,
+        )
+        self.norm_act = nn.Sequential(nn.LayerNorm(head_dim, eps=1e-6))
+
+    def forward(self, x, thw):
+        # x: [B, H, N+1, D]
+        cls, tok = torch.tensor_split(x, indices=(1,), dim=2)
+        b, h = tok.shape[:2]
+        d = tok.shape[-1]
+        tok = tok.transpose(2, 3).reshape((b * h, d) + thw)
+        tok = self.pool(tok)
+        t, hh, ww = tok.shape[2:]
+        tok = tok.reshape(b, h, d, -1).transpose(2, 3)
+        out = torch.cat([cls, tok], dim=2)
+        return self.norm_act(out), (t, hh, ww)
+
+
+class TorchMultiscaleAttention(nn.Module):
+    """reference ``video/mvit.py:196`` (mini config, rel-pos + pooling)."""
+
+    def __init__(self, thw, embed_dim, output_dim, heads, kernel_q, stride_q,
+                 kernel_kv, stride_kv, residual_pool=True,
+                 residual_with_cls_embed=False, rel_pos_embed=True):
+        super().__init__()
+        self.heads = heads
+        self.head_dim = output_dim // heads
+        self.output_dim = output_dim
+        self.scaler = 1.0 / math.sqrt(self.head_dim)
+        self.residual_pool = residual_pool
+        self.residual_with_cls_embed = residual_with_cls_embed
+        self.qkv = nn.Linear(embed_dim, 3 * output_dim)
+        self.project = nn.Sequential(nn.Linear(output_dim, output_dim))
+        self.pool_q = (
+            TorchMViTPool(self.head_dim, kernel_q, stride_q)
+            if math.prod(kernel_q) > 1 or math.prod(stride_q) > 1
+            else None
+        )
+        if math.prod(kernel_kv) > 1 or math.prod(stride_kv) > 1:
+            self.pool_k = TorchMViTPool(self.head_dim, kernel_kv, stride_kv)
+            self.pool_v = TorchMViTPool(self.head_dim, kernel_kv, stride_kv)
+        else:
+            self.pool_k = self.pool_v = None
+        if rel_pos_embed:
+            size = max(thw[1:])
+            q_size = size // stride_q[1]
+            kv_size = size // stride_kv[1]
+            spatial = 2 * max(q_size, kv_size) - 1
+            temporal = 2 * thw[0] - 1
+            self.rel_pos_h = nn.Parameter(torch.randn(spatial, self.head_dim) * 0.02)
+            self.rel_pos_w = nn.Parameter(torch.randn(spatial, self.head_dim) * 0.02)
+            self.rel_pos_t = nn.Parameter(torch.randn(temporal, self.head_dim) * 0.02)
+        else:
+            self.rel_pos_h = None
+
+    def _rel_pos(self, attn, q, q_thw, k_thw):
+        q_t, q_h, q_w = q_thw
+        k_t, k_h, k_w = k_thw
+
+        def dist(qs, ks):
+            qr = max(ks / qs, 1.0)
+            kr = max(qs / ks, 1.0)
+            return (
+                torch.arange(qs)[:, None] * qr
+                - (torch.arange(ks)[None, :] + (1.0 - ks)) * kr
+            ).long()
+
+        def interp(emb, d):
+            if emb.shape[0] == d:
+                return emb
+            return (
+                F.interpolate(
+                    emb.permute(1, 0).unsqueeze(0), size=d, mode="linear"
+                ).squeeze(0).permute(1, 0)
+            )
+
+        rh = interp(self.rel_pos_h, 2 * max(q_h, k_h) - 1)[dist(q_h, k_h)]
+        rw = interp(self.rel_pos_w, 2 * max(q_w, k_w) - 1)[dist(q_w, k_w)]
+        rt = interp(self.rel_pos_t, 2 * max(q_t, k_t) - 1)[dist(q_t, k_t)]
+        b, n_head, _, dim = q.shape
+        r_q = q[:, :, 1:].reshape(b, n_head, q_t, q_h, q_w, dim)
+        rel_h = torch.einsum("bythwc,hkc->bythwk", r_q, rh)
+        rel_w = torch.einsum("bythwc,wkc->bythwk", r_q, rw)
+        r_qt = r_q.permute(2, 0, 1, 3, 4, 5).reshape(q_t, -1, dim)
+        rel_t = torch.matmul(r_qt, rt.transpose(1, 2)).transpose(0, 1)
+        rel_t = rel_t.view(b, n_head, q_h, q_w, q_t, k_t).permute(0, 1, 4, 2, 3, 5)
+        rel = (
+            rel_h[:, :, :, :, :, None, :, None]
+            + rel_w[:, :, :, :, :, None, None, :]
+            + rel_t[:, :, :, :, :, :, None, None]
+        ).reshape(b, n_head, q_t * q_h * q_w, k_t * k_h * k_w)
+        attn = attn.clone()
+        attn[:, :, 1:, 1:] += rel
+        return attn
+
+    def forward(self, x, thw):
+        b, n, c = x.shape
+        qkv = self.qkv(x).reshape(b, n, 3, self.heads, self.head_dim)
+        q, k, v = qkv.transpose(1, 3).unbind(dim=2)
+        k_thw = thw
+        if self.pool_k is not None:
+            k, k_thw = self.pool_k(k, thw)
+            v = self.pool_v(v, thw)[0]
+        q_thw = thw
+        if self.pool_q is not None:
+            q, q_thw = self.pool_q(q, thw)
+        attn = torch.matmul(self.scaler * q, k.transpose(2, 3))
+        if self.rel_pos_h is not None:
+            attn = self._rel_pos(attn, q, q_thw, k_thw)
+        attn = attn.softmax(dim=-1)
+        out = torch.matmul(attn, v)
+        if self.residual_pool:
+            if self.residual_with_cls_embed:
+                out = out + q
+            else:
+                out = out.clone()
+                out[:, :, 1:] += q[:, :, 1:]
+        out = out.transpose(1, 2).reshape(b, -1, self.output_dim)
+        return self.project(out), q_thw

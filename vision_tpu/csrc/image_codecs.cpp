@@ -50,7 +50,12 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 }
 }  // namespace
 
-int vtpu_decode_jpeg(const uint8_t* buf, size_t len, VtpuImage* out) {
+// scale_num/scale_den: libjpeg DCT scaling (M/8, M=1..16) — decoding at
+// reduced scale skips most of the IDCT work, the classic input-pipeline
+// optimization when the consumer resizes down anyway (nvJPEG's
+// ROI/scaled-decode analog; the reference decodes full-size only).
+int vtpu_decode_jpeg_scaled(const uint8_t* buf, size_t len, int scale_num,
+                            int scale_den, VtpuImage* out) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -63,6 +68,10 @@ int vtpu_decode_jpeg(const uint8_t* buf, size_t len, VtpuImage* out) {
   jpeg_mem_src(&cinfo, buf, len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (scale_num > 0 && scale_den > 0) {
+    cinfo.scale_num = scale_num;
+    cinfo.scale_denom = scale_den;
+  }
   jpeg_start_decompress(&cinfo);
 
   const int w = cinfo.output_width;
@@ -84,6 +93,10 @@ int vtpu_decode_jpeg(const uint8_t* buf, size_t len, VtpuImage* out) {
   out->width = w;
   out->channels = c;
   return 0;
+}
+
+int vtpu_decode_jpeg(const uint8_t* buf, size_t len, VtpuImage* out) {
+  return vtpu_decode_jpeg_scaled(buf, len, 0, 0, out);
 }
 
 int vtpu_encode_jpeg(const uint8_t* rgb, int h, int w, int quality,

@@ -85,6 +85,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_size_t),
         ]
+        lib.vtpu_decode_jpeg_scaled.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(_VtpuImage),
+        ]
         lib.vtpu_decode_gif.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
@@ -200,3 +204,24 @@ def decode_gif_native(data: bytes) -> Optional[np.ndarray]:
     arr = np.ctypeslib.as_array(buf, shape=(total,)).copy()
     lib.vtpu_free(buf)
     return arr.reshape(n.value, h.value, w.value, 3)
+
+
+def decode_jpeg_scaled_native(
+    data: bytes, scale_num: int, scale_den: int
+) -> Optional[np.ndarray]:
+    """JPEG decode at scale_num/scale_den (libjpeg DCT scaling, M/8 with
+    M=1..16): ~(M/8)^2 of the full IDCT cost. The input-pipeline fast path
+    when the consumer resizes down anyway."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = _VtpuImage()
+    rc = lib.vtpu_decode_jpeg_scaled(
+        data, len(data), scale_num, scale_den, ctypes.byref(img)
+    )
+    if rc != 0:
+        return None
+    n = img.height * img.width * img.channels
+    arr = np.ctypeslib.as_array(img.data, shape=(n,)).copy()
+    lib.vtpu_free(img.data)
+    return arr.reshape(img.height, img.width, img.channels)

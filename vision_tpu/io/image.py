@@ -100,9 +100,19 @@ def _pil_decode(data: bytes) -> np.ndarray:
 
 
 def decode_jpeg(
-    data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED
+    data: bytes,
+    mode: ImageReadMode = ImageReadMode.UNCHANGED,
+    scale=None,
 ) -> np.ndarray:
-    """reference ``io/image.py:173``; returns HWC uint8."""
+    """reference ``io/image.py:173``; returns HWC uint8.
+
+    ``scale=(num, den)`` decodes at num/den size via libjpeg DCT scaling
+    (den=8, num=1..16) — ~(num/den)^2 of the full IDCT cost; the host-side
+    analog of nvJPEG scaled decode for pipelines that resize down anyway."""
+    if scale is not None:
+        arr = _codecs.decode_jpeg_scaled_native(data, scale[0], scale[1])
+        if arr is not None:
+            return _apply_mode(arr, mode)
     arr = _codecs.decode_jpeg_native(data)
     if arr is None:
         arr = _pil_decode(data)

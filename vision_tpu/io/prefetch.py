@@ -52,7 +52,13 @@ class PrefetchIterator:
         self._sharding = sharding
 
     def __iter__(self) -> Iterator[Any]:
-        q: "queue.Queue" = queue.Queue(maxsize=self._depth)
+        # Two pipeline stages in separate threads so host batch PRODUCTION
+        # (decode — CPU-bound) overlaps with device_put (network/DMA-bound,
+        # releases the GIL): stage1 host batches -> q_host, stage2
+        # device_put -> q_dev. A single combined worker would serialize
+        # decode behind every transfer.
+        q_host: "queue.Queue" = queue.Queue(maxsize=self._depth)
+        q_dev: "queue.Queue" = queue.Queue(maxsize=self._depth)
         err = []
 
         def put(batch):
@@ -62,19 +68,31 @@ class PrefetchIterator:
                 )
             return jax.tree_util.tree_map(jax.device_put, batch)
 
-        def worker():
+        def producer():
             try:
                 for batch in self._iterable:
-                    q.put(put(batch))
+                    q_host.put(batch)
             except Exception as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(self._SENTINEL)
+                q_host.put(self._SENTINEL)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        def transfer():
+            try:
+                while True:
+                    batch = q_host.get()
+                    if batch is self._SENTINEL:
+                        break
+                    q_dev.put(put(batch))
+            except Exception as e:
+                err.append(e)
+            finally:
+                q_dev.put(self._SENTINEL)
+
+        for fn in (producer, transfer):
+            threading.Thread(target=fn, daemon=True).start()
         while True:
-            item = q.get()
+            item = q_dev.get()
             if item is self._SENTINEL:
                 if err:
                     raise err[0]
