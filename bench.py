@@ -199,6 +199,42 @@ def _bench_nms(n_boxes=1024, n_iters=20):
     return default_bps, xla_bps
 
 
+def _bench_roi_align(n_rois=512, n_iters=20):
+    """MultiScale-style RoIAlign rois/sec on device (the other half of the
+    BASELINE 'NMS+RoIAlign on device' boxes/sec requirement). P2-like
+    feature (1, 200, 272, 256), 7x7 output, sampling_ratio=2 — the
+    Faster R-CNN box-head configuration."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vision_tpu.ops.roi_align import roi_align
+
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.rand(1, 200, 272, 256).astype(np.float32))
+    xy = rng.uniform(0, 600, (n_rois, 2)).astype(np.float32)
+    wh = rng.uniform(20, 200, (n_rois, 2)).astype(np.float32)
+    rois = jnp.asarray(
+        np.concatenate([np.zeros((n_rois, 1), np.float32), xy, xy + wh], 1)
+    )
+
+    @jax.jit
+    def loop(feat, rois):
+        def body(_, carry):
+            f, r = carry
+            out = roi_align(f, r, (7, 7), spatial_scale=0.25, sampling_ratio=2)
+            return f + jnp.mean(out) * 1e-12, r
+
+        f, r = jax.lax.fori_loop(0, n_iters, body, (feat, rois))
+        return jnp.sum(f[0, 0, 0])
+
+    float(loop(feat, rois))  # compile
+    t0 = time.perf_counter()
+    float(loop(feat, rois))
+    dt = (time.perf_counter() - t0) / n_iters
+    return n_rois / dt
+
+
 def main():
     ok, backend_or_err = _probe_backend()
     if not ok:
@@ -234,6 +270,7 @@ def main():
     fwd_img_s = _bench_forward(module, variables, batch, n_iters=50)
     e2e_img_s = _bench_e2e(module, variables, batch, n_batches=12)
     nms_boxes_s, nms_xla_boxes_s = _bench_nms()
+    roi_rois_s = _bench_roi_align()
 
     mfu = fwd_img_s * RESNET50_FWD_FLOPS / V5E_BF16_PEAK_FLOPS
 
@@ -252,6 +289,7 @@ def main():
                     "nms_xla_fallback_boxes_per_sec": round(
                         nms_xla_boxes_s, 0
                     ),
+                    "roi_align_rois_per_sec": round(roi_rois_s, 0),
                     "host_cpu_cores": os.cpu_count(),
                     "note": "e2e includes host JPEG decode; this sandbox "
                     "host has 1 vCPU so decode bounds e2e (prod v5e hosts "

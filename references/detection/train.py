@@ -160,6 +160,95 @@ def _coco_batches(args, ann_file, img_dir, train=True, seed=0):
         }
 
 
+def _coco_eval_data(args, ann_file, img_dir):
+    """Eval loader: (img_ids, device_batch, image_sizes, original_sizes)
+    batches + the ground-truth dict for CocoEvaluator. Fixed square canvas
+    (long side -> --size), boxes stay in canvas coords; evaluate_detection
+    rescales back via postprocess."""
+    from vision_tpu.datasets import CocoDetection
+    from vision_tpu.transforms.v2 import functional as TF
+
+    ds = CocoDetection(img_dir, ann_file)
+    gts = {}
+    for i in range(len(ds)):
+        img_id = ds.ids[i]
+        annos = [ds.coco.anns[a] for a in ds.coco.img_to_anns.get(img_id, [])]
+        boxes, labels, crowd = [], [], []
+        for a in annos:
+            x, y, w, h = a["bbox"]
+            boxes.append([x, y, x + w, y + h])
+            labels.append(a["category_id"])
+            crowd.append(a.get("iscrowd", 0))
+        gts[img_id] = {
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "labels": np.asarray(labels, np.int64),
+            "iscrowd": np.asarray(crowd, np.int64),
+        }
+
+    s = args.size
+
+    def batches():
+        imgs, ids, sizes, orig = [], [], [], []
+        for i in range(len(ds)):
+            img, _ = ds[i]
+            img = np.asarray(img)
+            h, w = img.shape[:2]
+            scale = s / max(h, w)
+            nh, nw = int(round(h * scale)), int(round(w * scale))
+            img = np.asarray(TF.resize(img, (nh, nw))).astype(np.float32)
+            canvas = np.zeros((s, s, 3), np.float32)
+            canvas[:nh, :nw] = img / 255.0
+            imgs.append(canvas)
+            ids.append(ds.ids[i])
+            sizes.append((nh, nw))
+            orig.append((h, w))
+            if len(imgs) == args.batch_size or i == len(ds) - 1:
+                while len(imgs) < args.batch_size:  # static tail pad
+                    imgs.append(np.zeros_like(imgs[0]))
+                yield ids, np.stack(imgs), sizes, orig
+                imgs, ids, sizes, orig = [], [], [], []
+
+    return batches, gts
+
+
+def run_coco_eval(args, model):
+    """--test-only: COCO val mAP via engine.evaluate_detection (reference
+    engine.py:76 evaluate + CocoEvaluator)."""
+    from engine import evaluate_detection
+
+    from vision_tpu.models.detection.transform import resize_boxes
+
+    batches, gts = _coco_eval_data(
+        args,
+        os.path.join(args.data_path, "annotations", "instances_val2017.json"),
+        os.path.join(args.data_path, "val2017"),
+    )
+    module, variables = model.module, dict(model.variables)
+    one_stage = any(k in args.model for k in ("retinanet", "ssd", "fcos"))
+
+    @jax.jit
+    def forward(batch):
+        if one_stage:
+            heads = module.apply(variables, batch, train=False)
+            return module.apply(
+                variables, *heads, (args.size, args.size),
+                method="postprocess_detections",
+            )
+        return module.apply(variables, batch, train=False)
+
+    def model_fn(batch):
+        return forward(jnp.asarray(batch))
+
+    def postprocess(boxes, image_size, original_size):
+        return np.asarray(
+            resize_boxes(jnp.asarray(boxes), image_size, original_size)
+        )
+
+    metrics = evaluate_detection(model_fn, batches(), gts, postprocess)
+    print({k: round(float(v), 4) for k, v in metrics.items()})
+    return metrics
+
+
 def _fake_batches(args, steps, seed=0):
     rng = np.random.RandomState(seed)
     for _ in range(steps):
@@ -181,6 +270,8 @@ def _fake_batches(args, steps, seed=0):
 def main(args):
     print(args)
     model = get_model(args.model, num_classes=args.num_classes)
+    if args.test_only:
+        return run_coco_eval(args, model)
     module = model.module
     params = dict(model.variables)["params"]
 
@@ -249,6 +340,8 @@ def get_args_parser():
     )
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--fake-data", action="store_true")
+    p.add_argument("--test-only", action="store_true",
+                   help="COCO val mAP eval only (engine.evaluate_detection)")
     return p
 
 

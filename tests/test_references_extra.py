@@ -384,3 +384,53 @@ def test_detection_coco_batches_grouped(tmp_path):
         h, w = b["image"].shape[1:3]
         assert (b["boxes"][..., 2] <= w + 1e-3).all()
         assert (b["boxes"][..., 3] <= h + 1e-3).all()
+
+
+def test_detection_test_only_coco_eval(tmp_path):
+    """--test-only: synthetic COCO val tree -> engine.evaluate_detection ->
+    mAP dict (plumbing + metric protocol, random weights)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, "references/detection")
+    import numpy as np
+
+    from vision_tpu.io.image import write_png
+
+    root = tmp_path / "val2017"
+    ann_dir = tmp_path / "annotations"
+    os.makedirs(root)
+    os.makedirs(ann_dir)
+    images, annos = [], []
+    for i in range(3):
+        name = f"{i:012d}.jpg"
+        write_png(
+            np.full((60, 80, 3), 120, np.uint8), str(root / name.replace(".jpg", ".png"))
+        )
+        os.rename(root / name.replace(".jpg", ".png"), root / name)
+        images.append({"id": i, "file_name": name, "height": 60, "width": 80})
+        annos.append(
+            {"id": i, "image_id": i, "category_id": 1,
+             "bbox": [10, 10, 30, 20], "area": 600, "iscrowd": 0}
+        )
+    with open(ann_dir / "instances_val2017.json", "w") as f:
+        json.dump(
+            {"images": images, "annotations": annos,
+             "categories": [{"id": 1, "name": "thing"}]},
+            f,
+        )
+
+    from train import get_args_parser, run_coco_eval
+
+    from vision_tpu.models import get_model
+    from vision_tpu.models._utils import fast_init
+
+    args = get_args_parser().parse_args(
+        ["--model", "retinanet_resnet50_fpn", "--data-path", str(tmp_path),
+         "--batch-size", "2", "--size", "64", "--test-only"]
+    )
+    with fast_init():
+        model = get_model(args.model)
+    metrics = run_coco_eval(args, model)
+    assert "map" in metrics and 0.0 <= metrics["map"] <= 1.0
