@@ -183,3 +183,55 @@ def test_paste_masks_in_image():
     assert out[0, 4, 4] > 0.9  # inside the box
     assert out[0, 0, 0] < 0.1  # far outside
     assert out[0, 9, 9] < 0.1
+
+
+def test_paste_masks_matches_torch_reference():
+    """paste_masks_in_image vs a torch transcription of the reference
+    (roi_heads.py:486): expand by padding, int64-truncated boxes,
+    interpolate(bilinear, align_corners=False) to (y1-y0+1, x1-x0+1),
+    paste clipped to the image."""
+    import torch
+    import torch.nn.functional as TF
+
+    from vision_tpu.models.detection.roi_heads import paste_masks_in_image
+
+    def torch_paste(masks, boxes, im_h, im_w, padding=1):
+        m = masks.shape[-1]
+        scale = (m + 2 * padding) / m
+        padded = TF.pad(masks[:, None], (padding,) * 4)
+        cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+        cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+        hw = (boxes[:, 2] - boxes[:, 0]) * 0.5 * scale
+        hh = (boxes[:, 3] - boxes[:, 1]) * 0.5 * scale
+        eb = torch.stack([cx - hw, cy - hh, cx + hw, cy + hh], 1).to(torch.int64)
+        out = torch.zeros(len(boxes), im_h, im_w)
+        for i, (mask, box) in enumerate(zip(padded, eb)):
+            w = max(int(box[2] - box[0] + 1), 1)
+            h = max(int(box[3] - box[1] + 1), 1)
+            rm = TF.interpolate(
+                mask[None], size=(h, w), mode="bilinear", align_corners=False
+            )[0, 0]
+            x_0, x_1 = max(int(box[0]), 0), min(int(box[2]) + 1, im_w)
+            y_0, y_1 = max(int(box[1]), 0), min(int(box[3]) + 1, im_h)
+            out[i, y_0:y_1, x_0:x_1] = rm[
+                (y_0 - int(box[1])) : (y_1 - int(box[1])),
+                (x_0 - int(box[0])) : (x_1 - int(box[0])),
+            ]
+        return out
+
+    rng = np.random.RandomState(0)
+    masks = rng.rand(4, 14, 14).astype(np.float32)
+    boxes = np.asarray(
+        [
+            [3.2, 4.7, 18.9, 22.1],
+            [-2.0, 1.0, 9.5, 12.0],  # partially off-image
+            [10.0, 10.0, 29.0, 27.0],  # clipped at the far edge
+            [5.0, 5.0, 5.4, 5.4],  # degenerate small
+        ],
+        np.float32,
+    )
+    ref = torch_paste(torch.from_numpy(masks), torch.from_numpy(boxes), 28, 30)
+    got = np.asarray(
+        paste_masks_in_image(jnp.asarray(masks), jnp.asarray(boxes), 28, 30)
+    )
+    np.testing.assert_allclose(got, ref.numpy(), atol=2e-5, rtol=1e-4)

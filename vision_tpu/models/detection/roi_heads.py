@@ -351,45 +351,54 @@ def paste_masks_in_image(
     """
     k, m, _ = masks.shape
     scale = (m + 2.0) / m
-    # expand boxes like the reference
+    # expand boxes like the reference, then truncate to int64 and size the
+    # paste region as x1-x0+1 (reference paste_masks_in_image:486 casts
+    # expand_boxes(...).to(int64) and interpolates to (h, w) = (y1-y0+1,
+    # x1-x0+1)) — pinned by the torch oracle in test_detection_utils.py
     cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
     cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
     bw = (boxes[:, 2] - boxes[:, 0]) * 0.5 * scale
     bh = (boxes[:, 3] - boxes[:, 1]) * 0.5 * scale
-    x0, x1 = cx - bw, cx + bw
-    y0, y1 = cy - bh, cy + bh
+    x0 = jnp.trunc(cx - bw)
+    x1 = jnp.trunc(cx + bw)
+    y0 = jnp.trunc(cy - bh)
+    y1 = jnp.trunc(cy + bh)
     padded = jnp.pad(masks, ((0, 0), (1, 1), (1, 1)))
     mp = m + 2
 
-    ys = jnp.arange(img_h, dtype=jnp.float32) + 0.5
-    xs = jnp.arange(img_w, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(img_h, dtype=jnp.float32)
+    xs = jnp.arange(img_w, dtype=jnp.float32)
 
     def per_box(mask, bx0, bx1, by0, by1):
-        # map image pixel centers into padded-mask pixel coords
-        # (align_corners=False inverse of interpolate to box size)
-        gx = (xs - bx0) / (bx1 - bx0) * mp - 0.5
-        gy = (ys - by0) / (by1 - by0) * mp - 0.5
-        x0i = jnp.floor(gx).astype(jnp.int32)
-        y0i = jnp.floor(gy).astype(jnp.int32)
+        # map image pixels into padded-mask pixel coords over the integer
+        # paste region (align_corners=False inverse of interpolate)
+        w = jnp.maximum(bx1 - bx0 + 1.0, 1.0)
+        h = jnp.maximum(by1 - by0 + 1.0, 1.0)
+        # torch F.interpolate(align_corners=False) source-index rule:
+        # clamp to >= 0 before floor (edge replication at borders)
+        gx = jnp.maximum((xs - bx0 + 0.5) / w * mp - 0.5, 0.0)
+        gy = jnp.maximum((ys - by0 + 0.5) / h * mp - 0.5, 0.0)
+        in_x = (xs >= bx0) & (xs <= bx1)
+        in_y = (ys >= by0) & (ys <= by1)
+        x0i = jnp.minimum(jnp.floor(gx).astype(jnp.int32), mp - 1)
+        y0i = jnp.minimum(jnp.floor(gy).astype(jnp.int32), mp - 1)
+        x1i = jnp.minimum(x0i + 1, mp - 1)
+        y1i = jnp.minimum(y0i + 1, mp - 1)
         lx = gx - x0i
         ly = gy - y0i
 
-        # 4-corner bilinear with zero outside
         def corner(yy, xx, wy, wx):
-            vy = (yy >= 0) & (yy < mp)
-            vx = (xx >= 0) & (xx < mp)
-            val = mask[
-                jnp.clip(yy, 0, mp - 1)[:, None],
-                jnp.clip(xx, 0, mp - 1)[None, :],
-            ]
-            return val * (wy * vy)[:, None] * (wx * vx)[None, :]
+            val = mask[yy[:, None], xx[None, :]]
+            return val * wy[:, None] * wx[None, :]
 
         out = (
             corner(y0i, x0i, 1 - ly, 1 - lx)
-            + corner(y0i, x0i + 1, 1 - ly, lx)
-            + corner(y0i + 1, x0i, ly, 1 - lx)
-            + corner(y0i + 1, x0i + 1, ly, lx)
+            + corner(y0i, x1i, 1 - ly, lx)
+            + corner(y1i, x0i, ly, 1 - lx)
+            + corner(y1i, x1i, ly, lx)
         )
-        return out
+        # paste only inside the integer box (reference pastes the resized
+        # mask at [y0:y1+1, x0:x1+1] and leaves zeros elsewhere)
+        return out * in_y[:, None] * in_x[None, :]
 
     return jax.vmap(per_box)(padded, x0, x1, y0, y1)
