@@ -235,3 +235,48 @@ def test_paste_masks_matches_torch_reference():
         paste_masks_in_image(jnp.asarray(masks), jnp.asarray(boxes), 28, 30)
     )
     np.testing.assert_allclose(got, ref.numpy(), atol=2e-5, rtol=1e-4)
+
+
+def test_heatmaps_to_keypoints_exact_matches_torch():
+    """Exact keypoint decode vs torch transcription of roi_heads.py:237
+    (bicubic upsample to roi ceil size, argmax, width/height correction)."""
+    import torch
+    import torch.nn.functional as TF
+
+    from vision_tpu.models.detection.keypoint_rcnn import (
+        heatmaps_to_keypoints_exact,
+    )
+
+    def torch_decode(maps, rois):  # maps [D, K, H, W]
+        d, k = maps.shape[:2]
+        xy = torch.zeros(d, k, 3)
+        sc = torch.zeros(d, k)
+        for i in range(d):
+            w = max(float(rois[i, 2] - rois[i, 0]), 1.0)
+            h = max(float(rois[i, 3] - rois[i, 1]), 1.0)
+            wc, hc = int(np.ceil(w)), int(np.ceil(h))
+            rm = TF.interpolate(
+                maps[i][:, None], size=(hc, wc), mode="bicubic",
+                align_corners=False,
+            )[:, 0]
+            pos = rm.reshape(k, -1).argmax(dim=1)
+            xs = (pos % wc).float()
+            ys = torch.div(pos, wc, rounding_mode="floor").float()
+            xy[i, :, 0] = (xs + 0.5) * (w / wc) + rois[i, 0]
+            xy[i, :, 1] = (ys + 0.5) * (h / hc) + rois[i, 1]
+            xy[i, :, 2] = 1
+            sc[i] = rm.reshape(k, -1)[torch.arange(k), pos]
+        return xy, sc
+
+    rng = np.random.RandomState(0)
+    maps = rng.rand(3, 14, 14, 5).astype(np.float32)  # D, H, W, K
+    rois = np.asarray(
+        [[4.2, 3.1, 40.8, 30.5], [0.0, 0.0, 14.0, 14.0], [10.0, 5.0, 90.3, 22.9]],
+        np.float32,
+    )
+    got_xy, got_sc = heatmaps_to_keypoints_exact(maps, rois)
+    ref_xy, ref_sc = torch_decode(
+        torch.from_numpy(maps.transpose(0, 3, 1, 2)), torch.from_numpy(rois)
+    )
+    np.testing.assert_allclose(got_xy, ref_xy.numpy(), atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(got_sc, ref_sc.numpy(), atol=1e-4, rtol=1e-4)

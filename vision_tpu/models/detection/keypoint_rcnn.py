@@ -25,6 +25,7 @@ __all__ = [
     "keypointrcnn_resnet50_fpn",
     "KeypointDetections",
     "heatmaps_to_keypoints",
+    "heatmaps_to_keypoints_exact",
 ]
 
 
@@ -37,9 +38,51 @@ class KeypointDetections(NamedTuple):
     keypoints_scores: jax.Array  # [N, D, K]
 
 
+def heatmaps_to_keypoints_exact(maps, boxes):
+    """Host-side EXACT transcription of reference ``roi_heads.py:237``
+    heatmaps_to_keypoints: per-roi bicubic upsample of the heatmap to the
+    roi's ceil size, argmax there, map back with the width/height
+    correction. Dynamic per-roi sizes -> numpy on host (the reference's
+    own loop is host-side eval code); use the jittable
+    :func:`heatmaps_to_keypoints` inside compiled graphs.
+
+    maps: [D, H, H, K] (array-like); boxes: [D, 4] -> ([D, K, 3], [D, K])
+    numpy arrays."""
+    import numpy as np
+
+    from vision_tpu.transforms.v2.functional._resample import resample_matrix
+
+    maps = np.asarray(maps, np.float32)
+    boxes = np.asarray(boxes, np.float32)
+    d, hm, _, k = maps.shape
+    xy = np.zeros((d, k, 3), np.float32)
+    scores = np.zeros((d, k), np.float32)
+    for i in range(d):
+        w = max(boxes[i, 2] - boxes[i, 0], 1.0)
+        h = max(boxes[i, 3] - boxes[i, 1], 1.0)
+        wc, hc = int(np.ceil(w)), int(np.ceil(h))
+        wy = resample_matrix(hm, hc, "bicubic", antialias=False)
+        wx = resample_matrix(hm, wc, "bicubic", antialias=False)
+        # [hm, hm, K] -> [hc, wc, K]
+        up = np.einsum("ij,jwk->iwk", wy, maps[i])
+        up = np.einsum("ij,hjk->hik", wx, up)
+        flat = up.reshape(hc * wc, k)
+        idx = flat.argmax(axis=0)
+        ys, xs = np.divmod(idx, wc)
+        xy[i, :, 0] = (xs + 0.5) * (w / wc) + boxes[i, 0]
+        xy[i, :, 1] = (ys + 0.5) * (h / hc) + boxes[i, 1]
+        xy[i, :, 2] = 1.0
+        scores[i] = flat[idx, np.arange(k)]
+    return xy, scores
+
+
 def heatmaps_to_keypoints(maps: jax.Array, boxes: jax.Array):
     """reference ``roi_heads.py:310`` heatmaps_to_keypoints: argmax of each
     keypoint heatmap mapped back into box coordinates.
+
+    Jittable static-shape approximation (argmax at heatmap resolution, bin
+    centers); eval pipelines wanting the reference's sub-bin precision use
+    :func:`heatmaps_to_keypoints_exact` on host.
 
     maps: [D, H, H, K]; boxes: [D, 4] -> ([D, K, 3], [D, K])."""
     d, hm, _, k = maps.shape
