@@ -63,3 +63,63 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_fsdp_sharding_trains_on_8dev_mesh():
+    """FSDP (ZeRO-3-style) param sharding: large kernels sharded over the
+    data axis, XLA inserts all-gather/reduce-scatter; one ViT step runs and
+    per-device param memory drops ~axis-fold for the big leaves."""
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vision_tpu.models.vision_transformer import VisionTransformer
+    from vision_tpu.parallel import infer_fsdp_sharding, make_mesh
+
+    mesh = make_mesh(8)
+    vit = VisionTransformer(
+        image_size=32, patch_size=8, num_layers=2, num_heads=4,
+        hidden_dim=64, mlp_dim=256, num_classes=10,
+    )
+    variables = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    params = variables["params"]
+    shardings = infer_fsdp_sharding(params, mesh, min_size=2**12)
+    flat = jax.tree_util.tree_leaves(shardings)
+    assert any(s.spec != P() for s in flat), "nothing sharded"
+    with mesh:
+        params = jax.tree_util.tree_map(jax.device_put, params, shardings)
+        # big leaves are actually distributed
+        big = params["encoder.layers.encoder_layer_0"]["mlp.0"]["kernel"]
+        assert big.sharding.spec != P()
+        tx = optax.sgd(0.1)
+        opt_state = tx.init(params)
+
+        def loss_fn(p, x, y):
+            logits = vit.apply({"params": p}, x, train=False)
+            return -jnp.mean(
+                jnp.sum(
+                    jax.nn.one_hot(y, 10) * jax.nn.log_softmax(logits), -1
+                )
+            )
+
+        @jax.jit
+        def step(p, opt_state, x, y):
+            loss, grads = jax.value_and_grad(loss_fn)(p, x, y)
+            updates, opt_state = tx.update(grads, opt_state, p)
+            return optax.apply_updates(p, updates), opt_state, loss
+
+        x = jax.device_put(
+            np.random.RandomState(0).rand(16, 32, 32, 3).astype(np.float32),
+            NamedSharding(mesh, P("data", None, None, None)),
+        )
+        y = jax.device_put(
+            np.arange(16, dtype=np.int32) % 10,
+            NamedSharding(mesh, P("data")),
+        )
+        params, opt_state, loss = step(params, opt_state, x, y)
+        jax.block_until_ready(loss)
+        assert np.isfinite(float(loss))
+        # updated params keep their FSDP sharding
+        assert params["encoder.layers.encoder_layer_0"]["mlp.0"][
+            "kernel"
+        ].sharding.spec != P()

@@ -17,7 +17,12 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["infer_tp_sharding", "shard_params", "param_shardings"]
+__all__ = [
+    "infer_tp_sharding",
+    "infer_fsdp_sharding",
+    "shard_params",
+    "param_shardings",
+]
 
 def _spec_for(path: str, leaf, axis: str):
     """TP spec for one param; returns PartitionSpec or None (replicate).
@@ -84,3 +89,35 @@ def shard_params(variables: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place variables on the mesh according to the TP rules."""
     shardings = param_shardings(variables, mesh)
     return jax.tree_util.tree_map(jax.device_put, variables, shardings)
+
+
+def infer_fsdp_sharding(
+    params: Any, mesh: Mesh, axis: str = "data", min_size: int = 2**14
+) -> Any:
+    """Fully-sharded data parallelism (ZeRO-3-style) shardings: every
+    large parameter is sharded over the ``data`` axis along its largest
+    divisible dimension; XLA SPMD inserts the all-gather before each use
+    and the reduce-scatter on the gradient. Small leaves (biases, norms)
+    stay replicated — gathering them costs more than storing them.
+
+    This is the TPU-native memory-scaling analog of torch FSDP (the
+    reference has none; its models are single-device). Composes with
+    :func:`infer_tp_sharding` by using a different mesh axis.
+    """
+    axis_size = mesh.shape[axis]
+
+    def leaf_spec(path, leaf):
+        if leaf.ndim == 0 or leaf.size < min_size:
+            return NamedSharding(mesh, P())
+        # shard the largest dimension divisible by the axis
+        dims = sorted(
+            range(leaf.ndim), key=lambda d: leaf.shape[d], reverse=True
+        )
+        for d in dims:
+            if leaf.shape[d] % axis_size == 0:
+                spec = [None] * leaf.ndim
+                spec[d] = axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, params)
