@@ -72,6 +72,12 @@ def get_args_parser():
     p.add_argument("--val-crop-size", default=224, type=int)
     p.add_argument("--train-crop-size", default=224, type=int)
     p.add_argument("--fake-data", action="store_true")
+    p.add_argument(
+        "--ra-sampler", action="store_true",
+        help="repeated-augmentation sampler (reference sampler.py RASampler)",
+    )
+    p.add_argument("--ra-reps", default=3, type=int)
+    p.add_argument("--clip-grad-norm", default=None, type=float)
     p.add_argument("--num-classes", default=1000, type=int)
     p.add_argument("--seed", default=0, type=int)
     return p
@@ -112,9 +118,18 @@ def load_data(args):
 
     n_hosts = jax.process_count()
     rank = jax.process_index()
-    train_sampler = datasets.DistributedSampler(
-        train_ds, num_replicas=n_hosts, rank=rank, shuffle=True, seed=args.seed
-    )
+    if args.ra_sampler:
+        import sampler as _sampler_mod
+
+        train_sampler = _sampler_mod.RASampler(
+            train_ds, num_replicas=n_hosts, rank=rank, shuffle=True,
+            repetitions=args.ra_reps, seed=args.seed,
+        )
+    else:
+        train_sampler = datasets.DistributedSampler(
+            train_ds, num_replicas=n_hosts, rank=rank, shuffle=True,
+            seed=args.seed,
+        )
     train_loader = datasets.DataLoader(
         train_ds,
         batch_size=args.batch_size,
@@ -170,6 +185,8 @@ def make_optimizer(args, steps_per_epoch: int):
         tx = optax.adamw(sched, weight_decay=args.weight_decay)
     else:
         raise ValueError(f"unknown optimizer {args.opt}")
+    if getattr(args, "clip_grad_norm", None):
+        tx = optax.chain(optax.clip_by_global_norm(args.clip_grad_norm), tx)
     return tx
 
 
