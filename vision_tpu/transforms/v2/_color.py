@@ -92,12 +92,16 @@ class ColorJitter(Transform):
 
     def make_params(self, flat_inputs, key):
         ks = jax.random.split(key, 5)
-        order = np.asarray(jax.random.permutation(ks[0], 4)).tolist()
+        traced = isinstance(key, jax.core.Tracer)
+        order = jax.random.permutation(ks[0], 4)
+        if not traced:
+            order = np.asarray(order).tolist()
 
         def draw(k, rng):
             if rng is None:
                 return None
-            return float(jax.random.uniform(k, minval=rng[0], maxval=rng[1]))
+            u = jax.random.uniform(k, minval=rng[0], maxval=rng[1])
+            return u if traced else float(u)
 
         return dict(
             fn_idx=order,
@@ -108,6 +112,33 @@ class ColorJitter(Transform):
         )
 
     def transform(self, inpt, params):
+        if isinstance(params["fn_idx"], jax.core.Tracer):
+            # under jit the op order is a traced permutation: walk the four
+            # slots with lax.switch (all color ops preserve shape/dtype)
+            import jax.numpy as jnp
+
+            def b0(t):
+                f = params["brightness_factor"]
+                return t if f is None else F.adjust_brightness(t, f)
+
+            def b1(t):
+                f = params["contrast_factor"]
+                return t if f is None else F.adjust_contrast(t, f)
+
+            def b2(t):
+                f = params["saturation_factor"]
+                return t if f is None else F.adjust_saturation(t, f)
+
+            def b3(t):
+                f = params["hue_factor"]
+                return t if f is None else F.adjust_hue(t, f)
+
+            out = inpt
+            for step in range(4):
+                out = jax.lax.switch(
+                    params["fn_idx"][step], [b0, b1, b2, b3], out
+                )
+            return out
         out = inpt
         for fn_id in params["fn_idx"]:
             if fn_id == 0 and params["brightness_factor"] is not None:

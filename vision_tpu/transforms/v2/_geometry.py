@@ -176,6 +176,11 @@ class RandomResizedCrop(Transform):
         height, width = _query_size(flat_inputs)
         area = height * width
         log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+        if isinstance(key, jax.core.Tracer):
+            # under jit: vectorized rejection sampling with traced params
+            # (static OUTPUT size; the crop rect stays a traced quantity and
+            # the resample becomes a coordinate gather in transform())
+            return self._make_params_traced(height, width, key)
         keys = jax.random.split(key, 10)
         for k in keys:
             k1, k2, k3, k4 = jax.random.split(k, 4)
@@ -203,7 +208,51 @@ class RandomResizedCrop(Transform):
         left = (width - w) // 2
         return dict(top=top, left=left, height=h, width=w)
 
+    def _make_params_traced(self, height, width, key):
+        import jax.numpy as jnp
+
+        log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        u_scale = jax.random.uniform(
+            k1, (10,), minval=self.scale[0], maxval=self.scale[1]
+        )
+        aspect = jnp.exp(
+            jax.random.uniform(k2, (10,), minval=log_ratio[0], maxval=log_ratio[1])
+        )
+        target_area = height * width * u_scale
+        ws = jnp.round(jnp.sqrt(target_area * aspect))
+        hs = jnp.round(jnp.sqrt(target_area / aspect))
+        valid = (ws > 0) & (ws <= width) & (hs > 0) & (hs <= height)
+        idx = jnp.argmax(valid)  # first accepted candidate
+        # center-crop fallback at an in-range aspect (mirrors the eager path)
+        in_ratio = width / height
+        if in_ratio < self.ratio[0]:
+            fw, fh = width, round(width / self.ratio[0])
+        elif in_ratio > self.ratio[1]:
+            fh, fw = height, round(height * self.ratio[1])
+        else:
+            fw, fh = width, height
+        any_valid = valid.any()
+        w = jnp.where(any_valid, ws[idx], float(fw))
+        h = jnp.where(any_valid, hs[idx], float(fh))
+        top_rand = jnp.floor(
+            jax.random.uniform(k3) * (height - h + 1.0)
+        )
+        left_rand = jnp.floor(jax.random.uniform(k4) * (width - w + 1.0))
+        top = jnp.where(any_valid, top_rand, (height - h) // 2)
+        left = jnp.where(any_valid, left_rand, (width - w) // 2)
+        return dict(top=top, left=left, height=h, width=w)
+
     def transform(self, inpt, params):
+        if isinstance(params["height"], jax.core.Tracer):
+            return F.resized_crop_dynamic(
+                inpt,
+                params["top"],
+                params["left"],
+                params["height"],
+                params["width"],
+                self.size,
+            )
         return F.resized_crop(
             inpt,
             params["top"],

@@ -114,7 +114,21 @@ class _RandomApplyTransform(Transform):
         if key is None:
             key = self._next_key()
         gate_key, params_key = jax.random.split(key)
-        if float(jax.random.uniform(gate_key)) >= self.p:
-            sample = inputs if len(inputs) > 1 else inputs[0]
+        sample = inputs if len(inputs) > 1 else inputs[0]
+        if self.p == 0.0:
+            return sample
+        if self.p < 1.0 and isinstance(key, jax.core.Tracer):
+            # under jit the gate is a traced select: both branches are
+            # computed and blended elementwise. Valid for shape-preserving
+            # transforms (flips, color, erase); shape-changing transforms
+            # under a traced probability gate fail with a shape error.
+            import jax.numpy as jnp
+
+            u = jax.random.uniform(gate_key)
+            applied = super().__call__(*inputs, key=params_key)
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(u < self.p, a, b), applied, sample
+            )
+        if self.p < 1.0 and float(jax.random.uniform(gate_key)) >= self.p:
             return sample
         return super().__call__(*inputs, key=params_key)

@@ -48,6 +48,7 @@ from vision_tpu.transforms.v2.functional._geometry import (
     resize_keypoints,
     resize_mask,
     resized_crop,
+    resized_crop_dynamic,
     resized_crop_image,
     rotate,
     rotate_bounding_boxes,

@@ -541,6 +541,52 @@ def resized_crop(
     return resize(out, size, interpolation, antialias=antialias)
 
 
+def resized_crop_dynamic(image, top, left, height, width, size):
+    """Jit-traceable resized crop: the crop rect (top, left, height, width)
+    may be TRACED scalars; the output size is static. Expressed as one
+    bilinear coordinate gather (align_corners=False source mapping with
+    torch interpolate's edge clamping) — the fused-augmentation form of
+    RandomResizedCrop for on-device input pipelines. No antialias in this
+    path (data-dependent kernel widths are not expressible with static
+    shapes); the eager path keeps full antialiased semantics.
+
+    image: [..., H, W, C]."""
+    import jax.numpy as jnp
+
+    out_h, out_w = (size, size) if isinstance(size, int) else tuple(size)
+    in_h, in_w = image.shape[-3], image.shape[-2]
+    top = jnp.asarray(top, jnp.float32)
+    left = jnp.asarray(left, jnp.float32)
+    height = jnp.asarray(height, jnp.float32)
+    width = jnp.asarray(width, jnp.float32)
+
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gy = jnp.maximum(top + (ys + 0.5) * height / out_h - 0.5, 0.0)
+    gx = jnp.maximum(left + (xs + 0.5) * width / out_w - 0.5, 0.0)
+    gy = jnp.minimum(gy, in_h - 1.0)
+    gx = jnp.minimum(gx, in_w - 1.0)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, in_h - 1)
+    x1 = jnp.minimum(x0 + 1, in_w - 1)
+    img = image.astype(jnp.float32)
+    # gather rows then columns (works for [H,W,C] and [N,H,W,C])
+    def take_hw(yy, xx):
+        rows = jnp.take(img, yy, axis=-3)
+        return jnp.take(rows, xx, axis=-2)
+
+    ly = (gy - y0).reshape((1,) * (image.ndim - 3) + (out_h, 1, 1))
+    lx = (gx - x0).reshape((1,) * (image.ndim - 3) + (1, out_w, 1))
+    out = (
+        take_hw(y0, x0) * (1 - ly) * (1 - lx)
+        + take_hw(y0, x1) * (1 - ly) * lx
+        + take_hw(y1, x0) * ly * (1 - lx)
+        + take_hw(y1, x1) * ly * lx
+    )
+    return out.astype(image.dtype) if jnp.issubdtype(image.dtype, jnp.floating) else out
+
+
 # ======================================================================
 # affine family
 # ======================================================================
