@@ -241,3 +241,26 @@ def test_train_augmentation_compose_jits(rng):
     # (data-dependent antialias kernel widths are not static-shape), so the
     # jitted values intentionally differ from eager antialiased output;
     # determinism-per-key and key-sensitivity above are the contracts.
+
+
+def test_mixup_cutmix_jit_match_eager(rng):
+    """MixUp/CutMix compile under jit and match the eager path bit-level
+    (CutMix box select) / fp32-roundoff (MixUp blend)."""
+    from vision_tpu.transforms import v2 as T
+
+    imgs = jnp.asarray(rng.rand(8, 32, 32, 3).astype(np.float32))
+    labels = jnp.arange(8) % 10
+    for t in (
+        T.MixUp(alpha=0.2, num_classes=10),
+        T.CutMix(alpha=1.0, num_classes=10),
+    ):
+        fn = jax.jit(lambda i, l, k, t=t: t((i, l), key=k))
+        out_j = fn(imgs, labels, jax.random.PRNGKey(3))
+        out_e = t((imgs, labels), key=jax.random.PRNGKey(3))
+        np.testing.assert_allclose(
+            np.asarray(out_j[0]), np.asarray(out_e[0]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_j[1]), np.asarray(out_e[1]), atol=1e-6
+        )
+        assert out_j[1].shape == (8, 10)

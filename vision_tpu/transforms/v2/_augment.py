@@ -160,7 +160,9 @@ class MixUp(_BaseMixUpCutMix):
     """reference ``_augment.py:220``."""
 
     def _mix_params(self, sample, key):
-        lam = float(jax.random.beta(key, self.alpha, self.alpha))
+        lam = jax.random.beta(key, self.alpha, self.alpha)
+        if not isinstance(key, jax.core.Tracer):
+            lam = float(lam)
         return dict(lam=lam, lam_adjusted=lam)
 
     def _mix_image(self, img, params):
@@ -183,6 +185,23 @@ class CutMix(_BaseMixUpCutMix):
 
         h, w = _query_size(flat)
         k1, k2, k3 = jax.random.split(key, 3)
+        if isinstance(key, jax.core.Tracer):
+            # traced: box corners stay arrays; the paste becomes a mask
+            # select in _mix_image (static shapes)
+            lam = jax.random.beta(k1, self.alpha, self.alpha)
+            r_x = jax.random.randint(k2, (), 0, w)
+            r_y = jax.random.randint(k3, (), 0, h)
+            r = 0.5 * jnp.sqrt(1.0 - lam)
+            r_w_half = jnp.floor(r * w).astype(jnp.int32)
+            r_h_half = jnp.floor(r * h).astype(jnp.int32)
+            x1 = jnp.maximum(r_x - r_w_half, 0)
+            y1 = jnp.maximum(r_y - r_h_half, 0)
+            x2 = jnp.minimum(r_x + r_w_half, w)
+            y2 = jnp.minimum(r_y + r_h_half, h)
+            lam_adjusted = 1.0 - ((x2 - x1) * (y2 - y1) / (w * h))
+            return dict(
+                box=(x1, y1, x2, y2), size=(h, w), lam_adjusted=lam_adjusted
+            )
         lam = float(jax.random.beta(k1, self.alpha, self.alpha))
         r_x = int(jax.random.randint(k2, (), 0, w))
         r_y = int(jax.random.randint(k3, (), 0, h))
@@ -194,11 +213,21 @@ class CutMix(_BaseMixUpCutMix):
         x2 = min(r_x + r_w_half, w)
         y2 = min(r_y + r_h_half, h)
         lam_adjusted = 1.0 - ((x2 - x1) * (y2 - y1) / (w * h))
-        return dict(box=(x1, y1, x2, y2), lam_adjusted=lam_adjusted)
+        return dict(box=(x1, y1, x2, y2), size=(h, w), lam_adjusted=lam_adjusted)
 
     def _mix_image(self, img, params):
         x1, y1, x2, y2 = params["box"]
         rolled = jnp.roll(img, 1, axis=0)
+        if isinstance(x1, jax.Array) and isinstance(
+            params["lam_adjusted"], jax.core.Tracer
+        ):
+            h, w = params["size"]
+            ys = jnp.arange(h)
+            xs = jnp.arange(w)
+            mask = ((ys >= y1) & (ys < y2))[:, None] & (
+                (xs >= x1) & (xs < x2)
+            )[None, :]
+            return jnp.where(mask[..., None], rolled, img)
         return img.at[..., y1:y2, x1:x2, :].set(rolled[..., y1:y2, x1:x2, :])
 
 
