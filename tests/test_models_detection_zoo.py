@@ -44,7 +44,9 @@ def test_detection_param_count_matches_meta(name):
 
 def test_fasterrcnn_mobilenet_forward():
     from vision_tpu.models import get_model
+    from vision_tpu.models._utils import fast_init
 
-    m = get_model("fasterrcnn_mobilenet_v3_large_320_fpn")
+    with fast_init():
+        m = get_model("fasterrcnn_mobilenet_v3_large_320_fpn")
     det = m(jnp.zeros((1, 64, 64, 3), jnp.float32))
     assert det.boxes.shape[0] == 1 and det.boxes.shape[-1] == 4

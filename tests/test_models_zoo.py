@@ -43,18 +43,24 @@ SMALL_INPUT_MODELS = [
 @pytest.mark.parametrize("name,shape", SMALL_INPUT_MODELS)
 def test_builders_forward(name, shape):
     """Every registered builder produces logits of the right shape with
-    tiny inputs (reference ``test/test_models.py:399`` strategy)."""
+    tiny inputs (reference ``test/test_models.py:399`` strategy).
+    fast_init: shape assertions only; numeric drift is covered by the
+    golden harness."""
     from vision_tpu.models import get_model
+    from vision_tpu.models._utils import fast_init
 
-    m = get_model(name, num_classes=13)
+    with fast_init():
+        m = get_model(name, num_classes=13)
     out = m(jnp.zeros(shape, jnp.float32))
     assert out.shape == (shape[0], 13)
 
 
 def test_vit_forward_shape():
     from vision_tpu.models import get_model
+    from vision_tpu.models._utils import fast_init
 
-    m = get_model("vit_b_32", num_classes=5)
+    with fast_init():
+        m = get_model("vit_b_32", num_classes=5)
     out = m(jnp.zeros((1, 224, 224, 3), jnp.float32))
     assert out.shape == (1, 5)
 

@@ -283,3 +283,34 @@ def test_nms_pallas_compiled_matches_reference_on_tpu(rng):
         )
         ref = _ref_nms(boxes, scores, thr)
         np.testing.assert_array_equal(order[keep], ref)
+
+
+def test_roi_align_mxu_matches_gather(rng):
+    """MXU (separable one-hot matmul) roi_align == gather roi_align at
+    highest precision, including partially-out-of-bounds rois."""
+    from vision_tpu.ops.roi_align import roi_align, roi_align_mxu
+
+    feat = jnp.asarray(rng.rand(1, 24, 30, 8).astype(np.float32))
+    rois = jnp.asarray(
+        np.array(
+            [
+                [0, 2.3, 3.1, 20.4, 18.9],
+                [0, -4.0, -2.0, 10.0, 8.0],  # out-of-bounds corner
+                [0, 25.0, 20.0, 40.0, 33.0],  # beyond far edge
+                [0, 5.0, 5.0, 5.2, 5.2],  # tiny
+            ],
+            np.float32,
+        )
+    )
+    for aligned in (False, True):
+        ref = roi_align(feat, rois, (7, 7), 0.5, 2, aligned)
+        got = roi_align_mxu(feat, rois, (7, 7), 0.5, 2, aligned)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-6, rtol=1e-5
+        )
+    # fallback paths: adaptive ratio and batch > 1 route to the gather impl
+    feat2 = jnp.concatenate([feat, feat])
+    rois2 = jnp.asarray(np.array([[1, 2.0, 2.0, 10.0, 10.0]], np.float32))
+    ref = roi_align(feat2, rois2, (3, 3), 1.0, 2)
+    got = roi_align_mxu(feat2, rois2, (3, 3), 1.0, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
