@@ -264,3 +264,25 @@ def test_mixup_cutmix_jit_match_eager(rng):
             np.asarray(out_j[1]), np.asarray(out_e[1]), atol=1e-6
         )
         assert out_j[1].shape == (8, 10)
+
+
+def test_randaugment_jits(rng):
+    """RandAugment compiles under jit: op choice via lax.switch, traced
+    sign, concrete per-bin magnitudes. Traced matches eager within one
+    uint8 step (sign multiplication runs in f32 under trace vs python
+    float64 eagerly, which can flip ties in the final rounding)."""
+    from vision_tpu.transforms import v2 as T
+
+    ra = T.RandAugment()
+    img = jnp.asarray((rng.rand(64, 64, 3) * 255).astype(np.uint8))
+    fn = jax.jit(lambda i, k: ra(i, key=k))
+    for s in range(4):
+        k = jax.random.PRNGKey(s)
+        a = np.asarray(fn(img, k)).astype(np.int32)
+        b = np.asarray(ra(img, key=k)).astype(np.int32)
+        assert np.abs(a - b).max() <= 2, f"key {s}"
+    # deterministic per key
+    np.testing.assert_array_equal(
+        np.asarray(fn(img, jax.random.PRNGKey(7))),
+        np.asarray(fn(img, jax.random.PRNGKey(7))),
+    )

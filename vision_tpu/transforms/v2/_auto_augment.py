@@ -50,27 +50,37 @@ class _AutoAugmentBase(Transform):
         self.fill = fill
 
     def _apply_op(self, img, op_name: str, magnitude: float):
-        """reference ``_auto_augment.py`` ``_apply_image_or_video_transform``."""
+        """reference ``_auto_augment.py`` ``_apply_image_or_video_transform``.
+        ``magnitude`` may be a traced scalar (jitted RandAugment): the shear
+        trig moves to jnp and translate truncates with jnp.trunc, matching
+        the eager int()/math.* semantics."""
         interp, fill = self.interpolation, self.fill
+        traced = isinstance(magnitude, jax.core.Tracer)
+        if traced:
+            deg_atan = lambda m: jnp.degrees(jnp.arctan(m))  # noqa: E731
+            trunc = jnp.trunc
+        else:
+            deg_atan = lambda m: math.degrees(math.atan(m))  # noqa: E731
+            trunc = int
         if op_name == "ShearX":
             return F.affine(
                 img, 0.0, [0, 0], 1.0,
-                [math.degrees(math.atan(magnitude)), 0.0],
+                [deg_atan(magnitude), 0.0],
                 interp, fill, center=[0, 0],
             )
         if op_name == "ShearY":
             return F.affine(
                 img, 0.0, [0, 0], 1.0,
-                [0.0, math.degrees(math.atan(magnitude))],
+                [0.0, deg_atan(magnitude)],
                 interp, fill, center=[0, 0],
             )
         if op_name == "TranslateX":
             return F.affine(
-                img, 0.0, [int(magnitude), 0], 1.0, [0.0, 0.0], interp, fill
+                img, 0.0, [trunc(magnitude), 0], 1.0, [0.0, 0.0], interp, fill
             )
         if op_name == "TranslateY":
             return F.affine(
-                img, 0.0, [0, int(magnitude)], 1.0, [0.0, 0.0], interp, fill
+                img, 0.0, [0, trunc(magnitude)], 1.0, [0.0, 0.0], interp, fill
             )
         if op_name == "Rotate":
             return F.rotate(img, magnitude, interp, fill=fill)
@@ -315,6 +325,7 @@ class RandAugment(_AutoAugmentBase):
         space = self._augmentation_space(self.num_magnitude_bins, size)
         names = list(space.keys())
 
+        traced = isinstance(key, jax.core.Tracer)
         out = []
         for x, n in zip(flat, needs):
             if not n:
@@ -323,14 +334,39 @@ class RandAugment(_AutoAugmentBase):
             img = x
             for k in jax.random.split(key, self.num_ops):
                 k1, k2 = jax.random.split(k)
-                op_name = names[int(jax.random.randint(k1, (), 0, len(names)))]
-                magnitudes, signed = space[op_name]
-                magnitude = (
-                    float(magnitudes[self.magnitude]) if magnitudes.ndim > 0 else 0.0
-                )
-                if signed and float(jax.random.uniform(k2)) > 0.5:
-                    magnitude = -magnitude
-                img = self._apply_op(img, op_name, magnitude)
+                op_idx = jax.random.randint(k1, (), 0, len(names))
+                sign = jnp.where(jax.random.uniform(k2) > 0.5, -1.0, 1.0)
+                if traced:
+                    # jitted path: op choice via lax.switch; per-op bin
+                    # magnitudes are concrete, only the sign is traced
+                    branches = []
+                    for name in names:
+                        magnitudes, signed = space[name]
+                        mag = (
+                            float(magnitudes[self.magnitude])
+                            if magnitudes.ndim > 0
+                            else 0.0
+                        )
+
+                        def branch(im, name=name, mag=mag, signed=signed):
+                            m = mag * sign if signed else mag
+                            if name in ("Posterize",):
+                                m = int(mag)  # concrete bits
+                            return self._apply_op(im, name, m)
+
+                        branches.append(branch)
+                    img = jax.lax.switch(op_idx, branches, img)
+                else:
+                    op_name = names[int(op_idx)]
+                    magnitudes, signed = space[op_name]
+                    magnitude = (
+                        float(magnitudes[self.magnitude])
+                        if magnitudes.ndim > 0
+                        else 0.0
+                    )
+                    if signed and float(sign) < 0:
+                        magnitude = -magnitude
+                    img = self._apply_op(img, op_name, magnitude)
             out.append(img)
         return jax.tree_util.tree_unflatten(spec, out)
 

@@ -175,7 +175,7 @@ def adjust_sharpness(inpt, sharpness_factor: float):
     """reference adjust_sharpness: blend with a fixed 3x3 smoothing kernel;
     the border ring is kept from the original (``_functional_tensor.py``
     ``_blurred_degenerate_image``)."""
-    if sharpness_factor < 0:
+    if not isinstance(sharpness_factor, jax.core.Tracer) and sharpness_factor < 0:
         raise ValueError(f"sharpness_factor must be >= 0, got {sharpness_factor}")
     img, rewrap = _unwrap(inpt)
     h, w = img.shape[-3], img.shape[-2]

@@ -590,6 +590,10 @@ def resized_crop_dynamic(image, top, left, height, width, size):
 # ======================================================================
 # affine family
 # ======================================================================
+def _is_traced(*vals) -> bool:
+    return any(isinstance(v, jax.core.Tracer) for v in vals)
+
+
 def _get_inverse_affine_matrix(
     center: List[float],
     angle: float,
@@ -599,7 +603,29 @@ def _get_inverse_affine_matrix(
     inverted: bool = True,
 ) -> List[float]:
     """reference ``transforms/functional.py:1006`` — the PIL-convention
-    inverse affine matrix (pure Python floats, computed at trace time)."""
+    inverse affine matrix. Pure Python floats at trace time normally; when
+    any parameter is a TRACED scalar (jitted RandAugment magnitudes) the
+    same formulas run in jnp and the matrix entries stay traced."""
+    if _is_traced(angle, translate[0], translate[1], scale, shear[0], shear[1]):
+        rad = jnp.float32(math.pi / 180.0)
+        rot = jnp.asarray(angle, jnp.float32) * rad
+        sx = jnp.asarray(shear[0], jnp.float32) * rad
+        sy = jnp.asarray(shear[1], jnp.float32) * rad
+        cx, cy = center
+        tx, ty = translate
+        a = jnp.cos(rot - sy) / jnp.cos(sy)
+        b = -jnp.cos(rot - sy) * jnp.tan(sx) / jnp.cos(sy) - jnp.sin(rot)
+        c = jnp.sin(rot - sy) / jnp.cos(sy)
+        d = -jnp.sin(rot - sy) * jnp.tan(sx) / jnp.cos(sy) + jnp.cos(rot)
+        if inverted:
+            m = [d / scale, -b / scale, 0.0, -c / scale, a / scale, 0.0]
+            m[2] = m[0] * (-cx - tx) + m[1] * (-cy - ty) + cx
+            m[5] = m[3] * (-cx - tx) + m[4] * (-cy - ty) + cy
+        else:
+            m = [a * scale, b * scale, 0.0, c * scale, d * scale, 0.0]
+            m[2] = m[0] * (-cx) + m[1] * (-cy) + cx + tx
+            m[5] = m[3] * (-cx) + m[4] * (-cy) + cy + ty
+        return m
     rot = math.radians(angle)
     sx = math.radians(shear[0])
     sy = math.radians(shear[1])
@@ -678,7 +704,10 @@ def _affine_grid_sample(
     centered output pixel coords -> centered source coords."""
     h, w = image.shape[-3], image.shape[-2]
     oh, ow = out_size
-    m0, m1, m2, m3, m4, m5 = [float(m) for m in matrix]
+    if _is_traced(*matrix):
+        m0, m1, m2, m3, m4, m5 = [jnp.asarray(m, jnp.float32) for m in matrix]
+    else:
+        m0, m1, m2, m3, m4, m5 = [float(m) for m in matrix]
 
     # centered output pixel coordinates (torch _gen_affine_grid)
     ys = jnp.arange(oh, dtype=jnp.float32) - oh * 0.5 + 0.5
@@ -689,12 +718,16 @@ def _affine_grid_sample(
     # coords (float32), then grid_sample unnormalizes ((g+1)*size - 1)/2.
     # Replicating this float32 round-trip keeps nearest-mode rounding
     # decisions at exact .5 boundaries identical to the reference.
-    r0 = np.float32(m0) / np.float32(0.5 * w)
-    r1 = np.float32(m1) / np.float32(0.5 * w)
-    r2 = np.float32(m2) / np.float32(0.5 * w)
-    r3 = np.float32(m3) / np.float32(0.5 * h)
-    r4 = np.float32(m4) / np.float32(0.5 * h)
-    r5 = np.float32(m5) / np.float32(0.5 * h)
+    if _is_traced(m0, m1, m2, m3, m4, m5):
+        cvt = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
+    else:
+        cvt = np.float32
+    r0 = cvt(m0) / np.float32(0.5 * w)
+    r1 = cvt(m1) / np.float32(0.5 * w)
+    r2 = cvt(m2) / np.float32(0.5 * w)
+    r3 = cvt(m3) / np.float32(0.5 * h)
+    r4 = cvt(m4) / np.float32(0.5 * h)
+    r5 = cvt(m5) / np.float32(0.5 * h)
     gx = r0 * xg + r1 * yg + r2
     gy = r3 * xg + r4 * yg + r5
     src_x = ((gx + 1.0) * w - 1.0) * 0.5
@@ -748,9 +781,14 @@ def affine_image(
         center_f = [0.0, 0.0]
     else:
         center_f = [c - s * 0.5 for c, s in zip(center, (w, h))]
-    translate_f = [float(t) for t in translate]
+    if _is_traced(angle, scale, *translate, *shear):
+        translate_f = list(translate)
+        shear_f = list(shear)
+    else:
+        translate_f = [float(t) for t in translate]
+        shear_f = list(map(float, shear))
     matrix = _get_inverse_affine_matrix(
-        center_f, angle, translate_f, scale, list(map(float, shear))
+        center_f, angle, translate_f, scale, shear_f
     )
     return _affine_grid_sample(image, matrix, (h, w), interpolation, fill)
 
@@ -978,6 +1016,11 @@ def rotate_image(
     else:
         center_f = [c - s * 0.5 for c, s in zip(center, (w, h))]
     matrix = _get_inverse_affine_matrix(center_f, -angle, [0.0, 0.0], 1.0, [0.0, 0.0])
+    if expand and _is_traced(angle):
+        raise ValueError(
+            "rotate(expand=True) needs a concrete angle: the expanded "
+            "canvas size is data-dependent and cannot be traced"
+        )
     if expand:
         new_w, new_h = _compute_affine_output_size(matrix, w, h)
         out_size = (new_h, new_w)
