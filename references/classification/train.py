@@ -73,6 +73,12 @@ def get_args_parser():
     p.add_argument("--train-crop-size", default=224, type=int)
     p.add_argument("--fake-data", action="store_true")
     p.add_argument(
+        "--device-augment", action="store_true",
+        help="run the train augmentation (random-resized-crop/flip/"
+        "auto-augment/normalize + MixUp/CutMix) as ONE jitted program on "
+        "device; the host only decodes and resizes to a static canvas",
+    )
+    p.add_argument(
         "--ra-sampler", action="store_true",
         help="repeated-augmentation sampler (reference sampler.py RASampler)",
     )
@@ -96,22 +102,42 @@ def load_data(args):
     )
     if args.fake_data:
         n_train = (args.steps_per_epoch or 10) * args.batch_size
+        canvas = (
+            args.train_crop_size + 32
+            if args.device_augment
+            else args.train_crop_size
+        )
         train_ds = datasets.FakeData(
-            n_train, (args.train_crop_size, args.train_crop_size, 3),
-            args.num_classes,
+            n_train, (canvas, canvas, 3), args.num_classes
         )
         val_ds = datasets.FakeData(
             2 * args.batch_size, (args.val_crop_size, args.val_crop_size, 3),
             args.num_classes,
         )
-        train_tf = lambda img: np.asarray(  # noqa: E731
+        if args.device_augment:
+            train_tf = np.asarray  # raw uint8; augmentation happens on device
+        else:
+            train_tf = lambda img: np.asarray(  # noqa: E731
+                T.ToDtype(jnp.float32, scale=True)(jnp.asarray(img))
+            )
+        val_tf = lambda img: np.asarray(  # noqa: E731
             T.ToDtype(jnp.float32, scale=True)(jnp.asarray(img))
         )
-        val_tf = train_tf
     else:
         train_dir = os.path.join(args.data_path, "train")
         val_dir = os.path.join(args.data_path, "val")
-        train_tf = lambda img: np.asarray(train_preset(jnp.asarray(img)))  # noqa: E731
+        if args.device_augment:
+            # host side: decode + static-canvas resize only; all randomized
+            # augmentation runs jitted on device (make_device_augment)
+            from vision_tpu.transforms.v2 import functional as TF
+
+            canvas = args.train_crop_size + 32
+
+            def train_tf(img, _canvas=canvas):  # noqa: E306
+                return np.asarray(TF.resize(jnp.asarray(img), (_canvas, _canvas)))
+
+        else:
+            train_tf = lambda img: np.asarray(train_preset(jnp.asarray(img)))  # noqa: E731
         val_tf = lambda img: np.asarray(eval_preset(jnp.asarray(img)))  # noqa: E731
         train_ds = datasets.ImageFolder(train_dir)
         val_ds = datasets.ImageFolder(val_dir)
@@ -150,6 +176,47 @@ def load_data(args):
         },
     )
     return train_loader, val_loader, train_sampler
+
+
+def make_device_augment(args):
+    """ONE jitted program: per-sample RandomResizedCrop + flip (+RandAugment
+    with --auto-augment ra) + normalize, then batch MixUp/CutMix — the
+    fused-augmentation pipeline (BASELINE config #2; ~3.5k img/s on v5e,
+    benchmarks/augmentation.py)."""
+    stages = [
+        T.RandomResizedCrop(args.train_crop_size, antialias=True),
+        T.RandomHorizontalFlip(p=0.5),
+    ]
+    if args.auto_augment == "ra":
+        stages.append(T.RandAugment(magnitude=args.ra_magnitude))
+    stages += [
+        T.ToDtype(jnp.float32, scale=True),
+        T.Normalize(mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225]),
+    ]
+    pipeline = T.Compose(stages)
+    mixers = []
+    if args.mixup_alpha > 0:
+        mixers.append(T.MixUp(args.mixup_alpha, num_classes=args.num_classes))
+    if args.cutmix_alpha > 0:
+        mixers.append(T.CutMix(args.cutmix_alpha, num_classes=args.num_classes))
+
+    @jax.jit
+    def augment(batch, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        keys = jax.random.split(k1, batch["image"].shape[0])
+        imgs = jax.vmap(lambda im, k: pipeline(im, key=k))(
+            batch["image"], keys
+        )
+        labels = batch["label"]
+        if mixers:
+            onehot = jax.nn.one_hot(labels, args.num_classes)
+            outs = [m((imgs, onehot), key=k3) for m in mixers]
+            idx = jax.random.randint(k2, (), 0, len(mixers))
+            imgs = jax.lax.switch(idx, [lambda o=o: o[0] for o in outs])
+            labels = jax.lax.switch(idx, [lambda o=o: o[1] for o in outs])
+        return {"image": imgs, "label": labels}
+
+    return augment
 
 
 def make_optimizer(args, steps_per_epoch: int):
@@ -228,8 +295,9 @@ def main(args):
         step=jnp.zeros((), jnp.int32),
     )
 
+    device_augment = make_device_augment(args) if args.device_augment else None
     mixup = None
-    if args.mixup_alpha > 0 or args.cutmix_alpha > 0:
+    if not args.device_augment and (args.mixup_alpha > 0 or args.cutmix_alpha > 0):
         choices = []
         if args.mixup_alpha > 0:
             choices.append(T.MixUp(args.mixup_alpha, num_classes=args.num_classes))
@@ -277,12 +345,16 @@ def main(args):
                 prefetch_to_device(train_loader), args.print_freq, header
             ):
                 key, sub, mkey = jax.random.split(key, 3)
-                if mixup is not None:
-                    img, lbl = mixup(
-                        (batch["image"], batch["label"]), key=mkey
-                    )
-                    batch = {"image": img, "label": lbl}
-                batch = shard_batch(batch, mesh)
+                if device_augment is not None:
+                    batch = shard_batch(batch, mesh)
+                    batch = device_augment(batch, mkey)
+                else:
+                    if mixup is not None:
+                        img, lbl = mixup(
+                            (batch["image"], batch["label"]), key=mkey
+                        )
+                        batch = {"image": img, "label": lbl}
+                    batch = shard_batch(batch, mesh)
                 state, metrics = train_step(state, batch, sub)
                 if ema is not None:
                     ema.update(state.params)
