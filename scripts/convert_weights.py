@@ -73,13 +73,14 @@ def main() -> int:
         sd = sd["state_dict"]
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
 
+    import jax
+
     model = get_model(args.model)
     hooks = get_conversion_hooks(args.model)
     variables = convert_torch_state_dict(sd, model.variables, hooks=hooks)
     save_variables_msgpack(variables, args.out)
     n = sum(
-        int(np.prod(l.shape))
-        for l in __import__("jax").tree_util.tree_leaves(variables)
+        int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(variables)
     )
     print(f"wrote {args.out}: {args.model}, {n} converted values")
     return 0

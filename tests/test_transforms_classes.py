@@ -286,3 +286,24 @@ def test_randaugment_jits(rng):
         np.asarray(fn(img, jax.random.PRNGKey(7))),
         np.asarray(fn(img, jax.random.PRNGKey(7))),
     )
+
+
+def test_trivialaugment_jits(rng):
+    """TrivialAugmentWide compiles under jit: traced op index via
+    lax.switch, traced bin index into concrete magnitude tables, traced
+    sign, and a traced-bits posterize. Matches eager within one uint8
+    step (f32-vs-f64 factor rounding under trace)."""
+    from vision_tpu.transforms import v2 as T
+
+    ta = T.TrivialAugmentWide()
+    img = jnp.asarray((rng.rand(64, 64, 3) * 255).astype(np.uint8))
+    fn = jax.jit(lambda i, k: ta(i, key=k))
+    for s in range(6):
+        k = jax.random.PRNGKey(s)
+        a = np.asarray(fn(img, k)).astype(np.int32)
+        b = np.asarray(ta(img, key=k)).astype(np.int32)
+        assert np.abs(a - b).max() <= 2, f"key {s}"
+    np.testing.assert_array_equal(
+        np.asarray(fn(img, jax.random.PRNGKey(11))),
+        np.asarray(fn(img, jax.random.PRNGKey(11))),
+    )

@@ -93,7 +93,8 @@ class _AutoAugmentBase(Transform):
         if op_name == "Sharpness":
             return F.adjust_sharpness(img, 1.0 + magnitude)
         if op_name == "Posterize":
-            return F.posterize(img, int(magnitude))
+            bits = magnitude if traced else int(magnitude)
+            return F.posterize(img, bits)
         if op_name == "Solarize":
             arr = img.data if isinstance(img, tv_tensors.TVTensor) else img
             bound = 255.0 if jnp.issubdtype(arr.dtype, jnp.integer) else 1.0
@@ -410,15 +411,43 @@ class TrivialAugmentWide(_AutoAugmentBase):
         space = self._augmentation_space(self.num_magnitude_bins)
         names = list(space.keys())
         k1, k2, k3 = jax.random.split(key, 3)
-        op_name = names[int(jax.random.randint(k1, (), 0, len(names)))]
+        op_idx = jax.random.randint(k1, (), 0, len(names))
+        bin_idx = jax.random.randint(k2, (), 0, self.num_magnitude_bins)
+        sign = jnp.where(jax.random.uniform(k3) > 0.5, -1.0, 1.0)
+        if isinstance(key, jax.core.Tracer):
+            def one(img):
+                branches = []
+                for name in names:
+                    magnitudes, signed = space[name]
+
+                    def branch(im, name=name, magnitudes=magnitudes,
+                               signed=signed):
+                        if magnitudes.ndim > 0:
+                            m = jnp.asarray(magnitudes, jnp.float32)[
+                                jnp.minimum(bin_idx, len(magnitudes) - 1)
+                            ]
+                        else:
+                            m = jnp.float32(0.0)
+                        if signed:
+                            m = m * sign
+                        if name == "Posterize":
+                            m = m.astype(jnp.int32)
+                        return self._apply_op(im, name, m)
+
+                    branches.append(branch)
+                return jax.lax.switch(op_idx, branches, img)
+
+            out = [one(x) if n else x for x, n in zip(flat, needs)]
+            return jax.tree_util.tree_unflatten(spec, out)
+        op_name = names[int(op_idx)]
         magnitudes, signed = space[op_name]
         if magnitudes.ndim > 0:
             magnitude = float(
-                magnitudes[int(jax.random.randint(k2, (), 0, len(magnitudes)))]
+                magnitudes[min(int(bin_idx), len(magnitudes) - 1)]
             )
         else:
             magnitude = 0.0
-        if signed and float(jax.random.uniform(k3)) > 0.5:
+        if signed and float(sign) < 0:
             magnitude = -magnitude
         out = [
             self._apply_op(x, op_name, magnitude) if n else x

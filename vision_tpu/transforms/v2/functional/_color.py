@@ -220,8 +220,17 @@ def adjust_gamma(inpt, gamma: float, gain: float = 1.0):
 
 
 def posterize(inpt, bits: int):
-    """Keep the top ``bits`` bits (reference posterize_image)."""
+    """Keep the top ``bits`` bits (reference posterize_image). ``bits`` may
+    be a traced int scalar (jitted TrivialAugment)."""
     img, rewrap = _unwrap(inpt)
+    if isinstance(bits, jax.core.Tracer):
+        bits = jnp.asarray(bits, jnp.int32)
+        if jnp.issubdtype(img.dtype, jnp.floating):
+            levels = jnp.exp2(bits.astype(jnp.float32))
+            post = jnp.floor(img * levels) / levels
+            return rewrap(jnp.where(bits >= 8, img, post))
+        mask = (256 - jnp.left_shift(1, jnp.clip(8 - bits, 0, 8))) & 0xFF
+        return rewrap(img & mask.astype(img.dtype))
     if jnp.issubdtype(img.dtype, jnp.floating):
         if bits >= 8:
             return rewrap(img)
