@@ -1,0 +1,110 @@
+"""TPU-offloaded JPEG decode: host entropy decode (csrc
+vtpu_jpeg_coefficients) + device dequant/IDCT/upsample/color
+(vision_tpu/io/jpeg_tpu.py) vs the full libjpeg decode.
+
+Not bit-exact by design (float IDCT + bilinear chroma vs libjpeg's
+fixed-point IDCT + fancy upsampler); the contract is a small max-abs
+bound, tightest on luma/interior. Reference counterpart:
+torchvision/io/image.py:233 decode_jpegs_cuda (nvJPEG batch decode)."""
+
+import io
+
+import numpy as np
+import PIL.Image
+import pytest
+
+from vision_tpu.io._codecs import has_native, jpeg_coefficients_native
+from vision_tpu.io.image import decode_jpeg, encode_jpeg
+from vision_tpu.io.jpeg_tpu import decode_jpeg_batch_tpu
+
+pytestmark = pytest.mark.skipif(
+    not has_native(), reason="native codec shim unavailable"
+)
+
+
+def _photo_like(h=120, w=160, seed=0):
+    rng = np.random.RandomState(seed)
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    base = 128 + 60 * np.sin(x / 17.0) * np.cos(y / 23.0)
+    img = base[..., None] + rng.randn(h, w, 3) * 18
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _pil_jpeg(img, subsampling, quality=80):
+    buf = io.BytesIO()
+    PIL.Image.fromarray(img).save(
+        buf, "JPEG", quality=quality, subsampling=subsampling
+    )
+    return buf.getvalue()
+
+
+def test_coefficients_shapes_and_tables():
+    img = _photo_like()
+    data = encode_jpeg(img, quality=75)
+    coefs, qtabs, samp, (h, w) = jpeg_coefficients_native(data)
+    assert (h, w) == img.shape[:2]
+    assert len(coefs) == 3 and samp[0] == (2, 2) and samp[1] == (1, 1)
+    assert coefs[0].shape == (15, 20, 64)  # ceil(120/8), ceil(160/8)
+    assert coefs[1].shape == (8, 10, 64)
+    assert qtabs[0].dtype == np.uint16 and qtabs[0][0] > 0
+
+
+@pytest.mark.parametrize("quality", [50, 75, 95])
+def test_batch_decode_matches_libjpeg_420(quality):
+    img = _photo_like()
+    data = encode_jpeg(img, quality=quality)
+    ref = np.asarray(decode_jpeg(data)).astype(np.int32)
+    out = decode_jpeg_batch_tpu([data, data])
+    assert out is not None and out.shape == (2,) + ref.shape
+    d = np.abs(np.asarray(out[0]).astype(np.int32) - ref)
+    assert d.max() <= 8, d.max()
+    assert d.mean() < 1.0
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(out[1]))
+
+
+@pytest.mark.parametrize("subsampling", [0, 1, 2])  # 4:4:4, 4:2:2, 4:2:0
+def test_batch_decode_subsampling_modes(subsampling):
+    img = _photo_like(seed=3)
+    data = _pil_jpeg(img, subsampling)
+    ref = np.asarray(decode_jpeg(data)).astype(np.int32)
+    out = decode_jpeg_batch_tpu([data])
+    assert out is not None
+    d = np.abs(np.asarray(out[0]).astype(np.int32) - ref)
+    assert d.max() <= 8, (subsampling, d.max())
+
+
+def test_batch_decode_grayscale():
+    img = _photo_like()[:, :, 0]
+    buf = io.BytesIO()
+    PIL.Image.fromarray(img, "L").save(buf, "JPEG", quality=80)
+    data = buf.getvalue()
+    ref = np.asarray(decode_jpeg(data))
+    if ref.ndim == 2:
+        ref = ref[..., None]
+    ref3 = np.repeat(ref[..., :1], 3, axis=-1).astype(np.int32)
+    out = decode_jpeg_batch_tpu([data])
+    assert out is not None
+    d = np.abs(np.asarray(out[0]).astype(np.int32) - ref3)
+    assert d.max() <= 2, d.max()
+
+
+def test_batch_decode_mixed_geometry_falls_back():
+    a = encode_jpeg(_photo_like(), quality=75)
+    b = encode_jpeg(_photo_like(h=64, w=64), quality=75)
+    assert decode_jpeg_batch_tpu([a, b]) is None
+
+
+def test_decode_jpeg_device_tpu_api():
+    """decode_jpeg(device="tpu") list API mirrors the reference's
+    decode_jpeg(device="cuda") batch entry (io/image.py:233)."""
+    img = _photo_like()
+    data = encode_jpeg(img, quality=80)
+    ref = np.asarray(decode_jpeg(data)).astype(np.int32)
+    out = decode_jpeg([data, data], device="tpu")
+    assert np.abs(np.asarray(out[0]).astype(np.int32) - ref).max() <= 8
+    one = decode_jpeg(data, device="tpu")
+    assert np.asarray(one).shape == ref.shape
+    # geometry-mixed list falls back to the host loop, still correct
+    small = encode_jpeg(_photo_like(h=64, w=64), quality=80)
+    mixed = decode_jpeg([data, small], device="tpu")
+    assert np.asarray(mixed[1]).shape == (64, 64, 3)

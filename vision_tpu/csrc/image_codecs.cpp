@@ -132,6 +132,85 @@ int vtpu_encode_jpeg(const uint8_t* rgb, int h, int w, int quality,
   return 0;
 }
 
+// Entropy-decode ONLY: stop after Huffman decoding and hand the quantized
+// DCT coefficient blocks to the caller, so dequantization + IDCT + chroma
+// upsampling + YCbCr->RGB run on the accelerator (8x8 IDCT = two small
+// matmuls, ideal MXU work). This is the TPU-native split of the
+// reference's nvJPEG batch-decode path (decode_jpegs_cuda): the only
+// inherently serial part of JPEG decode (Huffman) stays on host, the
+// data-parallel tail moves on device. Roughly halves host CPU per image.
+//
+// Per component ci < ncomp (max 3):
+//   blocks_w[ci] x blocks_h[ci] 8x8 blocks, coefficients in natural
+//   (row-major) order as int16, laid out [blocks_h, blocks_w, 64];
+//   qtab[ci*64..] = quantization table (natural order);
+//   samp_h/samp_v = sampling factors relative to max (e.g. 4:2:0 luma
+//   = 2,2 chroma = 1,1).
+// Caller frees each coefs[ci] with vtpu_free.
+int vtpu_jpeg_coefficients(const uint8_t* buf, size_t len, int* ncomp,
+                           int* height, int* width, int* blocks_h,
+                           int* blocks_w, int* samp_h, int* samp_v,
+                           uint16_t* qtab, int16_t** coefs) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  int16_t* allocs[3] = {nullptr, nullptr, nullptr};
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    for (int i = 0; i < 3; i++)
+      if (allocs[i]) free(allocs[i]);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, len);
+  jpeg_read_header(&cinfo, TRUE);
+  jvirt_barray_ptr* bars = jpeg_read_coefficients(&cinfo);
+  if (!bars || cinfo.num_components > 3) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  *ncomp = cinfo.num_components;
+  *height = cinfo.image_height;
+  *width = cinfo.image_width;
+  for (int ci = 0; ci < cinfo.num_components; ci++) {
+    jpeg_component_info* comp = &cinfo.comp_info[ci];
+    const int bh = comp->height_in_blocks;
+    const int bw = comp->width_in_blocks;
+    blocks_h[ci] = bh;
+    blocks_w[ci] = bw;
+    samp_h[ci] = comp->h_samp_factor;
+    samp_v[ci] = comp->v_samp_factor;
+    JQUANT_TBL* qt = cinfo.quant_tbl_ptrs[comp->quant_tbl_no];
+    if (!qt) {
+      jpeg_destroy_decompress(&cinfo);
+      for (int i = 0; i < 3; i++)
+        if (allocs[i]) free(allocs[i]);
+      return -3;
+    }
+    for (int k = 0; k < 64; k++) qtab[ci * 64 + k] = qt->quantval[k];
+    int16_t* dst =
+        static_cast<int16_t*>(malloc((size_t)bh * bw * 64 * sizeof(int16_t)));
+    if (!dst) {
+      jpeg_destroy_decompress(&cinfo);
+      for (int i = 0; i < 3; i++)
+        if (allocs[i]) free(allocs[i]);
+      return -4;
+    }
+    allocs[ci] = dst;
+    for (int r = 0; r < bh; r++) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          (j_common_ptr)&cinfo, bars[ci], r, 1, FALSE);
+      memcpy(dst + (size_t)r * bw * 64, rows[0],
+             (size_t)bw * 64 * sizeof(JCOEF));
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  for (int ci = 0; ci < *ncomp; ci++) coefs[ci] = allocs[ci];
+  return 0;
+}
+
 // ------------------------------------------------------------------- PNG
 namespace {
 struct PngReadState {

@@ -95,6 +95,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
         ]
+        lib.vtpu_jpeg_coefficients.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+        ]
         lib.vtpu_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         _LIB = lib
         return lib
@@ -225,3 +233,48 @@ def decode_jpeg_scaled_native(
     arr = np.ctypeslib.as_array(img.data, shape=(n,)).copy()
     lib.vtpu_free(img.data)
     return arr.reshape(img.height, img.width, img.channels)
+
+
+def jpeg_coefficients_native(data: bytes):
+    """Entropy-decode a baseline JPEG to quantized DCT coefficients (the
+    host half of the TPU-offloaded decode; see csrc vtpu_jpeg_coefficients
+    and vision_tpu/io/jpeg_tpu.py for the device half).
+
+    Returns ``(coefs, qtabs, samp, (H, W))`` where ``coefs[ci]`` is an
+    int16 array of shape ``(blocks_h, blocks_w, 64)`` (natural coefficient
+    order), ``qtabs[ci]`` a uint16 ``(64,)`` quantization table and
+    ``samp[ci] = (h_samp, v_samp)``; or None when the native lib is absent
+    or the stream is unsupported (e.g. progressive with >3 components).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    ncomp = ctypes.c_int()
+    height = ctypes.c_int()
+    width = ctypes.c_int()
+    blocks_h = (ctypes.c_int * 3)()
+    blocks_w = (ctypes.c_int * 3)()
+    samp_h = (ctypes.c_int * 3)()
+    samp_v = (ctypes.c_int * 3)()
+    qtab = (ctypes.c_uint16 * (3 * 64))()
+    coef_ptrs = (ctypes.POINTER(ctypes.c_int16) * 3)()
+    rc = lib.vtpu_jpeg_coefficients(
+        data, len(data), ctypes.byref(ncomp), ctypes.byref(height),
+        ctypes.byref(width), blocks_h, blocks_w, samp_h, samp_v, qtab,
+        coef_ptrs,
+    )
+    if rc != 0:
+        return None
+    coefs = []
+    qtabs = []
+    samp = []
+    for ci in range(ncomp.value):
+        bh, bw = blocks_h[ci], blocks_w[ci]
+        arr = np.ctypeslib.as_array(coef_ptrs[ci], shape=(bh * bw * 64,))
+        coefs.append(arr.copy().reshape(bh, bw, 64))
+        lib.vtpu_free(
+            ctypes.cast(coef_ptrs[ci], ctypes.POINTER(ctypes.c_uint8))
+        )
+        qtabs.append(np.array(qtab[ci * 64 : (ci + 1) * 64], np.uint16))
+        samp.append((samp_h[ci], samp_v[ci]))
+    return coefs, qtabs, samp, (height.value, width.value)

@@ -103,12 +103,30 @@ def decode_jpeg(
     data: bytes,
     mode: ImageReadMode = ImageReadMode.UNCHANGED,
     scale=None,
+    device: str = "cpu",
 ) -> np.ndarray:
     """reference ``io/image.py:173``; returns HWC uint8.
 
     ``scale=(num, den)`` decodes at num/den size via libjpeg DCT scaling
     (den=8, num=1..16) — ~(num/den)^2 of the full IDCT cost; the host-side
-    analog of nvJPEG scaled decode for pipelines that resize down anyway."""
+    analog of nvJPEG scaled decode for pipelines that resize down anyway.
+
+    ``device="tpu"`` (with ``data`` a list of buffers) is the analog of the
+    reference's ``device="cuda"`` nvJPEG batch path (``io/image.py:233``):
+    host Huffman decode + on-device IDCT/upsample/color via
+    ``io/jpeg_tpu.py``; falls back to the host loop when the batch is not
+    geometry-uniform or a stream is unsupported."""
+    if device == "tpu":
+        from vision_tpu.io.jpeg_tpu import decode_jpeg_batch_tpu
+
+        buffers = data if isinstance(data, (list, tuple)) else [data]
+        out = decode_jpeg_batch_tpu(buffers)
+        if out is not None:
+            return out if isinstance(data, (list, tuple)) else out[0]
+        decoded = [decode_jpeg(b, mode=mode) for b in buffers]
+        return decoded if isinstance(data, (list, tuple)) else decoded[0]
+    if isinstance(data, (list, tuple)):
+        return [decode_jpeg(b, mode=mode, scale=scale) for b in data]
     if scale is not None:
         arr = _codecs.decode_jpeg_scaled_native(data, scale[0], scale[1])
         if arr is not None:
