@@ -476,3 +476,161 @@ def test_mvit_pooled_attention_matches_torch():
     np.testing.assert_allclose(
         np.asarray(out), ref.numpy(), atol=2e-5, rtol=1e-4
     )
+
+
+def test_two_stage_e2e_matches_torch():
+    """End-to-end two-stage detector slice vs torch (VERDICT r1 item 4):
+    RPNHead -> filter_proposals -> MultiScaleRoIAlign (LevelMapper) ->
+    TwoMLPHead -> FastRCNNPredictor -> postprocess_detections, static
+    padded/masked path vs the dynamic-shape transcription of
+    roi_heads.py:504-887."""
+    from tests.torch_refs2 import (
+        TorchFastRCNNPredictor,
+        TorchRPNHead,
+        TorchTwoMLPHead,
+        torch_filter_proposals,
+        torch_multiscale_roi_align,
+        torch_postprocess_detections,
+    )
+    from vision_tpu.models.detection.roi_heads import (
+        FastRCNNPredictor,
+        RoIHeadsLogic,
+        TwoMLPHead,
+    )
+    from vision_tpu.models.detection.rpn import (
+        RegionProposalNetwork,
+        RPNHead,
+    )
+    from vision_tpu.ops.poolers import MultiScaleRoIAlign
+
+    rng = np.random.RandomState(1)
+    num_anchors = 3
+    num_classes = 5
+    image_size = (64, 64)
+    feats = [
+        rng.rand(1, 8, 8, 16).astype(np.float32),
+        rng.rand(1, 4, 4, 16).astype(np.float32),
+    ]
+
+    # --- RPN (parity established in test_rpn_slice_matches_torch) ---
+    tm_rpn = TorchRPNHead(16, num_anchors)
+    tm_rpn.eval()
+    rpn_head = RPNHead(num_anchors=num_anchors)
+    variables = rpn_head.init(
+        jax.random.PRNGKey(0), [jnp.asarray(f) for f in feats]
+    )
+    variables = convert_torch_state_dict(
+        {k: v.detach().numpy() for k, v in tm_rpn.state_dict().items()},
+        dict(variables),
+    )
+    obj, dl = rpn_head.apply(variables, [jnp.asarray(f) for f in feats])
+
+    def grid_anchors(fh, fw, stride):
+        out = []
+        for y in range(fh):
+            for x in range(fw):
+                cx, cy = x * stride + stride / 2, y * stride + stride / 2
+                for s in (16, 32, 48):
+                    out.append(
+                        [cx - s / 2, cy - s / 2, cx + s / 2, cy + s / 2]
+                    )
+        return np.asarray(out, np.float32)
+
+    anchors = [grid_anchors(8, 8, 8), grid_anchors(4, 4, 16)]
+    with torch.no_grad():
+        t_obj, t_dl = tm_rpn(
+            [torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats]
+        )
+    ref_boxes, _ = torch_filter_proposals(
+        [t_obj[i].permute(0, 2, 3, 1).reshape(-1) for i in range(2)],
+        [t_dl[i].permute(0, 2, 3, 1).reshape(-1, 4) for i in range(2)],
+        [torch.from_numpy(a) for a in anchors],
+        image_size,
+    )
+    rpn = RegionProposalNetwork(
+        pre_nms_top_n=60, post_nms_top_n=40, nms_thresh=0.7
+    )
+    props = rpn.filter_proposals(
+        obj, dl, [jnp.asarray(a) for a in anchors], image_size
+    )
+
+    # --- box branch weights (shared torch/jax) ---
+    tm_head = TorchTwoMLPHead(16 * 7 * 7, 64)
+    tm_pred = TorchFastRCNNPredictor(64, num_classes)
+    tm_head.eval(), tm_pred.eval()
+
+    head = TwoMLPHead(representation_size=64)
+    head_vars = head.init(jax.random.PRNGKey(1), jnp.zeros((1, 7, 7, 16)))
+
+    def _head_hooks(sd):
+        w = np.asarray(sd["fc6.weight"])
+        sd["fc6.weight"] = (
+            w.reshape(w.shape[0], 16, 7, 7)
+            .transpose(0, 2, 3, 1)
+            .reshape(w.shape[0], -1)
+        )
+        return sd
+
+    head_vars = convert_torch_state_dict(
+        {k: v.detach().numpy() for k, v in tm_head.state_dict().items()},
+        dict(head_vars),
+        hooks=_head_hooks,
+    )
+    pred = FastRCNNPredictor(num_classes=num_classes)
+    pred_vars = pred.init(jax.random.PRNGKey(2), jnp.zeros((1, 64)))
+    pred_vars = convert_torch_state_dict(
+        {k: v.detach().numpy() for k, v in tm_pred.state_dict().items()},
+        dict(pred_vars),
+    )
+
+    # --- torch reference chain (dynamic shapes) ---
+    pooled_ref = torch_multiscale_roi_align(
+        [f[0] for f in feats], ref_boxes, image_size
+    )  # [K, 7, 7, C] NHWC
+    with torch.no_grad():
+        rep = tm_head(
+            torch.from_numpy(
+                pooled_ref.transpose(0, 3, 1, 2).astype(np.float32)
+            )
+        )
+        t_logits, t_reg = tm_pred(rep)
+    want_boxes, want_scores, want_labels = torch_postprocess_detections(
+        t_logits, t_reg, torch.from_numpy(ref_boxes), image_size,
+        score_thresh=0.1,
+    )
+
+    # --- vision_tpu chain (static padded/masked) ---
+    pooler = MultiScaleRoIAlign(["0", "1"], 7, sampling_ratio=2)
+    pboxes = np.asarray(props.boxes[0])
+    rois = jnp.asarray(
+        np.concatenate(
+            [np.zeros((pboxes.shape[0], 1), np.float32), pboxes], axis=1
+        )
+    )
+    pooled = pooler(
+        {"0": jnp.asarray(feats[0]), "1": jnp.asarray(feats[1])},
+        rois,
+        image_size,
+    )
+    rep_j = head.apply(head_vars, pooled)
+    logits_j, reg_j = pred.apply(pred_vars, rep_j)
+
+    logic = RoIHeadsLogic(score_thresh=0.1)
+    det = logic.postprocess_detections(
+        logits_j[None],
+        reg_j[None],
+        props.boxes[:1],
+        props.valid[:1],
+        image_size,
+    )
+    got_valid = np.asarray(det.valid[0])
+    got_boxes = np.asarray(det.boxes[0])[got_valid]
+    got_scores = np.asarray(det.scores[0])[got_valid]
+    got_labels = np.asarray(det.labels[0])[got_valid]
+
+    assert got_boxes.shape == want_boxes.shape, (
+        got_boxes.shape, want_boxes.shape,
+    )
+    np.testing.assert_allclose(got_boxes, want_boxes, atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(got_scores, want_scores, atol=1e-5)
+    np.testing.assert_array_equal(got_labels, want_labels)

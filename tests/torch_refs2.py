@@ -1569,3 +1569,128 @@ class TorchMultiscaleAttention(nn.Module):
                 out[:, :, 1:] += q[:, :, 1:]
         out = out.transpose(1, 2).reshape(b, -1, self.output_dim)
         return self.project(out), q_thw
+
+
+# ------------------------------------------- Two-stage box branch (e2e) --
+# Minimal transcriptions of the reference RoIHeads inference path
+# (torchvision/models/detection/roi_heads.py:504-887 + ops/poolers.py):
+# MultiScaleRoIAlign level assignment, TwoMLPHead, FastRCNNPredictor and
+# postprocess_detections, all dynamic-shape like the original.
+
+
+class TorchTwoMLPHead(nn.Module):
+    """reference faster_rcnn.py TwoMLPHead (CHW flatten -> fc6 -> fc7)."""
+
+    def __init__(self, in_features, representation_size):
+        super().__init__()
+        self.fc6 = nn.Linear(in_features, representation_size)
+        self.fc7 = nn.Linear(representation_size, representation_size)
+
+    def forward(self, x):  # x: [K, C, PH, PW]
+        x = x.flatten(start_dim=1)
+        x = torch.relu(self.fc6(x))
+        return torch.relu(self.fc7(x))
+
+
+class TorchFastRCNNPredictor(nn.Module):
+    """reference faster_rcnn.py FastRCNNPredictor."""
+
+    def __init__(self, in_channels, num_classes):
+        super().__init__()
+        self.cls_score = nn.Linear(in_channels, num_classes)
+        self.bbox_pred = nn.Linear(in_channels, num_classes * 4)
+
+    def forward(self, x):
+        return self.cls_score(x), self.bbox_pred(x)
+
+
+def torch_multiscale_roi_align(
+    feats_nhwc, boxes, image_size, out_size=(7, 7), sampling_ratio=2,
+    canonical_scale=224, canonical_level=4,
+):
+    """reference ops/poolers.py:147-229 (_multiscale_roi_align) for one
+    image: LevelMapper FPN-paper assignment then per-level roi_align
+    (aligned=False CUDA semantics, via the slow numpy reference)."""
+    import numpy as np
+
+    from tests.test_ops_reference import _roi_align_ref
+
+    feats_nhwc = [f[None] if f.ndim == 3 else f for f in feats_nhwc]
+    scales = [f.shape[1] / float(image_size[0]) for f in feats_nhwc]
+    lvl_min = int(-np.log2(scales[0]))
+    lvl_max = int(-np.log2(scales[-1]))
+    area = np.clip(
+        (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 0, None
+    )
+    # reference poolers.py:47-86: floor(k0 + log2(sqrt(area)/s0 + eps))
+    lvls = np.floor(
+        canonical_level + np.log2(np.sqrt(area) / canonical_scale + 1e-6)
+    )
+    lvls = np.clip(lvls, lvl_min, lvl_max).astype(np.int64) - lvl_min
+    rois = np.concatenate(
+        [np.zeros((len(boxes), 1), np.float32), boxes], axis=1
+    )
+    K, C = len(boxes), feats_nhwc[0].shape[-1]
+    out = np.zeros((K, out_size[0], out_size[1], C))
+    for lvl, (feat, scale) in enumerate(zip(feats_nhwc, scales)):
+        sel = lvls == lvl
+        if not sel.any():
+            continue
+        out[sel] = _roi_align_ref(
+            feat, rois[sel], out_size, scale, sampling_ratio, False
+        )
+    return out  # [K, PH, PW, C] NHWC
+
+
+def torch_postprocess_detections(
+    class_logits, box_regression, proposals, image_size,
+    score_thresh=0.05, nms_thresh=0.5, detections_per_img=100,
+    reg_weights=(10.0, 10.0, 5.0, 5.0),
+):
+    """reference roi_heads.py:680 postprocess_detections for one image.
+    Returns (boxes, scores, labels) score-descending."""
+    import numpy as np
+
+    num_classes = class_logits.shape[1]
+    scores = torch.softmax(class_logits, -1)
+    reg = box_regression.reshape(-1, num_classes, 4)
+    boxes = torch.stack(
+        [
+            torch_decode_boxes(reg[:, c], proposals, weights=reg_weights)
+            for c in range(num_classes)
+        ],
+        dim=1,
+    )  # [P, C, 4]
+    boxes[..., 0::2] = boxes[..., 0::2].clamp(0, image_size[1])
+    boxes[..., 1::2] = boxes[..., 1::2].clamp(0, image_size[0])
+
+    # drop background, flatten
+    boxes = boxes[:, 1:].reshape(-1, 4).numpy()
+    scores = scores[:, 1:].reshape(-1).numpy()
+    labels = np.tile(np.arange(1, num_classes), class_logits.shape[0])
+
+    keep = scores > score_thresh
+    ws, hs = boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]
+    keep &= (ws >= 1e-2) & (hs >= 1e-2)
+    boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
+
+    # per-class greedy NMS (batched_nms), then top detections_per_img
+    order = np.argsort(-scores, kind="stable")
+    suppressed = np.zeros(len(boxes), bool)
+    keep_idx = []
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep_idx.append(i)
+        same = labels == labels[i]
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        iou = inter / (areas + areas[i] - inter)
+        suppressed |= same & (iou > nms_thresh)
+        suppressed[i] = False
+    keep_idx = np.asarray(keep_idx[:detections_per_img])
+    return boxes[keep_idx], scores[keep_idx], labels[keep_idx]
