@@ -63,14 +63,33 @@ def epe_metrics(pred, gt, valid_mask=None):
 
 
 def _chairs_batches(args, split="train", seed=0):
-    """Real-data path over vision_tpu.datasets.FlyingChairs: random crop
-    to a fixed canvas (static shapes), images scaled to [-1, 1] (the RAFT
-    preset's input range)."""
+    """Real-data path over vision_tpu.datasets.FlyingChairs. With
+    ``--augment`` the full RAFT preset runs (presets.py: asymmetric
+    jitter, scale/stretch/crop, flips, erasing); otherwise a plain random
+    crop. Either way static shapes + [-1, 1] images."""
     from vision_tpu.datasets import FlyingChairs
 
     ds = FlyingChairs(args.data_path, split=split)
     rng = np.random.RandomState(seed)
     order = rng.permutation(len(ds)) if split == "train" else np.arange(len(ds))
+    preset = None
+    if split == "train" and getattr(args, "augment", False):
+        # load by path: sys.path has ../classification first (for utils),
+        # whose presets.py would shadow a bare `import presets`
+        import importlib.util
+
+        _dir = os.path.dirname(os.path.abspath(__file__))
+        for _name in ("transforms", "presets"):
+            _spec = importlib.util.spec_from_file_location(
+                _name, os.path.join(_dir, f"{_name}.py")
+            )
+            _mod = importlib.util.module_from_spec(_spec)
+            sys.modules[_name] = _mod
+            _spec.loader.exec_module(_mod)
+        flow_presets = sys.modules["presets"]
+        preset = flow_presets.OpticalFlowPresetTrain(
+            crop_size=(args.size, args.size)
+        )
     b1, b2, bf = [], [], []
     for idx in order:
         img1, img2, flow = ds[int(idx)]
@@ -78,12 +97,21 @@ def _chairs_batches(args, split="train", seed=0):
         s = args.size
         if h < s or w < s:
             continue
-        top = rng.randint(0, h - s + 1)
-        left = rng.randint(0, w - s + 1)
-        sl = np.s_[top : top + s, left : left + s]
-        b1.append(np.asarray(img1[sl], np.float32) / 127.5 - 1.0)
-        b2.append(np.asarray(img2[sl], np.float32) / 127.5 - 1.0)
-        bf.append(np.asarray(flow[sl], np.float32))
+        if preset is not None:
+            i1, i2, fl, _ = preset(
+                np.asarray(img1), np.asarray(img2),
+                np.asarray(flow, np.float32), None, rng,
+            )
+            b1.append(i1)
+            b2.append(i2)
+            bf.append(fl)
+        else:
+            top = rng.randint(0, h - s + 1)
+            left = rng.randint(0, w - s + 1)
+            sl = np.s_[top : top + s, left : left + s]
+            b1.append(np.asarray(img1[sl], np.float32) / 127.5 - 1.0)
+            b2.append(np.asarray(img2[sl], np.float32) / 127.5 - 1.0)
+            bf.append(np.asarray(flow[sl], np.float32))
         if len(b1) == args.batch_size:
             yield {
                 "image1": np.stack(b1),
@@ -110,11 +138,15 @@ def main(args):
     print(args)
     model = get_model(args.model)
     module = model.module
-    params = dict(model.variables)["params"]
+    variables = dict(model.variables)
+    params = variables["params"]
+    # raft_large's context encoder uses BatchNorm -> carry batch_stats
+    # (raft_small is InstanceNorm-only and has none)
+    batch_stats = variables.get("batch_stats", {})
 
     tx = optax.adamw(args.lr, weight_decay=args.weight_decay)
     state = TrainState(
-        params=params, batch_stats={}, opt_state=tx.init(params),
+        params=params, batch_stats=batch_stats, opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
     )
     mesh = make_mesh()
@@ -123,13 +155,22 @@ def main(args):
     @jax.jit
     def train_step(state, batch):
         def loss_fn(p):
-            preds = module.apply(
-                {"params": p}, batch["image1"], batch["image2"], train=True,
-                num_flow_updates=args.num_flow_updates,
+            vars_in = {"params": p}
+            mutable = []
+            if state.batch_stats:
+                vars_in["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = module.apply(
+                vars_in, batch["image1"], batch["image2"], train=True,
+                num_flow_updates=args.num_flow_updates, mutable=mutable,
             )
-            return sequence_loss(preds, batch["flow"], gamma=args.gamma)
+            preds, new_stats = out if mutable else (out, {})
+            loss = sequence_loss(preds, batch["flow"], gamma=args.gamma)
+            return loss, new_stats.get("batch_stats", {})
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.clip(g, -1.0, 1.0), grads
         )
@@ -137,15 +178,19 @@ def main(args):
         return (
             TrainState(
                 params=optax.apply_updates(state.params, updates),
-                batch_stats={}, opt_state=opt_state, step=state.step + 1,
+                batch_stats=new_stats, opt_state=opt_state,
+                step=state.step + 1,
             ),
             loss,
         )
 
     @jax.jit
     def eval_step(state, batch):
+        vars_in = {"params": state.params}
+        if state.batch_stats:
+            vars_in["batch_stats"] = state.batch_stats
         preds = module.apply(
-            {"params": state.params}, batch["image1"], batch["image2"],
+            vars_in, batch["image1"], batch["image2"],
             train=False, num_flow_updates=args.num_flow_updates,
         )
         return epe_metrics(preds[-1], batch["flow"])
@@ -194,6 +239,10 @@ def get_args_parser():
     p.add_argument("--output-dir", default=None, type=str)
     p.add_argument("--size", default=64, type=int)
     p.add_argument("--fake-data", action="store_true")
+    p.add_argument(
+        "--augment", action="store_true",
+        help="full RAFT train preset (presets.py) on the real-data path",
+    )
     return p
 
 
