@@ -155,18 +155,22 @@ def main(args):
     @jax.jit
     def train_step(state, batch):
         def loss_fn(p):
-            vars_in = {"params": p}
-            mutable = []
             if state.batch_stats:
-                vars_in["batch_stats"] = state.batch_stats
-                mutable = ["batch_stats"]
-            out = module.apply(
-                vars_in, batch["image1"], batch["image2"], train=True,
-                num_flow_updates=args.num_flow_updates, mutable=mutable,
-            )
-            preds, new_stats = out if mutable else (out, {})
+                preds, mutated = module.apply(
+                    {"params": p, "batch_stats": state.batch_stats},
+                    batch["image1"], batch["image2"], train=True,
+                    num_flow_updates=args.num_flow_updates,
+                    mutable=["batch_stats"],
+                )
+                new_stats = mutated["batch_stats"]
+            else:
+                preds = module.apply(
+                    {"params": p}, batch["image1"], batch["image2"],
+                    train=True, num_flow_updates=args.num_flow_updates,
+                )
+                new_stats = {}
             loss = sequence_loss(preds, batch["flow"], gamma=args.gamma)
-            return loss, new_stats.get("batch_stats", {})
+            return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True

@@ -27,57 +27,27 @@ from vision_tpu.models import get_model
 from vision_tpu.parallel.train import TrainState
 
 
-def pairwise_sq_dists(emb: jnp.ndarray) -> jnp.ndarray:
-    """(N, D) -> (N, N) squared euclidean distances, one MXU matmul."""
-    sq = jnp.sum(emb**2, axis=-1)
-    d = sq[:, None] + sq[None, :] - 2.0 * emb @ emb.T
-    return jnp.maximum(d, 0.0)
+def _local(name):
+    """Load a sibling module by path (sys.path has ../classification
+    first for utils, whose sampler.py would shadow ours)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        f"similarity_{name}",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     f"{name}.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
-def triplet_margin_loss(emb: jnp.ndarray, labels: jnp.ndarray,
-                        margin: float = 1.0) -> jnp.ndarray:
-    """Batch-all triplet loss (reference ``loss.py`` TripletMarginLoss):
-    mean over triplets with positive loss; masks (a,p,n) validity
-    statically — no dynamic shapes."""
-    d = jnp.sqrt(pairwise_sq_dists(emb) + 1e-12)
-    same = labels[:, None] == labels[None, :]
-    n = emb.shape[0]
-    not_self = ~jnp.eye(n, dtype=bool)
-    pos_mask = same & not_self                      # (a, p)
-    neg_mask = ~same                                # (a, n)
-    # loss[a, p, n] = relu(d_ap - d_an + margin)
-    loss = jax.nn.relu(d[:, :, None] - d[:, None, :] + margin)
-    valid = pos_mask[:, :, None] & neg_mask[:, None, :]
-    loss = loss * valid
-    num_positive = jnp.sum((loss > 1e-16) & valid)
-    return jnp.sum(loss) / jnp.maximum(num_positive, 1)
+_loss = _local("loss")
+TripletMarginLoss = _loss.TripletMarginLoss
+pairwise_sq_dists = _loss.pairwise_sq_dists
 
 
-class PKSampler:
-    """reference ``sampler.py`` PKSampler: batches of P classes x K
-    samples each."""
-
-    def __init__(self, labels, p: int, k: int, seed: int = 0):
-        self.labels = np.asarray(labels)
-        self.p, self.k = p, k
-        self.rng = np.random.RandomState(seed)
-        self.groups = {}
-        for i, y in enumerate(self.labels):
-            self.groups.setdefault(int(y), []).append(i)
-
-    def __iter__(self):
-        classes = list(self.groups)
-        while True:
-            chosen = self.rng.choice(
-                classes, size=min(self.p, len(classes)), replace=False
-            )
-            batch = []
-            for c in chosen:
-                idxs = self.groups[c]
-                batch.extend(
-                    self.rng.choice(idxs, size=self.k, replace=len(idxs) < self.k)
-                )
-            yield batch
+PKSampler = _local("sampler").PKSampler
 
 
 class EmbeddingNet:
@@ -118,9 +88,10 @@ def main(args):
             emb = emb / jnp.maximum(
                 jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
             )
-            return triplet_margin_loss(emb, labels, args.margin), mutated[
-                "batch_stats"
-            ]
+            loss, _frac = TripletMarginLoss(args.margin, args.mining)(
+                emb, labels
+            )
+            return loss, mutated["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -158,6 +129,8 @@ def get_args_parser():
     p.add_argument("--p", default=8, type=int, help="classes per batch")
     p.add_argument("--k", default=8, type=int, help="samples per class")
     p.add_argument("--margin", default=1.0, type=float)
+    p.add_argument("--mining", default="batch_all", type=str,
+                   choices=["batch_all", "batch_hard"])
     p.add_argument("--lr", default=1e-3, type=float)
     p.add_argument("--epochs", default=10, type=int)
     p.add_argument("--steps-per-epoch", default=None, type=int)

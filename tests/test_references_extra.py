@@ -88,10 +88,12 @@ def test_triplet_loss_and_pk_sampler():
     # two tight clusters far apart -> zero loss at margin 1
     emb = jnp.asarray([[0.0, 0.0], [0.1, 0.0], [10.0, 0.0], [10.1, 0.0]])
     labels = jnp.asarray([0, 0, 1, 1])
-    assert float(sim.triplet_margin_loss(emb, labels, margin=1.0)) == 0.0
+    loss0, _ = sim.TripletMarginLoss(margin=1.0)(emb, labels)
+    assert float(loss0) == 0.0
     # overlapping clusters -> positive loss
     emb2 = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.5, 0.0], [0.6, 0.0]])
-    assert float(sim.triplet_margin_loss(emb2, labels, margin=1.0)) > 0.0
+    loss1, _ = sim.TripletMarginLoss(margin=1.0)(emb2, labels)
+    assert float(loss1) > 0.0
 
     sampler = iter(sim.PKSampler(np.repeat(np.arange(5), 10), p=3, k=4))
     batch = next(sampler)
