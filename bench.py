@@ -184,9 +184,13 @@ def _bench_e2e_tpu_decode(module, variables, batch, n_batches):
     from vision_tpu.io.jpeg_tpu import decode_coefs
     from vision_tpu.io.prefetch import prefetch_to_device
 
+    # DCT-scaled offload: ship only the top-left 5x5 coefficients per
+    # block ((5/8)^2 = 39% of the bytes) and decode at 5/8 scale on
+    # device — short side 235 still covers the 232-resize preset
+    coef_m = 5
     n_unique = 32
     jpegs = _make_jpegs(n_unique)
-    first = jpeg_coefficients_native(jpegs[0])
+    first = jpeg_coefficients_native(jpegs[0], coef_m)
     if first is None:
         return None
     _, qt, samp_l, (h, w) = first
@@ -214,7 +218,9 @@ def _bench_e2e_tpu_decode(module, variables, batch, n_batches):
     def host_batches():
         for b in range(n_batches):
             per = [
-                jpeg_coefficients_native(jpegs[(b * batch + i) % n_unique])[0]
+                jpeg_coefficients_native(
+                    jpegs[(b * batch + i) % n_unique], coef_m
+                )[0]
                 for i in range(batch)
             ]
             yield tuple(

@@ -64,6 +64,8 @@ def _coco_batches(args, ann_file, img_dir, train=True, seed=0):
 
     gba = _load_local("group_by_aspect_ratio")
     det_presets = _load_local("presets")
+    coco_utils = _load_local("coco_utils")
+    convert = coco_utils.ConvertCocoPolysToMask(with_masks=False)
     GroupedBatchSampler = gba.GroupedBatchSampler
     create_aspect_ratio_groups = gba.create_aspect_ratio_groups
     group_canvas_sizes = gba.group_canvas_sizes
@@ -110,18 +112,18 @@ def _coco_batches(args, ann_file, img_dir, train=True, seed=0):
             img, annos = ds[int(idx)]
             img = np.asarray(img)
             h, w = img.shape[:2]
+            # coco_utils converter: crowd filter, xywh->xyxy, clamp to
+            # canvas, degenerate-box drop (reference coco_utils.py:28)
+            _, t = convert(
+                img, {"image_id": int(idx), "annotations": annos}
+            )
             scale = min(ch / h, cw / w)
             nh, nw = int(round(h * scale)), int(round(w * scale))
             img = np.asarray(TF.resize(img, (nh, nw)))
             canvas = np.zeros((ch, cw, 3), img.dtype)
             canvas[:nh, :nw] = img
-            raw_boxes, raw_labels = [], []
-            for a in annos[:g]:
-                x, y, bw, bh = a["bbox"]
-                raw_boxes.append(
-                    [x * scale, y * scale, (x + bw) * scale, (y + bh) * scale]
-                )
-                raw_labels.append(a["category_id"])
+            raw_boxes = (t["boxes"][:g] * scale).tolist()
+            raw_labels = t["labels"][:g].tolist()
             sample = (
                 tv_tensors.Image(canvas),
                 {

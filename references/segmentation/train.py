@@ -131,19 +131,47 @@ def _voc_sample(img, mask, size, train, rng):
     return img, mask.astype(np.int32)
 
 
+def _load_local(name):
+    """Load a sibling module by path (sys.path has ../classification
+    first for utils, whose presets.py would shadow ours)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        f"_segmentation_{name}",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     f"{name}.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def _voc_batches(args, split, train, seed=0):
-    """Real-data path over vision_tpu.datasets.VOCSegmentation."""
+    """Real-data path over vision_tpu.datasets.VOCSegmentation. Training
+    uses presets.SegmentationPresetTrain (random-resize, hflip,
+    pad-if-smaller with 255-ignore, crop); eval keeps the fixed square
+    canvas of _voc_sample (static eval shapes)."""
     from vision_tpu.datasets import VOCSegmentation
 
     ds = VOCSegmentation(args.data_path, image_set=split)
     rng = np.random.RandomState(seed)
     order = rng.permutation(len(ds)) if train else np.arange(len(ds))
+    preset = (
+        _load_local("presets").SegmentationPresetTrain(
+            base_size=args.size, crop_size=args.size
+        )
+        if train
+        else None
+    )
     batch_imgs, batch_masks = [], []
     for idx in order:
         img, mask = ds[int(idx)]
-        img, mask = _voc_sample(
-            np.asarray(img), np.asarray(mask), args.size, train, rng
-        )
+        if preset is not None:
+            img, mask = preset(np.asarray(img), np.asarray(mask), rng)
+        else:
+            img, mask = _voc_sample(
+                np.asarray(img), np.asarray(mask), args.size, train, rng
+            )
         batch_imgs.append(img)
         batch_masks.append(mask)
         if len(batch_imgs) == args.batch_size:

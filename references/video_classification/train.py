@@ -58,9 +58,30 @@ class VideoAccuracy:
 
 def _kinetics_batches(args, split="train", seed=0):
     """Real-data path over vision_tpu.datasets.Kinetics +
-    RandomClipSampler (requires a video backend: pyav)."""
+    RandomClipSampler (requires a video backend: pyav). Clips go through
+    presets.VideoClassificationPreset{Train,Eval} (Kinetics recipe:
+    short-side resize, hflip, normalize, crop)."""
+    import importlib.util
+
     from vision_tpu.datasets import Kinetics, RandomClipSampler
-    from vision_tpu.transforms.v2 import functional as TF
+
+    spec = importlib.util.spec_from_file_location(
+        "_video_presets",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "presets.py"),
+    )
+    vp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vp)
+    resize_size = int(round(args.size * 8 / 7))  # 224 -> 256 ratio
+    preset = (
+        vp.VideoClassificationPresetTrain(
+            crop_size=args.size, resize_size=resize_size
+        )
+        if split == "train"
+        else vp.VideoClassificationPresetEval(
+            crop_size=args.size, resize_size=resize_size
+        )
+    )
 
     ds = Kinetics(
         args.data_path, frames_per_clip=args.clip_len, split=split,
@@ -71,11 +92,7 @@ def _kinetics_batches(args, split="train", seed=0):
     vids, labels, ids = [], [], []
     for clip_idx in iter(sampler):
         video, _audio, label = ds[int(clip_idx)]
-        video = np.asarray(
-            TF.resize(video.astype(np.float32) / 255.0, (args.size, args.size))
-        )
-        if split == "train" and rng.rand() < 0.5:
-            video = video[:, :, ::-1].copy()
+        video = preset(np.asarray(video), rng)
         vids.append(video)
         labels.append(label)
         ids.append(ds.video_clips.get_clip_location(int(clip_idx))[0])

@@ -108,3 +108,41 @@ def test_decode_jpeg_device_tpu_api():
     small = encode_jpeg(_photo_like(h=64, w=64), quality=80)
     mixed = decode_jpeg([data, small], device="tpu")
     assert np.asarray(mixed[1]).shape == (64, 64, 3)
+
+
+@pytest.mark.parametrize("m", [5, 4, 2])
+def test_scaled_decode_coef_limit(m):
+    """DCT-scaled device decode: only the top-left MxM coefficients ship
+    ((M/8)^2 of the bytes) and the output is the M/8-scale image.
+
+    Note on the oracle: this libjpeg build implements scale=(M,8) as full
+    IDCT + box averaging, while the device path is the classic truncated
+    M-point IDCT — two different (both valid) low-pass resamples, so the
+    comparison bound is loose; DC-only content must be exact."""
+    img = _photo_like(h=96, w=120)
+    data = encode_jpeg(img, quality=85)
+    out = decode_jpeg_batch_tpu([data], coef_limit=m)
+    assert out is not None
+    ref = np.asarray(decode_jpeg(data, scale=(m, 8))).astype(np.float64)
+    got = np.asarray(out[0]).astype(np.float64)
+    assert got.shape == ref.shape  # ceil(dim * M/8)
+    d = np.abs(got - ref)
+    assert d.mean() < 4.0, d.mean()
+
+    # flat image: every low-pass resample agrees exactly (+-1 rounding)
+    flat = encode_jpeg(np.full((64, 64, 3), 130, np.uint8), quality=90)
+    fr = np.asarray(decode_jpeg(flat, scale=(m, 8))).astype(np.int32)
+    fo = np.asarray(
+        decode_jpeg_batch_tpu([flat], coef_limit=m)[0]
+    ).astype(np.int32)
+    assert np.abs(fo - fr).max() <= 1
+
+
+def test_scaled_decode_transfer_shrinks():
+    data = encode_jpeg(_photo_like(), quality=85)
+    from vision_tpu.io._codecs import jpeg_coefficients_native
+
+    full = jpeg_coefficients_native(data)
+    lim = jpeg_coefficients_native(data, 4)
+    assert lim[0][0].shape[-1] == 16 and full[0][0].shape[-1] == 64
+    assert lim[0][0].nbytes * 4 == full[0][0].nbytes

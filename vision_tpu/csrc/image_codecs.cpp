@@ -147,10 +147,14 @@ int vtpu_encode_jpeg(const uint8_t* rgb, int h, int w, int quality,
 //   samp_h/samp_v = sampling factors relative to max (e.g. 4:2:0 luma
 //   = 2,2 chroma = 1,1).
 // Caller frees each coefs[ci] with vtpu_free.
-int vtpu_jpeg_coefficients(const uint8_t* buf, size_t len, int* ncomp,
-                           int* height, int* width, int* blocks_h,
-                           int* blocks_w, int* samp_h, int* samp_v,
-                           uint16_t* qtab, int16_t** coefs) {
+// coef_limit: 0 or 8 = full 8x8 blocks; 1..7 = copy only the top-left
+// MxM coefficients per block (layout [blocks_h, blocks_w, M*M]) — the
+// host half of DCT-scaled decode (device does an M-point IDCT producing
+// an M/8-scale image), cutting transfer bytes by (M/8)^2.
+int vtpu_jpeg_coefficients(const uint8_t* buf, size_t len, int coef_limit,
+                           int* ncomp, int* height, int* width,
+                           int* blocks_h, int* blocks_w, int* samp_h,
+                           int* samp_v, uint16_t* qtab, int16_t** coefs) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -189,8 +193,10 @@ int vtpu_jpeg_coefficients(const uint8_t* buf, size_t len, int* ncomp,
       return -3;
     }
     for (int k = 0; k < 64; k++) qtab[ci * 64 + k] = qt->quantval[k];
-    int16_t* dst =
-        static_cast<int16_t*>(malloc((size_t)bh * bw * 64 * sizeof(int16_t)));
+    const int m = (coef_limit > 0 && coef_limit < 8) ? coef_limit : 8;
+    const int per_block = m * m;
+    int16_t* dst = static_cast<int16_t*>(
+        malloc((size_t)bh * bw * per_block * sizeof(int16_t)));
     if (!dst) {
       jpeg_destroy_decompress(&cinfo);
       for (int i = 0; i < 3; i++)
@@ -201,8 +207,18 @@ int vtpu_jpeg_coefficients(const uint8_t* buf, size_t len, int* ncomp,
     for (int r = 0; r < bh; r++) {
       JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
           (j_common_ptr)&cinfo, bars[ci], r, 1, FALSE);
-      memcpy(dst + (size_t)r * bw * 64, rows[0],
-             (size_t)bw * 64 * sizeof(JCOEF));
+      if (m == 8) {
+        memcpy(dst + (size_t)r * bw * 64, rows[0],
+               (size_t)bw * 64 * sizeof(JCOEF));
+      } else {
+        int16_t* drow = dst + (size_t)r * bw * per_block;
+        for (int b = 0; b < bw; b++) {
+          const JCOEF* src_block = rows[0][b];
+          for (int u = 0; u < m; u++)
+            memcpy(drow + b * per_block + u * m, src_block + u * 8,
+                   m * sizeof(JCOEF));
+        }
+      }
     }
   }
   jpeg_finish_decompress(&cinfo);

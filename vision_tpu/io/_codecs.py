@@ -96,7 +96,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int),
         ]
         lib.vtpu_jpeg_coefficients.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
@@ -235,20 +235,23 @@ def decode_jpeg_scaled_native(
     return arr.reshape(img.height, img.width, img.channels)
 
 
-def jpeg_coefficients_native(data: bytes):
+def jpeg_coefficients_native(data: bytes, coef_limit: int = 0):
     """Entropy-decode a baseline JPEG to quantized DCT coefficients (the
     host half of the TPU-offloaded decode; see csrc vtpu_jpeg_coefficients
     and vision_tpu/io/jpeg_tpu.py for the device half).
 
     Returns ``(coefs, qtabs, samp, (H, W))`` where ``coefs[ci]`` is an
-    int16 array of shape ``(blocks_h, blocks_w, 64)`` (natural coefficient
-    order), ``qtabs[ci]`` a uint16 ``(64,)`` quantization table and
-    ``samp[ci] = (h_samp, v_samp)``; or None when the native lib is absent
-    or the stream is unsupported (e.g. progressive with >3 components).
+    int16 array of shape ``(blocks_h, blocks_w, M*M)`` (natural coefficient
+    order; M = ``coef_limit`` or 8), ``qtabs[ci]`` a uint16 ``(64,)``
+    quantization table and ``samp[ci] = (h_samp, v_samp)``; or None when
+    the native lib is absent or the stream is unsupported (e.g.
+    progressive with >3 components). ``coef_limit`` in 1..7 keeps only the
+    top-left MxM coefficients per block for M/8-scale device decode.
     """
     lib = _load()
     if lib is None:
         return None
+    m = coef_limit if 0 < coef_limit < 8 else 8
     ncomp = ctypes.c_int()
     height = ctypes.c_int()
     width = ctypes.c_int()
@@ -259,9 +262,9 @@ def jpeg_coefficients_native(data: bytes):
     qtab = (ctypes.c_uint16 * (3 * 64))()
     coef_ptrs = (ctypes.POINTER(ctypes.c_int16) * 3)()
     rc = lib.vtpu_jpeg_coefficients(
-        data, len(data), ctypes.byref(ncomp), ctypes.byref(height),
-        ctypes.byref(width), blocks_h, blocks_w, samp_h, samp_v, qtab,
-        coef_ptrs,
+        data, len(data), coef_limit, ctypes.byref(ncomp),
+        ctypes.byref(height), ctypes.byref(width), blocks_h, blocks_w,
+        samp_h, samp_v, qtab, coef_ptrs,
     )
     if rc != 0:
         return None
@@ -270,8 +273,10 @@ def jpeg_coefficients_native(data: bytes):
     samp = []
     for ci in range(ncomp.value):
         bh, bw = blocks_h[ci], blocks_w[ci]
-        arr = np.ctypeslib.as_array(coef_ptrs[ci], shape=(bh * bw * 64,))
-        coefs.append(arr.copy().reshape(bh, bw, 64))
+        arr = np.ctypeslib.as_array(
+            coef_ptrs[ci], shape=(bh * bw * m * m,)
+        )
+        coefs.append(arr.copy().reshape(bh, bw, m * m))
         lib.vtpu_free(
             ctypes.cast(coef_ptrs[ci], ctypes.POINTER(ctypes.c_uint8))
         )

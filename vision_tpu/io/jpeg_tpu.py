@@ -41,29 +41,39 @@ __all__ = [
 ]
 
 
-@functools.lru_cache(maxsize=1)
-def _idct_basis() -> np.ndarray:
-    """B[u, i] = c(u)/2 * cos((2i+1) u pi / 16); pixel = B^T F B."""
-    u = np.arange(8)[:, None]
-    i = np.arange(8)[None, :]
-    b = 0.5 * np.cos((2 * i + 1) * u * np.pi / 16.0)
+@functools.lru_cache(maxsize=8)
+def _idct_basis(m: int = 8) -> np.ndarray:
+    """B_M[u, j] = c(u)/2 * cos((2j+1) u pi / (2M)); pixel = B^T F B.
+
+    m == 8 is the exact inverse of the JPEG forward DCT. m < 8 is the
+    M-point truncated IDCT used by libjpeg's DCT scaling (jidctred):
+    reconstructing the cosine series from the top-left MxM coefficients
+    at M samples yields an M/8-scale band-limited image; the DC
+    normalization c(0)=1/sqrt(2) is scale-invariant, so no extra factor
+    is needed."""
+    u = np.arange(m)[:, None]
+    j = np.arange(m)[None, :]
+    b = 0.5 * np.cos((2 * j + 1) * u * np.pi / (2.0 * m))
     b[0, :] *= 1.0 / np.sqrt(2.0)
     return b.astype(np.float32)
 
 
 def idct8x8(blocks: jax.Array) -> jax.Array:
-    """Inverse 8x8 DCT-II over the last two axes ([..., 8, 8] float32)."""
-    b = jnp.asarray(_idct_basis())
+    """Inverse MxM DCT over the last two axes ([..., M, M] float32)."""
+    b = jnp.asarray(_idct_basis(blocks.shape[-1]))
     return jnp.einsum("...uv,ui,vj->...ij", blocks, b, b)
 
 
 def _component_plane(coefs: jax.Array, qtab: jax.Array) -> jax.Array:
-    """(bh, bw, 64) quantized coefficients -> (bh*8, bw*8) float plane
-    centered at 128 (JPEG level shift)."""
-    bh, bw = coefs.shape[:2]
-    deq = coefs.astype(jnp.float32) * qtab.astype(jnp.float32)
-    px = idct8x8(deq.reshape(bh, bw, 8, 8)) + 128.0
-    return px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    """(bh, bw, M*M) quantized coefficients -> (bh*M, bw*M) float plane
+    centered at 128 (JPEG level shift). qtab is the full 64-entry table;
+    its top-left MxM is used when the coefficients are truncated."""
+    bh, bw, per_block = coefs.shape
+    m = int(round(per_block ** 0.5))
+    q = qtab.astype(jnp.float32).reshape(8, 8)[:m, :m].reshape(-1)
+    deq = coefs.astype(jnp.float32) * q
+    px = idct8x8(deq.reshape(bh, bw, m, m)) + 128.0
+    return px.transpose(0, 2, 1, 3).reshape(bh * m, bw * m)
 
 
 def _upsample_chroma(
@@ -118,9 +128,14 @@ def decode_coefs(
 ) -> jax.Array:
     """Jittable device decode of one image's DCT coefficients.
 
-    ``coefs[ci]``: (bh, bw, 64) int16 (natural order), ``qtabs[ci]``: (64,),
+    ``coefs[ci]``: (bh, bw, M*M) int16 (natural order; M=8 full decode,
+    M<8 DCT-scaled decode at M/8 output size), ``qtabs[ci]``: (64,),
     ``samp[ci]``: (h_samp, v_samp) per component (defaults to 4:2:0).
-    Returns (h, w, 3) uint8 RGB (grayscale replicated to 3 channels)."""
+    ``h``/``w`` are the FULL image dims; the output is
+    (ceil(h*M/8), ceil(w*M/8), 3) uint8 RGB (grayscale replicated)."""
+    m = int(round(coefs[0].shape[-1] ** 0.5))
+    h = -(-h * m // 8)
+    w = -(-w * m // 8)
     planes = [_component_plane(c, q) for c, q in zip(coefs, qtabs)]
     if len(planes) == 1:
         g = jnp.clip(jnp.round(planes[0][:h, :w]), 0, 255).astype(jnp.uint8)
@@ -135,11 +150,11 @@ def decode_coefs(
     )
 
 
-def host_entropy_decode(data: bytes):
+def host_entropy_decode(data: bytes, coef_limit: int = 0):
     """Host half: Huffman-decode to coefficients. None if unsupported."""
     from vision_tpu.io._codecs import jpeg_coefficients_native
 
-    return jpeg_coefficients_native(data)
+    return jpeg_coefficients_native(data, coef_limit)
 
 
 def _stacked_geometry(metas) -> bool:
@@ -158,16 +173,22 @@ def _decode_batch_jit(coefs, qtabs, h: int, w: int, samp):
 
 def decode_jpeg_batch_tpu(
     buffers: Sequence[bytes],
+    coef_limit: int = 0,
 ) -> Optional[jax.Array]:
     """Batch JPEG decode with the IDCT tail on device.
 
     All images must share geometry (dims + sampling) — the fixed-shape
     batch case of an input pipeline; returns None when geometry differs or
     a stream is unsupported, so callers can fall back to host decode
-    (mirroring the reference's nvJPEG -> CPU fallback chain)."""
+    (mirroring the reference's nvJPEG -> CPU fallback chain).
+
+    ``coef_limit`` M in 1..7 performs DCT-scaled decode: only the
+    top-left MxM coefficients ship to the device ((M/8)^2 of the bytes)
+    and the output is the M/8-scale image — the on-device analog of
+    ``decode_jpeg(scale=(M, 8))``."""
     decoded = []
     for buf in buffers:
-        r = host_entropy_decode(buf)
+        r = host_entropy_decode(buf, coef_limit)
         if r is None:
             return None
         decoded.append(r)
