@@ -73,6 +73,57 @@ def d1_metrics(pred_flow, disp_gt, valid_mask=None):
     }
 
 
+def _stereo_batches(args, split="train", seed=0):
+    """Real-data path over the vision_tpu stereo datasets (--dataset
+    kitti2015 | sceneflow | middlebury2014 | instereo2k): random crop to
+    a fixed canvas with the validity mask carried through (Kitti
+    disparities are sparse)."""
+    from vision_tpu import datasets as D
+
+    builders = {
+        "kitti2015": lambda: D.Kitti2015Stereo(args.data_path, split=split),
+        "sceneflow": lambda: D.SceneFlowStereo(args.data_path),
+        "middlebury2014": lambda: D.Middlebury2014Stereo(
+            args.data_path, split=split
+        ),
+        "instereo2k": lambda: D.InStereo2k(args.data_path, split=split),
+    }
+    ds = builders[args.dataset]()
+    rng = np.random.RandomState(seed)
+    order = (
+        rng.permutation(len(ds)) if split == "train" else np.arange(len(ds))
+    )
+    s = args.size
+    bl, br, bd, bv = [], [], [], []
+    for idx in order:
+        left, right, disp, valid = ds[int(idx)]
+        if disp is None:
+            continue
+        left = np.asarray(left)
+        h, w = left.shape[:2]
+        if h < s or w < s:
+            continue
+        top = rng.randint(0, h - s + 1) if split == "train" else (h - s) // 2
+        lft = rng.randint(0, w - s + 1) if split == "train" else (w - s) // 2
+        sl = np.s_[top : top + s, lft : lft + s]
+        bl.append(np.asarray(left, np.float32)[sl] / 127.5 - 1.0)
+        br.append(np.asarray(right, np.float32)[sl] / 127.5 - 1.0)
+        bd.append(np.asarray(disp, np.float32)[sl])
+        bv.append(
+            np.asarray(valid)[sl]
+            if valid is not None
+            else np.ones((s, s), bool)
+        )
+        if len(bl) == args.batch_size:
+            yield {
+                "left": np.stack(bl),
+                "right": np.stack(br),
+                "disparity": np.stack(bd),
+                "valid": np.stack(bv),
+            }
+            bl, br, bd, bv = [], [], [], []
+
+
 def _fake_batches(args, steps, seed=0):
     rng = np.random.RandomState(seed)
     for _ in range(steps):
@@ -84,6 +135,9 @@ def _fake_batches(args, steps, seed=0):
             "disparity": np.abs(
                 rng.randn(args.batch_size, args.size, args.size, 1)
             ).astype(np.float32),
+            "valid": np.ones(
+                (args.batch_size, args.size, args.size), bool
+            ),
         }
 
 
@@ -107,7 +161,8 @@ def main(args):
                 num_flow_updates=args.num_flow_updates,
             )
             return disparity_sequence_loss(
-                preds, batch["disparity"], gamma=args.gamma
+                preds, batch["disparity"], valid_mask=batch.get("valid"),
+                gamma=args.gamma,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -126,28 +181,30 @@ def main(args):
             {"params": state.params}, batch["left"], batch["right"],
             train=False, num_flow_updates=args.num_flow_updates,
         )
-        return d1_metrics(preds[-1], batch["disparity"])
+        return d1_metrics(
+            preds[-1], batch["disparity"], valid_mask=batch.get("valid")
+        )
 
     for epoch in range(args.epochs):
         logger = utils.MetricLogger()
         steps = args.steps_per_epoch or 100
-        if not args.fake_data:
-            raise NotImplementedError(
-                "real stereo loading: wire vision_tpu.datasets."
-                "Kitti2015Stereo / SceneFlowStereo here; use --fake-data "
-                "for the smoke path"
-            )
+        if args.fake_data:
+            train_iter = _fake_batches(args, steps, seed=epoch)
+            eval_iter = _fake_batches(args, 1, seed=999)
+        else:
+            train_iter = _stereo_batches(args, "train", seed=epoch)
+            eval_iter = _stereo_batches(args, "train", seed=999)
         t0 = time.time()
         for batch in logger.log_every(
-            _fake_batches(args, steps, seed=epoch),
-            args.print_freq, f"Epoch [{epoch}]",
+            train_iter, args.print_freq, f"Epoch [{epoch}]",
         ):
             state, loss = train_step(state, shard_batch(batch, mesh))
             logger.update(loss=float(loss))
         print(f"epoch {epoch} done in {time.time() - t0:.1f}s")
-        for batch in _fake_batches(args, 1, seed=999):
+        for batch in eval_iter:
             m = eval_step(state, shard_batch(batch, mesh))
             print({k: float(v) for k, v in m.items()})
+            break
 
     if args.output_dir:
         utils.save_checkpoint(
@@ -158,6 +215,9 @@ def main(args):
 
 def get_args_parser():
     p = argparse.ArgumentParser(description="vision_tpu stereo depth (RAFT)")
+    p.add_argument("--dataset", default="kitti2015", type=str,
+                   choices=["kitti2015", "sceneflow", "middlebury2014",
+                            "instereo2k"])
     p.add_argument("--data-path", default="/data/sceneflow", type=str)
     p.add_argument("--model", default="raft_small", type=str)
     p.add_argument("--batch-size", default=2, type=int)

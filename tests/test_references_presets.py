@@ -153,3 +153,82 @@ def test_similarity_embedding_model_normalized():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(emb), axis=1), 1.0, atol=1e-5
     )
+
+
+# ------------------------------------------------------ depth / stereo --
+
+
+def _load_stereo_utils():
+    spec = importlib.util.spec_from_file_location(
+        "stereo_utils",
+        os.path.join(_REFS, "depth", "stereo", "utils.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_stereo_metrics():
+    import jax.numpy as jnp
+
+    u = _load_stereo_utils()
+    gt = jnp.ones((1, 4, 4, 1)) * 10.0
+    pred = gt.at[0, 0, 0, 0].add(2.5)  # one pixel off by 2.5
+    m, n = u.compute_metrics(
+        pred, gt, metrics=("epe", "bad1", "bad2", "rmse", "1px", "relepe")
+    )
+    assert float(n) == 16
+    assert float(m["epe"]) == pytest.approx(2.5 / 16)
+    assert float(m["bad1"]) == pytest.approx(1 / 16)
+    assert float(m["bad2"]) == pytest.approx(1 / 16)
+    assert float(m["1px"]) == pytest.approx(15 / 16)
+    with pytest.raises(ValueError):
+        u.compute_metrics(pred, gt, metrics=("nope",))
+    # masking excludes the bad pixel entirely
+    mask = jnp.ones((1, 4, 4, 1), bool).at[0, 0, 0, 0].set(False)
+    m, n = u.compute_metrics(pred, gt, valid_mask=mask, metrics=("epe",))
+    assert float(m["epe"]) == 0.0 and float(n) == 15
+
+
+def test_stereo_losses():
+    import jax.numpy as jnp
+    import numpy as np
+
+    u = _load_stereo_utils()
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 16, 16, 3), jnp.float32)
+    # identical images -> ssim loss 0
+    assert float(u.ssim_loss(img, img)) == pytest.approx(0.0, abs=1e-5)
+    assert float(u.ssim_loss(img, 1.0 - img)) > 0.1
+    # psnr: identical -> -inf-ish (clamped by eps), different -> larger
+    assert float(u.psnr_loss(img, img)) < float(
+        u.psnr_loss(img, img + 0.5)
+    )
+    # smoothness: constant field costs 0
+    flat = jnp.ones((2, 16, 16, 1))
+    assert float(u.smoothness_loss(img, flat)) == pytest.approx(0.0)
+    # sequence loss weights later iterations more
+    gt = jnp.zeros((2, 8, 8, 1))
+    bad = jnp.ones((2, 8, 8, 1))
+    early_bad = u.sequence_loss([bad, gt * 0], gt, gamma=0.5)
+    late_bad = u.sequence_loss([gt * 0, bad], gt, gamma=0.5)
+    assert float(late_bad) > float(early_bad)
+    # consistency loss: identical sequence -> 0
+    assert float(
+        u.flow_sequence_consistency_loss([bad, bad, bad])
+    ) == pytest.approx(0.0)
+
+
+def test_stereo_input_padder():
+    import jax.numpy as jnp
+
+    u = _load_stereo_utils()
+    x = jnp.ones((1, 30, 43, 3))
+    p = u.InputPadder(x.shape)
+    (xp,) = p.pad(x)
+    assert xp.shape[1] % 8 == 0 and xp.shape[2] % 8 == 0
+    assert p.unpad(xp).shape == x.shape
+    p2 = u.InputPadder(x.shape, mode="kitti")
+    (xp2,) = p2.pad(x)
+    assert xp2.shape[1] % 8 == 0 and p2.unpad(xp2).shape == x.shape
