@@ -634,3 +634,41 @@ def test_two_stage_e2e_matches_torch():
     np.testing.assert_allclose(got_boxes, want_boxes, atol=2e-3, rtol=1e-4)
     np.testing.assert_allclose(got_scores, want_scores, atol=1e-5)
     np.testing.assert_array_equal(got_labels, want_labels)
+
+
+def test_swin3d_shifted_window_attention_matches_torch():
+    """3D shifted-window attention (swin3d): shrink-adjusted windows,
+    cyclic shift + 9-region 3D mask, full-table relative position bias —
+    vs a dynamic torch transcription (reference
+    video/swin_transformer.py shifted_window_attention_3d)."""
+    from tests.torch_refs2 import torch_shifted_window_attention_3d
+    from vision_tpu.models.video.swin_transformer import (
+        ShiftedWindowAttention3d,
+    )
+
+    rng = np.random.RandomState(0)
+    dim, heads = 16, 4
+    window, shift = (2, 3, 3), (1, 1, 1)
+    # T smaller than the window triggers the shrink-adjust path too
+    for t, h, w in [(4, 7, 8), (1, 6, 6)]:
+        x = rng.randn(2, t, h, w, dim).astype(np.float32) * 0.5
+        module = ShiftedWindowAttention3d(
+            dim=dim, window_size=window, shift_size=shift, num_heads=heads
+        )
+        variables = module.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        p = variables["params"]
+        got = np.asarray(module.apply(variables, jnp.asarray(x)))
+
+        qkv_w = torch.from_numpy(np.asarray(p["qkv"]["kernel"]).T.copy())
+        qkv_b = torch.from_numpy(np.asarray(p["qkv"]["bias"]).copy())
+        proj_w = torch.from_numpy(np.asarray(p["proj"]["kernel"]).T.copy())
+        proj_b = torch.from_numpy(np.asarray(p["proj"]["bias"]).copy())
+        table = torch.from_numpy(
+            np.asarray(p["relative_position_bias_table"]).copy()
+        )
+        with torch.no_grad():
+            want = torch_shifted_window_attention_3d(
+                torch.from_numpy(x), qkv_w, qkv_b, proj_w, proj_b,
+                table, window, shift, heads,
+            ).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

@@ -1694,3 +1694,92 @@ def torch_postprocess_detections(
         suppressed[i] = False
     keep_idx = np.asarray(keep_idx[:detections_per_img])
     return boxes[keep_idx], scores[keep_idx], labels[keep_idx]
+
+
+# ------------------------------------------- Swin3D window attention --
+
+
+def torch_shifted_window_attention_3d(
+    x, qkv_w, qkv_b, proj_w, proj_b, bias_table, window, shift, heads,
+):
+    """Transcription of reference video/swin_transformer.py
+    shifted_window_attention_3d for one (B, T, H, W, C) input: window
+    shrink-adjust, pad, cyclic shift, per-window attention with 3D
+    relative position bias and the shifted-window mask, unshift, crop."""
+    import numpy as np
+
+    b, t, h, w, c = x.shape
+    ws, ss = list(window), list(shift)
+    for i, size in enumerate((t, h, w)):
+        if size <= ws[i]:
+            ws[i] = size
+            ss[i] = 0
+    wd, wh, ww = ws
+    n = wd * wh * ww
+
+    # reference _get_relative_position_bias: the index matrix is built
+    # over the FULL window and SUBSET [:n, :n] when the window shrank
+    # (row-major prefix of positions), video/swin_transformer.py:47-57
+    coords = np.stack(
+        np.meshgrid(
+            np.arange(window[0]), np.arange(window[1]),
+            np.arange(window[2]), indexing="ij",
+        )
+    ).reshape(3, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += window[0] - 1
+    rel[:, :, 1] += window[1] - 1
+    rel[:, :, 2] += window[2] - 1
+    rel[:, :, 0] *= (2 * window[1] - 1) * (2 * window[2] - 1)
+    rel[:, :, 1] *= 2 * window[2] - 1
+    idx = torch.from_numpy(rel.sum(-1)[:n, :n].reshape(-1))
+    bias = bias_table[idx].reshape(n, n, heads).permute(2, 0, 1)
+
+    pt, ph, pw = (-t) % wd, (-h) % wh, (-w) % ww
+    xp = torch.nn.functional.pad(x, (0, 0, 0, pw, 0, ph, 0, pt))
+    tp, hp, wp = t + pt, h + ph, w + pw
+    if sum(ss) > 0:
+        xp = torch.roll(xp, (-ss[0], -ss[1], -ss[2]), dims=(1, 2, 3))
+
+    nt, nh, nw = tp // wd, hp // wh, wp // ww
+    num_win = nt * nh * nw
+    xw = xp.reshape(b, nt, wd, nh, wh, nw, ww, c)
+    xw = xw.permute(0, 1, 3, 5, 2, 4, 6, 7).reshape(b * num_win, n, c)
+
+    qkv = torch.nn.functional.linear(xw, qkv_w, qkv_b)
+    qkv = qkv.reshape(xw.shape[0], n, 3, heads, c // heads)
+    qkv = qkv.permute(2, 0, 3, 1, 4)
+    q, k, v = qkv[0] * (c // heads) ** -0.5, qkv[1], qkv[2]
+    attn = q @ k.transpose(-2, -1) + bias[None]
+
+    if sum(ss) > 0:
+        mask = torch.zeros((tp, hp, wp))
+        cnt = 0
+        sl = [
+            ((0, size - wsz), (size - wsz, size - s_), (size - s_, size))
+            for size, wsz, s_ in zip((tp, hp, wp), ws, ss)
+        ]
+        for sd in sl[0]:
+            for sh in sl[1]:
+                for sw in sl[2]:
+                    mask[sd[0]:sd[1], sh[0]:sh[1], sw[0]:sw[1]] = cnt
+                    cnt += 1
+        m = mask.reshape(nt, wd, nh, wh, nw, ww)
+        m = m.permute(0, 2, 4, 1, 3, 5).reshape(num_win, n)
+        am = m.unsqueeze(1) - m.unsqueeze(2)
+        am = torch.where(
+            am != 0, torch.tensor(-100.0), torch.tensor(0.0)
+        )
+        attn = attn.reshape(b, num_win, heads, n, n)
+        attn = attn + am[None, :, None]
+        attn = attn.reshape(-1, heads, n, n)
+
+    attn = attn.softmax(-1)
+    out = (attn @ v).permute(0, 2, 1, 3).reshape(xw.shape[0], n, c)
+    out = torch.nn.functional.linear(out, proj_w, proj_b)
+    out = out.reshape(b, nt, nh, nw, wd, wh, ww, c)
+    out = out.permute(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, tp, hp, wp, c)
+    if sum(ss) > 0:
+        out = torch.roll(out, (ss[0], ss[1], ss[2]), dims=(1, 2, 3))
+    return out[:, :t, :h, :w, :]

@@ -83,8 +83,12 @@ class ShiftedWindowAttention3d(nn.Module):
                 self.num_heads,
             ),
         )
-        rel_idx = _rel_position_index_3d(ws).reshape(-1)
-        bias = table[rel_idx].reshape(n, n, self.num_heads)
+        # reference _get_relative_position_bias subsets the FULL window's
+        # index matrix ([:n, :n], i.e. the row-major prefix of positions)
+        # when the window shrank — NOT a recomputed index over the shrunk
+        # window (video/swin_transformer.py:47-57)
+        rel_idx = _rel_position_index_3d(self.window_size)[:n, :n]
+        bias = table[rel_idx.reshape(-1)].reshape(n, n, self.num_heads)
         bias = bias.transpose(2, 0, 1)[None]
 
         # pad to window multiples
