@@ -73,6 +73,16 @@ def get_args_parser():
     p.add_argument("--train-crop-size", default=224, type=int)
     p.add_argument("--fake-data", action="store_true")
     p.add_argument(
+        "--tpu-decode", action="store_true",
+        help="offload JPEG IDCT/upsample/color + augmentation to the "
+        "TPU; host does Huffman only (io/tpu_loader.py)",
+    )
+    p.add_argument(
+        "--tpu-decode-scale", default=0, type=int,
+        help="DCT-scaled decode: ship only the top-left MxM "
+        "coefficients (M in 1..7; 0 = full)",
+    )
+    p.add_argument(
         "--device-augment", action="store_true",
         help="run the train augmentation (random-resized-crop/flip/"
         "auto-augment/normalize + MixUp/CutMix) as ONE jitted program on "
@@ -141,6 +151,37 @@ def load_data(args):
         val_tf = lambda img: np.asarray(eval_preset(jnp.asarray(img)))  # noqa: E731
         train_ds = datasets.ImageFolder(train_dir)
         val_ds = datasets.ImageFolder(val_dir)
+
+    if getattr(args, "tpu_decode", False) and not args.fake_data:
+        # host does Huffman entropy-decode only; IDCT/upsample/color +
+        # RandomResizedCrop/flip/normalize run on device, bucketed by
+        # coefficient-canvas shape (vision_tpu/io/tpu_loader.py)
+        from vision_tpu.io.tpu_loader import TpuJpegLoader
+
+        class _JpegFiles:
+            def __init__(self, folder):
+                self.items = folder.samples
+
+            def __len__(self):
+                return len(self.items)
+
+            def __getitem__(self, i):
+                path, label = self.items[i]
+                with open(path, "rb") as f:
+                    return f.read(), label
+
+        train_loader = TpuJpegLoader(
+            _JpegFiles(train_ds), args.batch_size,
+            crop_size=args.train_crop_size, train=True,
+            coef_limit=args.tpu_decode_scale, seed=args.seed,
+            drop_remainder=True,
+        )
+        val_loader = TpuJpegLoader(
+            _JpegFiles(val_ds), args.batch_size,
+            crop_size=args.val_crop_size, train=False,
+            val_resize_size=args.val_resize_size,
+        )
+        return train_loader, val_loader, None
 
     n_hosts = jax.process_count()
     rank = jax.process_index()
@@ -295,6 +336,9 @@ def main(args):
         step=jnp.zeros((), jnp.int32),
     )
 
+    # --tpu-decode batches arrive decoded+augmented+normalized on device
+    if getattr(args, "tpu_decode", False):
+        args.device_augment = False
     device_augment = make_device_augment(args) if args.device_augment else None
     mixup = None
     if not args.device_augment and (args.mixup_alpha > 0 or args.cutmix_alpha > 0):
@@ -337,12 +381,18 @@ def main(args):
         key = jax.random.PRNGKey(args.seed)
         start = time.time()
         for epoch in range(args.start_epoch, args.epochs):
-            train_sampler.set_epoch(epoch)
+            if train_sampler is not None:
+                train_sampler.set_epoch(epoch)
             train_loader.set_epoch(epoch)
             logger = utils.MetricLogger()
             header = f"Epoch: [{epoch}]"
+            train_iter = (
+                iter(train_loader)  # batches are produced on device
+                if getattr(args, "tpu_decode", False)
+                else prefetch_to_device(train_loader)
+            )
             for batch in logger.log_every(
-                prefetch_to_device(train_loader), args.print_freq, header
+                train_iter, args.print_freq, header
             ):
                 key, sub, mkey = jax.random.split(key, 3)
                 if device_augment is not None:

@@ -125,12 +125,17 @@ class MetricLogger:
 
 
 def accuracy(logits, targets, topk=(1,)):
-    """Top-k accuracy (reference ``utils.py:173``); jit-safe."""
-    maxk = max(topk)
+    """Top-k accuracy (reference ``utils.py:173``); jit-safe. k is
+    clamped to the number of classes (reference crashes on e.g. top-5
+    with a 2-class head; we degrade to top-C)."""
+    num_classes = logits.shape[-1]
+    maxk = min(max(topk), num_classes)
     _, pred = jax.lax.top_k(logits, maxk)
     correct = pred == targets[:, None]
     return [
-        jnp.sum(jnp.any(correct[:, :k], axis=1)) / targets.shape[0] * 100.0
+        jnp.sum(jnp.any(correct[:, : min(k, num_classes)], axis=1))
+        / targets.shape[0]
+        * 100.0
         for k in topk
     ]
 

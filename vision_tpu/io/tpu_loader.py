@@ -1,0 +1,290 @@
+"""Production input pipeline with JPEG decode offloaded to the TPU.
+
+For variable-size corpora (ImageNet et al.) the host half entropy-decodes
+each JPEG to DCT coefficients (``_codecs.jpeg_coefficients_native``) and
+buckets images by coefficient-canvas shape; each bucket maps to ONE
+compiled device program that:
+
+    dequant+IDCT (io/jpeg_tpu.py) -> per-image traced resized-crop (crop
+    rects are traced VALUES over a static canvas, clamped to each image's
+    true dims so zero-coefficient padding never bleeds in) -> hflip ->
+    normalize
+
+This is the missing piece between ``decode_jpeg(device="tpu")`` (uniform
+geometry only) and real datasets: DALI-style canvas bucketing with
+static shapes per bucket. Bucket granularity trades compile count
+against padding waste (default 8 luma blocks = 64 px).
+
+Reference counterpart: nvJPEG + DALI-style GPU pipelines behind
+``decode_jpegs_cuda`` (torchvision io/image.py:233); torchvision itself
+always decodes on host — this loader is the TPU-first upgrade.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision_tpu.io._codecs import jpeg_coefficients_native
+from vision_tpu.io.jpeg_tpu import decode_coefs
+
+__all__ = ["TpuJpegLoader"]
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _traced_rrc_params(th, tw, key, scale, ratio):
+    """RandomResizedCrop parameter sampling with TRACED true dims
+    (vectorized rejection over 10 candidates + center fallback; mirrors
+    transforms/v2/_geometry.py _make_params_traced, which needs static
+    dims)."""
+    log_r0, log_r1 = math.log(ratio[0]), math.log(ratio[1])
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    u = jax.random.uniform(k1, (10,), minval=scale[0], maxval=scale[1])
+    aspect = jnp.exp(jax.random.uniform(k2, (10,), minval=log_r0, maxval=log_r1))
+    area = th * tw * u
+    ws = jnp.round(jnp.sqrt(area * aspect))
+    hs = jnp.round(jnp.sqrt(area / aspect))
+    valid = (ws > 0) & (ws <= tw) & (hs > 0) & (hs <= th)
+    idx = jnp.argmax(valid)
+    any_valid = valid.any()
+    # center fallback at clamped aspect (all-traced jnp.where chain)
+    in_ratio = tw / th
+    fw = jnp.where(in_ratio < ratio[0], tw, jnp.where(
+        in_ratio > ratio[1], jnp.round(th * ratio[1]), tw))
+    fh = jnp.where(in_ratio < ratio[0], jnp.round(tw / ratio[0]), jnp.where(
+        in_ratio > ratio[1], th, th))
+    w = jnp.where(any_valid, ws[idx], fw)
+    h = jnp.where(any_valid, hs[idx], fh)
+    top = jnp.where(
+        any_valid,
+        jnp.floor(jax.random.uniform(k3) * (th - h + 1.0)),
+        (th - h) // 2,
+    )
+    left = jnp.where(
+        any_valid,
+        jnp.floor(jax.random.uniform(k4) * (tw - w + 1.0)),
+        (tw - w) // 2,
+    )
+    return top, left, h, w
+
+
+def _crop_resize_clamped(img, top, left, height, width, th, tw, out_size):
+    """Bilinear resized crop over a padded canvas: sample coordinates are
+    clamped to the image's TRUE dims (traced th/tw), so canvas padding is
+    never read (cf. functional resized_crop_dynamic, which clamps to the
+    static canvas)."""
+    out_h, out_w = out_size
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gy = jnp.clip(top + (ys + 0.5) * height / out_h - 0.5, 0.0, th - 1.0)
+    gx = jnp.clip(left + (xs + 0.5) * width / out_w - 0.5, 0.0, tw - 1.0)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, (th - 1.0).astype(jnp.int32))
+    x1 = jnp.minimum(x0 + 1, (tw - 1.0).astype(jnp.int32))
+    f = img.astype(jnp.float32)
+
+    def take(yy, xx):
+        return jnp.take(jnp.take(f, yy, axis=0), xx, axis=1)
+
+    ly = (gy - y0)[:, None, None]
+    lx = (gx - x0)[None, :, None]
+    return (
+        take(y0, x0) * (1 - ly) * (1 - lx)
+        + take(y0, x1) * (1 - ly) * lx
+        + take(y1, x0) * ly * (1 - lx)
+        + take(y1, x1) * ly * lx
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "canvas_h", "canvas_w", "samp", "train", "crop_size",
+        "val_resize_size", "mean", "std", "scale", "ratio",
+    ),
+)
+def _device_batch(
+    coefs, qtabs, dims, labels, key, *, canvas_h, canvas_w, samp, train,
+    crop_size, val_resize_size, mean, std, scale, ratio,
+):
+    """One bucket-shaped batch: decode + traced crop + normalize.
+
+    Cached per (batch, canvas, samp, train/crop config) — the compile
+    unit the bucketing exists to bound."""
+    crop = (crop_size, crop_size)
+    mean_a = jnp.asarray(mean, jnp.float32) * 255.0
+    std_a = jnp.asarray(std, jnp.float32) * 255.0
+
+    def one(cs, qs, dim, k):
+        # decode_coefs takes FULL-resolution dims and scales by M/8
+        # itself, so the canvas is passed in full-res block units
+        img = decode_coefs(cs, qs, canvas_h, canvas_w, samp)
+        img = img.astype(jnp.float32)
+        th = jnp.asarray(dim[0], jnp.float32)
+        tw = jnp.asarray(dim[1], jnp.float32)
+        if train:
+            kc, kf = jax.random.split(k)
+            top, left, h, w = _traced_rrc_params(th, tw, kc, scale, ratio)
+            out = _crop_resize_clamped(img, top, left, h, w, th, tw, crop)
+            out = jnp.where(jax.random.uniform(kf) < 0.5, out[:, ::-1], out)
+        else:
+            # resize short side to R then center-crop C == one crop of
+            # side min_dim * C / R centered in the original image
+            side = jnp.minimum(th, tw) * crop_size / float(val_resize_size)
+            top = (th - side) / 2.0
+            left = (tw - side) / 2.0
+            out = _crop_resize_clamped(
+                img, top, left, side, side, th, tw, crop
+            )
+        return (out - mean_a) / std_a
+
+    keys = jax.random.split(key, coefs[0].shape[0])
+    imgs = jax.vmap(one)(coefs, qtabs, dims, keys)
+    return {"image": imgs, "label": labels}
+
+
+class TpuJpegLoader:
+    """Iterate (jpeg_bytes, label) samples as device-ready batches.
+
+    Args:
+        samples: sequence of (bytes, int) or callables returning them.
+        batch_size: images per emitted batch (bucket-uniform).
+        crop_size: output HxW.
+        train: True = RandomResizedCrop + hflip; False = short-side
+            resize to ``val_resize_size`` + center crop (both expressed
+            as one traced crop box in original coordinates).
+        coef_limit: 0/8 full decode; 1..7 = DCT-scaled device decode.
+        bucket_blocks: canvas granularity in luma blocks (8 px each).
+        drop_remainder: drop under-filled per-bucket tails at epoch end.
+    """
+
+    def __init__(
+        self,
+        samples: Sequence,
+        batch_size: int,
+        crop_size: int = 224,
+        *,
+        train: bool = True,
+        coef_limit: int = 0,
+        val_resize_size: int = 256,
+        bucket_blocks: int = 8,
+        mean=IMAGENET_MEAN,
+        std=IMAGENET_STD,
+        scale=(0.08, 1.0),
+        ratio=(3.0 / 4.0, 4.0 / 3.0),
+        seed: int = 0,
+        drop_remainder: bool = False,
+    ):
+        self.samples = samples
+        self.batch_size = batch_size
+        self.crop_size = crop_size
+        self.train = train
+        self.coef_limit = coef_limit
+        self.val_resize_size = val_resize_size
+        self.bucket_blocks = bucket_blocks
+        self.mean = tuple(float(x) for x in mean)
+        self.std = tuple(float(x) for x in std)
+        self.scale = tuple(scale)
+        self.ratio = tuple(ratio)
+        self.seed = seed
+        self._base_seed = seed
+        self.drop_remainder = drop_remainder
+        self._m = coef_limit if 0 < coef_limit < 8 else 8
+
+    def __len__(self):
+        return max(len(self.samples) // self.batch_size, 1)
+
+    def set_epoch(self, epoch: int):
+        """Reseed shuffling + augmentation per epoch (DataLoader-sampler
+        protocol compatibility)."""
+        self.seed = self._base_seed + epoch
+
+    # -------------------------------------------------------- host side
+    def _bucket_key(self, coef_shapes, samp):
+        bh, bw = coef_shapes[0][:2]
+        g = self.bucket_blocks
+        return (
+            -(-bh // g) * g,
+            -(-bw // g) * g,
+            tuple(tuple(s) for s in samp),
+            len(coef_shapes),
+        )
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        rng = np.random.RandomState(self.seed)
+        order = (
+            rng.permutation(len(self.samples))
+            if self.train
+            else np.arange(len(self.samples))
+        )
+        key = jax.random.PRNGKey(self.seed)
+        buckets: Dict = {}
+        for idx in order:
+            data, label = self.samples[int(idx)]
+            r = jpeg_coefficients_native(data, self.coef_limit)
+            if r is None:
+                continue
+            coefs, qtabs, samp, (h, w) = r
+            bk = self._bucket_key([c.shape for c in coefs], samp)
+            buckets.setdefault(bk, []).append(
+                (coefs, qtabs, samp, (h, w), label)
+            )
+            if len(buckets[bk]) == self.batch_size:
+                key, sub = jax.random.split(key)
+                yield self._emit(bk, buckets.pop(bk), sub)
+        if not self.drop_remainder:
+            for bk, items in buckets.items():
+                if items:
+                    key, sub = jax.random.split(key)
+                    yield self._emit(bk, items, sub)
+
+    def _emit(self, bk, items, key):
+        cbh, cbw, samp, ncomp = bk
+        m = self._m
+        max_samp_h = max(s[0] for s in samp)
+        max_samp_v = max(s[1] for s in samp)
+        coefs, qtabs = [], []
+        for ci in range(ncomp):
+            sh, sv = samp[ci]
+            tbh = -(-cbh * sv // max_samp_v)
+            tbw = -(-cbw * sh // max_samp_h)
+            per = []
+            for it in items:
+                c = it[0][ci]
+                pad = np.zeros((tbh, tbw, c.shape[-1]), c.dtype)
+                pad[: c.shape[0], : c.shape[1]] = c
+                per.append(pad)
+            coefs.append(jnp.asarray(np.stack(per)))
+            qtabs.append(
+                jnp.asarray(
+                    np.stack([it[1][ci].astype(np.float32) for it in items])
+                )
+            )
+        # true dims at the decoded (possibly scaled) resolution
+        dims = jnp.asarray(
+            np.stack(
+                [
+                    [-(-it[3][0] * m // 8), -(-it[3][1] * m // 8)]
+                    for it in items
+                ]
+            ),
+            jnp.float32,
+        )
+        labels = jnp.asarray(
+            np.asarray([it[4] for it in items], np.int32)
+        )
+        return _device_batch(
+            tuple(coefs), tuple(qtabs), dims, labels, key,
+            canvas_h=cbh * 8, canvas_w=cbw * 8, samp=samp,
+            train=self.train, crop_size=self.crop_size,
+            val_resize_size=self.val_resize_size, mean=self.mean,
+            std=self.std, scale=self.scale, ratio=self.ratio,
+        )
