@@ -232,3 +232,36 @@ def test_stereo_input_padder():
     p2 = u.InputPadder(x.shape, mode="kitti")
     (xp2,) = p2.pad(x)
     assert xp2.shape[1] % 8 == 0 and p2.unpad(xp2).shape == x.shape
+
+
+# ------------------------------------------------- classification mix --
+
+
+def test_classification_transforms_mixers():
+    import jax
+    import jax.numpy as jnp
+
+    tr = _load("classification", "transforms")
+    imgs = jnp.asarray(
+        np.random.RandomState(0).rand(4, 8, 8, 3), jnp.float32
+    )
+    labels = jnp.asarray([0, 1, 2, 3])
+    m = tr.RandomMixUp(num_classes=5, p=1.0, alpha=1.0)
+    oi, ol = m((imgs, labels), jax.random.PRNGKey(0))
+    assert oi.shape == imgs.shape and ol.shape == (4, 5)
+    np.testing.assert_allclose(np.asarray(ol.sum(1)), 1.0, atol=1e-6)
+    # p=0 -> identity images, one-hot labels
+    m0 = tr.RandomCutMix(num_classes=5, p=0.0)
+    oi, ol = m0((imgs, labels), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(oi), np.asarray(imgs))
+    np.testing.assert_array_equal(
+        np.asarray(ol.argmax(1)), np.asarray(labels)
+    )
+    assert tr.get_mixup_cutmix(
+        mixup_alpha=0.0, cutmix_alpha=0.0, num_classes=5
+    ) is None
+    rc = tr.get_mixup_cutmix(
+        mixup_alpha=0.2, cutmix_alpha=1.0, num_classes=5
+    )
+    oi, ol = rc((imgs, labels), key=jax.random.PRNGKey(2))
+    assert ol.shape == (4, 5)
