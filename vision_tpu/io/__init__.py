@@ -14,7 +14,9 @@ from vision_tpu.io.image import (
     write_jpeg,
     write_png,
 )
+from vision_tpu.io.jpeg_tpu import decode_jpeg_batch_tpu
 from vision_tpu.io.prefetch import PrefetchIterator, decode_batch, prefetch_to_device
+from vision_tpu.io.tpu_loader import TpuJpegLoader
 from vision_tpu.io.image import decode_avif, decode_heic
 from vision_tpu.io.video import (
     Timebase,
