@@ -6,7 +6,7 @@ Disparity maps are (..., H, W, 1) or (..., H, W); images are NHWC."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

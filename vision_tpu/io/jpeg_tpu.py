@@ -26,7 +26,7 @@ upsampler in the interior. Outputs match libjpeg within a few counts
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
