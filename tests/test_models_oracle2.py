@@ -672,3 +672,70 @@ def test_swin3d_shifted_window_attention_matches_torch():
                 table, window, shift, heads,
             ).numpy()
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_retinanet_postprocess_matches_torch():
+    """Single-stage postprocess: per-level sigmoid/top-k/decode/clip +
+    cross-level class-aware NMS (static masked path) vs the
+    dynamic-shape transcription of retinanet.py:509."""
+    from tests.torch_refs2 import torch_retinanet_postprocess
+    from vision_tpu.models.detection import _utils as det_utils
+    from vision_tpu.models.detection.retinanet import RetinaNet
+
+    rng = np.random.RandomState(0)
+    num_classes = 6
+    image_size = (64, 64)
+
+    def grid_anchors(fh, fw, stride):
+        out = []
+        for yy in range(fh):
+            for xx in range(fw):
+                cx = xx * stride + stride / 2
+                cy = yy * stride + stride / 2
+                for s in (16, 32):
+                    out.append(
+                        [cx - s / 2, cy - s / 2, cx + s / 2, cy + s / 2]
+                    )
+        return np.asarray(out, np.float32)
+
+    anchors = [grid_anchors(8, 8, 8), grid_anchors(4, 4, 16)]
+    cls_logits = [
+        rng.randn(1, 8 * 8 * 2, num_classes).astype(np.float32),
+        rng.randn(1, 4 * 4 * 2, num_classes).astype(np.float32),
+    ]
+    reg = [
+        (rng.randn(1, 8 * 8 * 2, 4) * 0.4).astype(np.float32),
+        (rng.randn(1, 4 * 4 * 2, 4) * 0.4).astype(np.float32),
+    ]
+
+    class _Logic:
+        box_coder = det_utils.BoxCoder(weights=(1.0, 1.0, 1.0, 1.0))
+        score_thresh = 0.6
+        nms_thresh = 0.5
+        detections_per_img = 40
+        topk_candidates = 100
+
+    det = RetinaNet.postprocess_detections(
+        _Logic(),
+        [jnp.asarray(c) for c in cls_logits],
+        [jnp.asarray(r) for r in reg],
+        [jnp.asarray(a) for a in anchors],
+        image_size,
+    )
+    got_valid = np.asarray(det.valid[0])
+    got_boxes = np.asarray(det.boxes[0])[got_valid]
+    got_scores = np.asarray(det.scores[0])[got_valid]
+    got_labels = np.asarray(det.labels[0])[got_valid]
+
+    want_boxes, want_scores, want_labels = torch_retinanet_postprocess(
+        [torch.from_numpy(c[0]) for c in cls_logits],
+        [torch.from_numpy(r[0]) for r in reg],
+        [torch.from_numpy(a) for a in anchors],
+        image_size,
+        score_thresh=0.6, nms_thresh=0.5, topk_candidates=100,
+        detections_per_img=40,
+    )
+    assert got_boxes.shape == want_boxes.shape
+    np.testing.assert_allclose(got_boxes, want_boxes, atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(got_scores, want_scores, atol=1e-6)
+    np.testing.assert_array_equal(got_labels, want_labels)

@@ -1783,3 +1783,63 @@ def torch_shifted_window_attention_3d(
     if sum(ss) > 0:
         out = torch.roll(out, (ss[0], ss[1], ss[2]), dims=(1, 2, 3))
     return out[:, :t, :h, :w, :]
+
+
+# -------------------------------------- RetinaNet postprocess (1-stage) --
+
+
+def torch_retinanet_postprocess(
+    cls_logits_levels, reg_levels, anchors_levels, image_size,
+    score_thresh=0.05, nms_thresh=0.5, topk_candidates=1000,
+    detections_per_img=300,
+):
+    """Dynamic transcription of reference retinanet.py:509
+    postprocess_detections for one image: per-level sigmoid -> score
+    filter -> top-k -> decode(weights 1,1,1,1) -> clip, then cross-level
+    per-class greedy NMS and top detections_per_img."""
+    import numpy as np
+
+    boxes_all, scores_all, labels_all = [], [], []
+    for logits, reg, anch in zip(
+        cls_logits_levels, reg_levels, anchors_levels
+    ):
+        num_classes = logits.shape[-1]
+        scores = torch.sigmoid(logits).flatten()
+        keep = scores > score_thresh
+        scores = scores[keep]
+        idxs = torch.where(keep)[0]
+        k = min(topk_candidates, idxs.numel())
+        scores, order = scores.topk(k)
+        idxs = idxs[order]
+        anchor_idx = torch.div(idxs, num_classes, rounding_mode="floor")
+        labels = idxs % num_classes
+        dec = torch_decode_boxes(reg[anchor_idx], anch[anchor_idx])
+        dec[:, 0::2] = dec[:, 0::2].clamp(0, image_size[1])
+        dec[:, 1::2] = dec[:, 1::2].clamp(0, image_size[0])
+        boxes_all.append(dec)
+        scores_all.append(scores)
+        labels_all.append(labels)
+
+    boxes = torch.cat(boxes_all).numpy()
+    scores = torch.cat(scores_all).numpy()
+    labels = torch.cat(labels_all).numpy()
+
+    order = np.argsort(-scores, kind="stable")
+    suppressed = np.zeros(len(boxes), bool)
+    keep_idx = []
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep_idx.append(i)
+        same = labels == labels[i]
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        iou = inter / (areas + areas[i] - inter)
+        suppressed |= same & (iou > nms_thresh)
+        suppressed[i] = False
+    keep_idx = np.asarray(keep_idx[:detections_per_img])
+    return boxes[keep_idx], scores[keep_idx], labels[keep_idx]
