@@ -739,3 +739,125 @@ def test_retinanet_postprocess_matches_torch():
     np.testing.assert_allclose(got_boxes, want_boxes, atol=2e-3, rtol=1e-4)
     np.testing.assert_allclose(got_scores, want_scores, atol=1e-6)
     np.testing.assert_array_equal(got_labels, want_labels)
+
+
+def test_ssd_postprocess_matches_torch():
+    """SSD postprocess (softmax + per-class candidates + batched NMS,
+    weights 10,10,5,5) vs the dynamic transcription of reference
+    ssd.py postprocess_detections."""
+    from tests.torch_refs2 import torch_ssd_postprocess
+    from vision_tpu.models.detection import _utils as det_utils
+    from vision_tpu.models.detection.ssd import SSD
+
+    rng = np.random.RandomState(2)
+    num_classes, r = 5, 120
+    image_size = (64, 64)
+    xy = rng.uniform(4, 56, (r, 2)).astype(np.float32)
+    wh = rng.uniform(8, 24, (r, 2)).astype(np.float32)
+    anchors = np.concatenate([xy - wh / 2, xy + wh / 2], 1)
+    cls_logits = rng.randn(1, r, num_classes).astype(np.float32)
+    reg = (rng.randn(1, r, 4) * 0.5).astype(np.float32)
+
+    class _Logic:
+        box_coder = det_utils.BoxCoder(weights=(10.0, 10.0, 5.0, 5.0))
+        score_thresh = 0.25
+        nms_thresh = 0.45
+        detections_per_img = 60
+        topk_candidates = 100
+
+    det = SSD.postprocess_detections(
+        _Logic(),
+        jnp.asarray(cls_logits),
+        jnp.asarray(reg),
+        jnp.asarray(anchors),
+        image_size,
+    )
+    got_valid = np.asarray(det.valid[0])
+    got_boxes = np.asarray(det.boxes[0])[got_valid]
+    got_scores = np.asarray(det.scores[0])[got_valid]
+    got_labels = np.asarray(det.labels[0])[got_valid]
+
+    want_boxes, want_scores, want_labels = torch_ssd_postprocess(
+        torch.from_numpy(cls_logits[0]),
+        torch.from_numpy(reg[0]),
+        torch.from_numpy(anchors),
+        image_size,
+        score_thresh=0.25, nms_thresh=0.45, topk_candidates=100,
+        detections_per_img=60,
+    )
+    assert got_boxes.shape == want_boxes.shape
+    np.testing.assert_allclose(got_boxes, want_boxes, atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(got_scores, want_scores, atol=1e-6)
+    np.testing.assert_array_equal(got_labels, want_labels)
+
+
+def test_fcos_postprocess_matches_torch():
+    """FCOS anchor-free postprocess: sqrt(cls*ctrness) scoring +
+    BoxLinearCoder decode vs the dynamic transcription."""
+    from tests.torch_refs2 import torch_fcos_postprocess
+    from vision_tpu.models.detection import _utils as det_utils
+    from vision_tpu.models.detection.fcos import FCOS
+
+    rng = np.random.RandomState(4)
+    num_classes = 4
+    image_size = (64, 64)
+
+    def grid_anchors(fh, fw, stride):
+        out = []
+        for yy in range(fh):
+            for xx in range(fw):
+                cx = xx * stride + stride / 2
+                cy = yy * stride + stride / 2
+                out.append(
+                    [cx - stride / 2, cy - stride / 2,
+                     cx + stride / 2, cy + stride / 2]
+                )
+        return np.asarray(out, np.float32)
+
+    anchors = [grid_anchors(8, 8, 8), grid_anchors(4, 4, 16)]
+    logits = [
+        rng.randn(1, 64, num_classes).astype(np.float32),
+        rng.randn(1, 16, num_classes).astype(np.float32),
+    ]
+    reg = [
+        np.abs(rng.randn(1, 64, 4)).astype(np.float32),
+        np.abs(rng.randn(1, 16, 4)).astype(np.float32),
+    ]
+    ctr = [
+        rng.randn(1, 64, 1).astype(np.float32),
+        rng.randn(1, 16, 1).astype(np.float32),
+    ]
+
+    class _Logic:
+        box_coder = det_utils.BoxLinearCoder(normalize_by_size=True)
+        score_thresh = 0.35
+        nms_thresh = 0.6
+        detections_per_img = 30
+        topk_candidates = 80
+
+    det = FCOS.postprocess_detections(
+        _Logic(),
+        [jnp.asarray(x) for x in logits],
+        [jnp.asarray(x) for x in reg],
+        [jnp.asarray(x) for x in ctr],
+        [jnp.asarray(a) for a in anchors],
+        image_size,
+    )
+    got_valid = np.asarray(det.valid[0])
+    got_boxes = np.asarray(det.boxes[0])[got_valid]
+    got_scores = np.asarray(det.scores[0])[got_valid]
+    got_labels = np.asarray(det.labels[0])[got_valid]
+
+    want_boxes, want_scores, want_labels = torch_fcos_postprocess(
+        [torch.from_numpy(x[0]) for x in logits],
+        [torch.from_numpy(x[0]) for x in reg],
+        [torch.from_numpy(x[0]) for x in ctr],
+        [torch.from_numpy(a) for a in anchors],
+        image_size,
+        score_thresh=0.35, nms_thresh=0.6, topk_candidates=80,
+        detections_per_img=30,
+    )
+    assert got_boxes.shape == want_boxes.shape
+    np.testing.assert_allclose(got_boxes, want_boxes, atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(got_scores, want_scores, atol=1e-6)
+    np.testing.assert_array_equal(got_labels, want_labels)

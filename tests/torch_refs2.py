@@ -1843,3 +1843,129 @@ def torch_retinanet_postprocess(
         suppressed[i] = False
     keep_idx = np.asarray(keep_idx[:detections_per_img])
     return boxes[keep_idx], scores[keep_idx], labels[keep_idx]
+
+
+# ----------------------------------------------- SSD postprocess --------
+
+
+def torch_ssd_postprocess(
+    cls_logits, reg, anchors, image_size, score_thresh=0.01,
+    nms_thresh=0.45, topk_candidates=400, detections_per_img=200,
+):
+    """Dynamic transcription of reference ssd.py postprocess_detections
+    for one image: softmax -> decode(weights 10,10,5,5) -> clip ->
+    per-class score filter + top-k -> cross-class batched NMS -> top
+    detections_per_img."""
+    import numpy as np
+
+    num_classes = cls_logits.shape[-1]
+    scores = torch.softmax(cls_logits, -1)
+    dec = torch_decode_boxes(
+        reg, anchors, weights=(10.0, 10.0, 5.0, 5.0)
+    )
+    dec[:, 0::2] = dec[:, 0::2].clamp(0, image_size[1])
+    dec[:, 1::2] = dec[:, 1::2].clamp(0, image_size[0])
+
+    boxes_all, scores_all, labels_all = [], [], []
+    for cls in range(1, num_classes):
+        s = scores[:, cls]
+        keep = s > score_thresh
+        s = s[keep]
+        b = dec[keep]
+        k = min(topk_candidates, s.numel())
+        s, order = s.topk(k)
+        boxes_all.append(b[order])
+        scores_all.append(s)
+        labels_all.append(torch.full((k,), cls))
+    boxes = torch.cat(boxes_all).numpy()
+    sc = torch.cat(scores_all).numpy()
+    labels = torch.cat(labels_all).numpy()
+
+    order = np.argsort(-sc, kind="stable")
+    suppressed = np.zeros(len(boxes), bool)
+    keep_idx = []
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep_idx.append(i)
+        same = labels == labels[i]
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        iou = inter / (areas + areas[i] - inter)
+        suppressed |= same & (iou > nms_thresh)
+        suppressed[i] = False
+    keep_idx = np.asarray(keep_idx[:detections_per_img])
+    return boxes[keep_idx], sc[keep_idx], labels[keep_idx]
+
+
+# ----------------------------------------------- FCOS postprocess -------
+
+
+def torch_fcos_postprocess(
+    logits_levels, reg_levels, ctr_levels, anchors_levels, image_size,
+    score_thresh=0.2, nms_thresh=0.6, topk_candidates=100,
+    detections_per_img=50,
+):
+    """Dynamic transcription of reference fcos.py postprocess:
+    score = sqrt(sigmoid(cls)*sigmoid(ctr)), per-level top-k,
+    BoxLinearCoder decode (l,t,r,b normalized by anchor size), clip,
+    cross-level class-aware NMS."""
+    import numpy as np
+
+    boxes_all, scores_all, labels_all = [], [], []
+    for lg, rg, ct, anch in zip(
+        logits_levels, reg_levels, ctr_levels, anchors_levels
+    ):
+        c = lg.shape[-1]
+        scores = torch.sqrt(
+            torch.sigmoid(lg) * torch.sigmoid(ct)
+        ).flatten()
+        keep = scores > score_thresh
+        scores = scores[keep]
+        idxs = torch.where(keep)[0]
+        k = min(topk_candidates, idxs.numel())
+        scores, order = scores.topk(k)
+        idxs = idxs[order]
+        anchor_idx = torch.div(idxs, c, rounding_mode="floor")
+        labels = idxs % c
+        a = anch[anchor_idx]
+        r = rg[anchor_idx]
+        cx = (a[:, 0] + a[:, 2]) / 2
+        cy = (a[:, 1] + a[:, 3]) / 2
+        w = a[:, 2] - a[:, 0]
+        h = a[:, 3] - a[:, 1]
+        r = r * torch.stack([w, h, w, h], -1)
+        dec = torch.stack(
+            [cx - r[:, 0], cy - r[:, 1], cx + r[:, 2], cy + r[:, 3]], -1
+        )
+        dec[:, 0::2] = dec[:, 0::2].clamp(0, image_size[1])
+        dec[:, 1::2] = dec[:, 1::2].clamp(0, image_size[0])
+        boxes_all.append(dec)
+        scores_all.append(scores)
+        labels_all.append(labels)
+    boxes = torch.cat(boxes_all).numpy()
+    sc = torch.cat(scores_all).numpy()
+    labels = torch.cat(labels_all).numpy()
+    order = np.argsort(-sc, kind="stable")
+    suppressed = np.zeros(len(boxes), bool)
+    keep_idx = []
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep_idx.append(i)
+        same = labels == labels[i]
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        iou = inter / (areas + areas[i] - inter)
+        suppressed |= same & (iou > nms_thresh)
+        suppressed[i] = False
+    keep_idx = np.asarray(keep_idx[:detections_per_img])
+    return boxes[keep_idx], sc[keep_idx], labels[keep_idx]
