@@ -406,11 +406,25 @@ def main():
     )
 
     fwd_img_s = _bench_forward(module, variables, batch, n_iters=50)
-    train_img_s = _bench_train_step(module, variables, batch, n_iters=20)
+    # batch sweep on v5e: b64 2882 / b128 3101 / b256 2987 img/s
+    train_img_s = _bench_train_step(module, variables, 128, n_iters=20)
     e2e_img_s = _bench_e2e(module, variables, batch, n_batches=12)
     e2e_tpu_dec = _bench_e2e_tpu_decode(module, variables, batch, n_batches=12)
     nms_boxes_s, nms_xla_boxes_s = _bench_nms()
     roi_rois_s = _bench_roi_align()
+
+    from vision_tpu.models import vit_b_16
+
+    vit = vit_b_16()
+    vit_vars = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if isinstance(x, jax.Array) and x.dtype == jnp.float32
+        else x,
+        vit.variables,
+    )
+    vit_img_s = _bench_forward(vit.module, vit_vars, batch, n_iters=30)
+    # ViT-B/16 = 17.56 GMACs (reference meta _ops) -> 35.1 GFLOPs
+    vit_mfu = vit_img_s * 2 * 17.56e9 / V5E_BF16_PEAK_FLOPS
 
     mfu = fwd_img_s * RESNET50_FWD_FLOPS / V5E_BF16_PEAK_FLOPS
     # fwd+bwd ~= 3x fwd FLOPs (standard MFU accounting for training)
@@ -430,6 +444,8 @@ def main():
                     "fwd_bf16_mfu_vs_v5e_peak": round(mfu, 4),
                     "train_step_images_per_sec": round(train_img_s, 1),
                     "train_bf16_mfu_vs_v5e_peak": round(train_mfu, 4),
+                    "vit_b16_fwd_images_per_sec": round(vit_img_s, 1),
+                    "vit_b16_fwd_bf16_mfu": round(vit_mfu, 4),
                     "e2e_host_decode_images_per_sec": round(e2e_img_s, 1),
                     "e2e_tpu_offload_decode_images_per_sec": round(
                         e2e_tpu_dec, 1

@@ -861,3 +861,92 @@ def test_fcos_postprocess_matches_torch():
     np.testing.assert_allclose(got_boxes, want_boxes, atol=2e-3, rtol=1e-4)
     np.testing.assert_allclose(got_scores, want_scores, atol=1e-6)
     np.testing.assert_array_equal(got_labels, want_labels)
+
+
+def test_ssd_loss_matches_torch_transcription():
+    """SSD training loss: SSDMatcher (threshold + FORCED best-anchor-per-
+    gt, later gt wins) + smooth-L1 on foreground + CE with 3:1 hard
+    negative mining, vs a dynamic numpy/torch transcription of reference
+    ssd.py compute_loss + _utils.py SSDMatcher."""
+    from vision_tpu.models.detection import _utils as det_utils
+    from vision_tpu.models.detection.ssd import SSD
+
+    rng = np.random.RandomState(3)
+    r, num_classes, g = 40, 5, 3
+    xy = rng.uniform(4, 56, (r, 2)).astype(np.float32)
+    wh = rng.uniform(8, 24, (r, 2)).astype(np.float32)
+    anchors = np.concatenate([xy - wh / 2, xy + wh / 2], 1)
+    gt = np.asarray(
+        [[8, 8, 28, 30], [30, 30, 55, 52], [5, 40, 20, 60]], np.float32
+    )
+    gt_labels = np.asarray([1, 3, 2])
+    cls_logits = rng.randn(1, r, num_classes).astype(np.float32)
+    reg = (rng.randn(1, r, 4) * 0.3).astype(np.float32)
+
+    class _Logic:
+        box_coder = det_utils.BoxCoder(weights=(10.0, 10.0, 5.0, 5.0))
+        proposal_matcher = det_utils.SSDMatcher(0.5)
+        neg_to_pos_ratio = 3
+
+    losses = SSD.compute_loss(
+        _Logic(),
+        jnp.asarray(cls_logits),
+        jnp.asarray(reg),
+        jnp.asarray(anchors),
+        jnp.asarray(gt)[None],
+        jnp.asarray(gt_labels)[None],
+        jnp.ones((1, g), bool),
+    )
+
+    # ---- transcription (reference ssd.py compute_loss + SSDMatcher) ----
+    def iou(a, b):
+        x1 = np.maximum(a[:, None, 0], b[None, :, 0])
+        y1 = np.maximum(a[:, None, 1], b[None, :, 1])
+        x2 = np.minimum(a[:, None, 2], b[None, :, 2])
+        y2 = np.minimum(a[:, None, 3], b[None, :, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        return inter / (aa[:, None] + ab[None] - inter)
+
+    m = iou(gt, anchors)  # [M, N]
+    matched = np.where(m.max(0) >= 0.5, m.argmax(0), -1)
+    for gi in range(g):  # sequential forced assignment, later gt wins
+        matched[m[gi].argmax()] = gi
+    fg = matched >= 0
+    num_fg = max(int(fg.sum()), 1)
+
+    mb = gt[np.clip(matched, 0, None)]
+    # encode with weights (10, 10, 5, 5)
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    acx = anchors[:, 0] + aw / 2
+    acy = anchors[:, 1] + ah / 2
+    gw = mb[:, 2] - mb[:, 0]
+    gh = mb[:, 3] - mb[:, 1]
+    gcx = mb[:, 0] + gw / 2
+    gcy = mb[:, 1] + gh / 2
+    t = np.stack(
+        [10 * (gcx - acx) / aw, 10 * (gcy - acy) / ah,
+         5 * np.log(gw / aw), 5 * np.log(gh / ah)], -1)
+    d = np.abs(reg[0] - t)
+    sl1 = np.where(d < 1, 0.5 * d**2, d - 0.5).sum(-1)
+    want_bbox = sl1[fg].sum() / num_fg
+
+    tgt = np.where(fg, gt_labels[np.clip(matched, 0, None)], 0)
+    lsm = torch.log_softmax(torch.from_numpy(cls_logits[0]), -1).numpy()
+    ce = -lsm[np.arange(r), tgt]
+    neg = ce.copy()
+    neg[fg] = -np.inf
+    order = np.argsort(-neg, kind="stable")
+    keep_neg = np.zeros(r, bool)
+    keep_neg[order[: 3 * num_fg]] = True
+    keep_neg &= ~fg
+    want_cls = (ce[fg].sum() + ce[keep_neg].sum()) / num_fg
+
+    np.testing.assert_allclose(
+        float(losses["bbox_regression"]), want_bbox, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(losses["classification"]), want_cls, rtol=1e-5
+    )

@@ -181,6 +181,35 @@ class Matcher:
         return matches
 
 
+class SSDMatcher(Matcher):
+    """reference ``detection/_utils.py`` SSDMatcher: single-threshold
+    matching, then each gt's single best prediction is FORCED to that gt
+    (``matches[argmax_pred_per_gt] = gt``; on conflicts the later gt
+    wins, matching the reference's sequential assignment). This differs
+    from ``allow_low_quality_matches`` (which restores the prediction's
+    own argmax gt for every tying prediction)."""
+
+    def __init__(self, threshold: float = 0.5):
+        super().__init__(threshold, threshold, allow_low_quality_matches=False)
+
+    def __call__(
+        self, match_quality_matrix: jax.Array, valid_gt: Optional[jax.Array] = None
+    ) -> jax.Array:
+        matches = super().__call__(match_quality_matrix, valid_gt)
+        m = match_quality_matrix
+        if valid_gt is not None:
+            m = jnp.where(valid_gt[:, None], m, -1.0)
+        num_gt, num_pred = m.shape
+        best_pred = jnp.argmax(m, axis=1)  # [M]
+        onehot = best_pred[:, None] == jnp.arange(num_pred)[None, :]
+        if valid_gt is not None:
+            onehot = onehot & valid_gt[:, None]
+        gt_idx = jnp.arange(num_gt)[:, None]
+        # later gt wins on conflicts == max gt index claiming this pred
+        forced = jnp.max(jnp.where(onehot, gt_idx, -1), axis=0)  # [N]
+        return jnp.where(forced >= 0, forced, matches).astype(jnp.int32)
+
+
 class BalancedPositiveNegativeSampler:
     """reference ``detection/_utils.py:11``: sample a fixed number of
     positives/negatives per image.

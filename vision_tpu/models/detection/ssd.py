@@ -135,10 +135,7 @@ class SSD(nn.Module):
             name="head",
         )
         self.box_coder = det_utils.BoxCoder(weights=(10.0, 10.0, 5.0, 5.0))
-        # SSDMatcher: single threshold + forced best-match per gt
-        self.proposal_matcher = det_utils.Matcher(
-            self.iou_thresh, self.iou_thresh, allow_low_quality_matches=True
-        )
+        self.proposal_matcher = det_utils.SSDMatcher(self.iou_thresh)
 
     def __call__(self, images: jax.Array, train: bool = False):
         feats = self.backbone(images, train=train)
