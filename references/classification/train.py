@@ -234,6 +234,9 @@ def make_device_augment(args):
         T.ToDtype(jnp.float32, scale=True),
         T.Normalize(mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225]),
     ]
+    if args.random_erase > 0:
+        # after Normalize, like the reference preset (presets.py)
+        stages.append(T.RandomErasing(p=args.random_erase))
     pipeline = T.Compose(stages)
     mixers = []
     if args.mixup_alpha > 0:

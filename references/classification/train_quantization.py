@@ -117,7 +117,8 @@ def main(args):
         key = jax.random.PRNGKey(args.seed)
         start = time.time()
         for epoch in range(args.start_epoch, args.epochs):
-            train_sampler.set_epoch(epoch)
+            if train_sampler is not None:  # None on the --tpu-decode path
+                train_sampler.set_epoch(epoch)
             train_loader.set_epoch(epoch)
             logger = utils.MetricLogger()
             for batch in logger.log_every(

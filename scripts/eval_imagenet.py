@@ -73,9 +73,29 @@ def main() -> int:
 
     module, variables = model.module, model.variables
 
+    # ImageNet-val images vary in size, so the variable-size half of the
+    # preset (short-side resize + center crop) runs PER IMAGE on host;
+    # the batch entering jit is a fixed crop_size canvas and only the
+    # rescale/normalize + forward run on device.
+    crop = preprocess.crop_size
+
+    def host_preprocess(img):
+        from vision_tpu.transforms.v2 import functional as TF
+
+        img = TF.resize(
+            np.asarray(img), preprocess.resize_size,
+            interpolation=preprocess.interpolation,
+            antialias=preprocess.antialias,
+        )
+        return np.asarray(TF.center_crop(img, crop))
+
+    mean = jnp.asarray(preprocess.mean, jnp.float32)
+    std = jnp.asarray(preprocess.std, jnp.float32)
+
     @jax.jit
     def forward(variables, batch):
-        x = jax.vmap(preprocess)(batch)
+        x = batch.astype(jnp.float32) / 255.0
+        x = (x - mean) / std
         logits = module.apply(variables, x, train=False)
         return jax.lax.top_k(logits, 5)[1]
 
@@ -87,7 +107,7 @@ def main() -> int:
         imgs, labels = [], []
         for i in range(n_total):
             img, label = ds[i]
-            imgs.append(np.asarray(img))
+            imgs.append(host_preprocess(img))
             labels.append(label)
             if len(imgs) == bs or i == n_total - 1:
                 # pad the tail batch so the jit shape stays static

@@ -146,3 +146,32 @@ def test_scaled_decode_transfer_shrinks():
     lim = jpeg_coefficients_native(data, 4)
     assert lim[0][0].shape[-1] == 16 and full[0][0].shape[-1] == 64
     assert lim[0][0].nbytes * 4 == full[0][0].nbytes
+
+
+def test_scale_fallback_resamples_when_native_unavailable(monkeypatch):
+    """Regression (round-2 review): decode_jpeg(scale=...) used to
+    silently return the FULL-size image when the native scaled decode is
+    unavailable; it must resample to the scaled dims instead."""
+    from vision_tpu.io import _codecs as codecs_mod
+
+    data = encode_jpeg(_photo_like(h=96, w=120), quality=85)
+    want = np.asarray(decode_jpeg(data, scale=(4, 8))).shape
+    monkeypatch.setattr(
+        codecs_mod, "decode_jpeg_scaled_native", lambda *a: None
+    )
+    got = np.asarray(decode_jpeg(data, scale=(4, 8)))
+    assert got.shape == want  # (48, 60, 3), NOT (96, 120, 3)
+
+
+def test_device_tpu_gray_mode_and_list_contract():
+    """Regression (round-2 review): device='tpu' honors mode=GRAY and a
+    list input returns a list on BOTH the device path and the fallback."""
+    from vision_tpu.io.image import ImageReadMode
+
+    data = encode_jpeg(_photo_like(), quality=85)
+    out = decode_jpeg([data, data], device="tpu", mode=ImageReadMode.GRAY)
+    assert isinstance(out, list) and np.asarray(out[0]).shape[-1] == 1
+    small = encode_jpeg(_photo_like(h=64, w=64), quality=85)
+    mixed = decode_jpeg([data, small], device="tpu")
+    assert isinstance(mixed, list)
+    assert np.asarray(mixed[0]).shape[-1] == 3

@@ -307,3 +307,38 @@ def test_trivialaugment_jits(rng):
         np.asarray(fn(img, jax.random.PRNGKey(11))),
         np.asarray(fn(img, jax.random.PRNGKey(11))),
     )
+
+
+def test_jitted_uint8_pipeline_dtype_flow(rng):
+    """Regression (round-2 review): the traced resized-crop must return
+    the INTEGER input dtype so ToDtype(scale=True) rescales and
+    Normalize sees [0,1] floats — the jitted pipeline used to push raw
+    0-255 floats through, producing ~1000x-off activations."""
+    from vision_tpu.transforms import v2 as T
+    from vision_tpu.transforms.v2.functional import resized_crop_dynamic
+
+    img = jnp.asarray((rng.rand(48, 48, 3) * 255).astype(np.uint8))
+    out = jax.jit(
+        lambda i: resized_crop_dynamic(
+            i, jnp.float32(2), jnp.float32(3), jnp.float32(40),
+            jnp.float32(40), (32, 32),
+        )
+    )(img)
+    assert out.dtype == jnp.uint8
+
+    pipe = T.Compose([
+        T.RandomResizedCrop(32, antialias=True),
+        T.ColorJitter(brightness=0.4, contrast=0.4, saturation=0.4,
+                      hue=0.1),
+        T.RandomErasing(p=1.0),
+        T.ToDtype(jnp.float32, scale=True),
+        T.Normalize(mean=[0.485, 0.456, 0.406],
+                    std=[0.229, 0.224, 0.225]),
+    ])
+    k = jax.random.PRNGKey(5)
+    jitted = np.asarray(jax.jit(lambda i, kk: pipe(i, key=kk))(img, k))
+    eager = np.asarray(pipe(img, key=k))
+    # params differ between traced/eager sampling; the CONTRACT is the
+    # normalized value range (a dtype bug puts jit 100-1000x off)
+    for arr in (jitted, eager):
+        assert -4.0 < arr.min() and arr.max() < 4.0

@@ -115,22 +115,56 @@ def decode_jpeg(
     reference's ``device="cuda"`` nvJPEG batch path (``io/image.py:233``):
     host Huffman decode + on-device IDCT/upsample/color via
     ``io/jpeg_tpu.py``; falls back to the host loop when the batch is not
-    geometry-uniform or a stream is unsupported."""
+    geometry-uniform or a stream is unsupported. Like the reference's
+    CUDA path, it supports ``mode`` RGB/GRAY (UNCHANGED decodes to RGB —
+    the device kernel always produces 3 channels) and a LIST input always
+    returns a LIST of per-image arrays, whichever path produced them."""
     if device == "tpu":
         from vision_tpu.io.jpeg_tpu import decode_jpeg_batch_tpu
 
-        buffers = data if isinstance(data, (list, tuple)) else [data]
+        is_list = isinstance(data, (list, tuple))
+        buffers = data if is_list else [data]
         out = decode_jpeg_batch_tpu(buffers)
         if out is not None:
-            return out if isinstance(data, (list, tuple)) else out[0]
-        decoded = [decode_jpeg(b, mode=mode) for b in buffers]
-        return decoded if isinstance(data, (list, tuple)) else decoded[0]
+            if mode == ImageReadMode.GRAY:
+                import jax.numpy as jnp
+
+                w = jnp.asarray([0.2989, 0.587, 0.114], jnp.float32)
+                g = jnp.sum(out.astype(jnp.float32) * w, axis=-1)
+                out = jnp.clip(jnp.round(g), 0, 255).astype(jnp.uint8)[
+                    ..., None
+                ]
+            decoded = list(out)
+        else:
+            decoded = [
+                decode_jpeg(b, mode=ImageReadMode.RGB if mode == ImageReadMode.UNCHANGED else mode)
+                for b in buffers
+            ]
+        return decoded if is_list else decoded[0]
     if isinstance(data, (list, tuple)):
         return [decode_jpeg(b, mode=mode, scale=scale) for b in data]
     if scale is not None:
         arr = _codecs.decode_jpeg_scaled_native(data, scale[0], scale[1])
         if arr is not None:
             return _apply_mode(arr, mode)
+        # native scaled decode unavailable: decode full size and resample
+        # to the scaled dims rather than silently returning full size
+        full = _codecs.decode_jpeg_native(data)
+        if full is None:
+            full = _pil_decode(data)
+        import math as _math
+
+        import PIL.Image
+
+        num, den = scale
+        nh = _math.ceil(full.shape[0] * num / den)
+        nw = _math.ceil(full.shape[1] * num / den)
+        arr = np.asarray(
+            PIL.Image.fromarray(full).resize(
+                (nw, nh), PIL.Image.BILINEAR
+            )
+        )
+        return _apply_mode(arr, mode)
     arr = _codecs.decode_jpeg_native(data)
     if arr is None:
         arr = _pil_decode(data)

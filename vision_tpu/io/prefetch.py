@@ -70,13 +70,7 @@ class PrefetchIterator:
         q_host: "queue.Queue" = queue.Queue(maxsize=self._depth)
         q_dev: "queue.Queue" = queue.Queue(maxsize=self._depth)
         err = []
-
-        def put(batch):
-            if self._sharding is not None:
-                return jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, self._sharding), batch
-                )
-            return jax.tree_util.tree_map(jax.device_put, batch)
+        put = self._put
 
         def producer():
             try:
@@ -110,19 +104,22 @@ class PrefetchIterator:
             yield item
 
 
+    def _put(self, batch):
+        """Land a host batch on device (sharding-aware); shared by both
+        pipeline shapes."""
+        if self._sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._sharding), batch
+            )
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
     def _iter_single_worker(self) -> Iterator[Any]:
         """Degenerate pipeline for 1-vCPU hosts: one background thread
         decodes and lands batches on device; the consumer still overlaps
         device compute with the next batch's host work."""
         q_dev: "queue.Queue" = queue.Queue(maxsize=self._depth)
         err = []
-
-        def put(batch):
-            if self._sharding is not None:
-                return jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, self._sharding), batch
-                )
-            return jax.tree_util.tree_map(jax.device_put, batch)
+        put = self._put
 
         def worker():
             try:

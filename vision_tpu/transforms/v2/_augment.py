@@ -51,6 +51,10 @@ class RandomErasing(_RandomApplyTransform):
                 break
         area = img_h * img_w
         log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+        if isinstance(key, jax.core.Tracer):
+            return self._make_params_traced(
+                img_h, img_w, num_channels, key
+            )
         for k in jax.random.split(key, 10):
             k1, k2, k3, k4, k5 = jax.random.split(k, 5)
             erase_area = (
@@ -80,7 +84,56 @@ class RandomErasing(_RandomApplyTransform):
             return dict(i=i, j=j, h=h, w=w, v=v)
         return dict(i=0, j=0, h=0, w=0, v=None)
 
+    def _make_params_traced(self, img_h, img_w, num_channels, key):
+        """Traced erase box (jitted pipelines): vectorized rejection like
+        the eager loop; the fill is materialized at FULL image size and
+        applied as a rectangle mask in transform()."""
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+        u = jax.random.uniform(
+            k1, (10,), minval=self.scale[0], maxval=self.scale[1]
+        )
+        aspect = jnp.exp(
+            jax.random.uniform(k2, (10,), minval=log_ratio[0],
+                               maxval=log_ratio[1])
+        )
+        area = img_h * img_w
+        hs = jnp.round(jnp.sqrt(area * u * aspect))
+        ws = jnp.round(jnp.sqrt(area * u / aspect))
+        valid = (hs < img_h) & (ws < img_w)
+        idx = jnp.argmax(valid)
+        any_valid = valid.any()
+        h = jnp.where(any_valid, hs[idx], 0.0)
+        w = jnp.where(any_valid, ws[idx], 0.0)
+        i = jnp.floor(jax.random.uniform(k4) * (img_h - h + 1.0))
+        j = jnp.floor(jax.random.uniform(k5) * (img_w - w + 1.0))
+        if self.value is None:
+            v = jax.random.normal(k3, (img_h, img_w, num_channels))
+        elif isinstance(self.value, (list, tuple)):
+            v = jnp.broadcast_to(
+                jnp.asarray(self.value, jnp.float32),
+                (img_h, img_w, num_channels),
+            )
+        else:
+            v = jnp.full(
+                (img_h, img_w, num_channels), float(self.value)
+            )
+        return dict(i=i, j=j, h=h, w=w, v=v, traced=True)
+
     def transform(self, inpt, params):
+        if params.get("traced"):
+            img = inpt.data if hasattr(inpt, "data") else inpt
+            rows = jnp.arange(img.shape[-3], dtype=jnp.float32)
+            cols = jnp.arange(img.shape[-2], dtype=jnp.float32)
+            in_r = (rows >= params["i"]) & (rows < params["i"] + params["h"])
+            in_c = (cols >= params["j"]) & (cols < params["j"] + params["w"])
+            mask = (in_r[:, None] & in_c[None, :])[..., None]
+            out = jnp.where(mask, params["v"].astype(img.dtype), img)
+            from vision_tpu import tv_tensors as _tt
+
+            if isinstance(inpt, _tt.TVTensor):
+                return _tt.wrap(out, like=inpt)
+            return out
         if params["v"] is None or params["h"] == 0:
             return inpt
         return F.erase(

@@ -153,8 +153,12 @@ def _hsv2rgb(img: jax.Array):
 
 
 def adjust_hue(inpt, hue_factor: float):
-    """reference adjust_hue: RGB -> HSV, shift h, back (``_color.py:300``)."""
-    if not -0.5 <= hue_factor <= 0.5:
+    """reference adjust_hue: RGB -> HSV, shift h, back (``_color.py:300``).
+    ``hue_factor`` may be a traced scalar (jitted ColorJitter); range
+    validation only applies to concrete values."""
+    if not isinstance(hue_factor, jax.core.Tracer) and not (
+        -0.5 <= hue_factor <= 0.5
+    ):
         raise ValueError(f"hue_factor must be in [-0.5, 0.5], got {hue_factor}")
     img, rewrap = _unwrap(inpt)
     if img.shape[-1] == 1:

@@ -584,7 +584,13 @@ def resized_crop_dynamic(image, top, left, height, width, size):
         + take_hw(y1, x0) * ly * (1 - lx)
         + take_hw(y1, x1) * ly * lx
     )
-    return out.astype(image.dtype) if jnp.issubdtype(image.dtype, jnp.floating) else out
+    if jnp.issubdtype(image.dtype, jnp.floating):
+        return out.astype(image.dtype)
+    # integer input MUST come back in the integer dtype: downstream
+    # dtype-branching ops (ToDtype(scale=True), RandAugment's value-range
+    # logic) otherwise treat 0-255 data as already-scaled floats
+    info = jnp.iinfo(image.dtype)
+    return jnp.clip(jnp.round(out), info.min, info.max).astype(image.dtype)
 
 
 # ======================================================================
