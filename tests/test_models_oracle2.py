@@ -950,3 +950,95 @@ def test_ssd_loss_matches_torch_transcription():
     np.testing.assert_allclose(
         float(losses["classification"]), want_cls, rtol=1e-5
     )
+
+
+def test_retinanet_loss_matches_torch_transcription():
+    """RetinaNet training losses: Matcher(0.5, 0.4, low-quality allowed)
+    + sigmoid focal loss over valid (non-between) anchors + L1 on
+    foreground, vs a numpy/torch transcription of reference
+    retinanet.py:158-300."""
+    from vision_tpu.models.detection import _utils as det_utils
+    from vision_tpu.models.detection.retinanet import RetinaNet
+
+    rng = np.random.RandomState(6)
+    r, num_classes, g = 60, 4, 2
+    xy = rng.uniform(4, 56, (r, 2)).astype(np.float32)
+    wh = rng.uniform(8, 24, (r, 2)).astype(np.float32)
+    anchors = np.concatenate([xy - wh / 2, xy + wh / 2], 1)
+    gt = np.asarray([[8, 8, 30, 30], [28, 30, 56, 55]], np.float32)
+    gt_labels = np.asarray([1, 3])
+    cls_logits = rng.randn(1, r, num_classes).astype(np.float32)
+    reg = (rng.randn(1, r, 4) * 0.3).astype(np.float32)
+
+    class _Logic:
+        num_classes = 4
+        box_coder = det_utils.BoxCoder(weights=(1.0, 1.0, 1.0, 1.0))
+        proposal_matcher = det_utils.Matcher(
+            0.5, 0.4, allow_low_quality_matches=True
+        )
+
+    losses = RetinaNet.compute_loss(
+        _Logic(),
+        [jnp.asarray(cls_logits)],
+        [jnp.asarray(reg)],
+        [jnp.asarray(anchors)],
+        jnp.asarray(gt)[None],
+        jnp.asarray(gt_labels)[None],
+        jnp.ones((1, g), bool),
+    )
+
+    # ---- transcription ----
+    def iou(a, b):
+        x1 = np.maximum(a[:, None, 0], b[None, :, 0])
+        y1 = np.maximum(a[:, None, 1], b[None, :, 1])
+        x2 = np.minimum(a[:, None, 2], b[None, :, 2])
+        y2 = np.minimum(a[:, None, 3], b[None, :, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        return inter / (aa[:, None] + ab[None] - inter)
+
+    m = iou(gt, anchors)
+    mv = m.max(0)
+    matched = m.argmax(0)
+    all_matches = matched.copy()
+    matched = np.where(mv < 0.4, -1, matched)
+    matched = np.where((mv >= 0.4) & (mv < 0.5), -2, matched)
+    # allow_low_quality: every anchor tying a gt's best quality restored
+    best_per_gt = m.max(1, keepdims=True)
+    restore = (m == best_per_gt).any(0)
+    matched = np.where(restore, all_matches, matched)
+
+    fg = matched >= 0
+    num_fg = max(int(fg.sum()), 1)
+    tgt = np.zeros((r, num_classes), np.float32)
+    tgt[fg, gt_labels[np.clip(matched, 0, None)[fg]]] = 1.0
+    valid_anchor = matched != -2
+    logits_t = torch.from_numpy(cls_logits[0])
+    p = torch.sigmoid(logits_t).numpy()
+    ce = -(tgt * np.log(p + 1e-20) + (1 - tgt) * np.log(1 - p + 1e-20))
+    p_t = p * tgt + (1 - p) * (1 - tgt)
+    alpha_t = 0.25 * tgt + 0.75 * (1 - tgt)
+    focal = alpha_t * ((1 - p_t) ** 2) * ce
+    want_cls = focal[valid_anchor].sum() / num_fg
+
+    mb = gt[np.clip(matched, 0, None)]
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    acx = anchors[:, 0] + aw / 2
+    acy = anchors[:, 1] + ah / 2
+    gw = mb[:, 2] - mb[:, 0]
+    gh = mb[:, 3] - mb[:, 1]
+    gcx = mb[:, 0] + gw / 2
+    gcy = mb[:, 1] + gh / 2
+    t = np.stack(
+        [(gcx - acx) / aw, (gcy - acy) / ah,
+         np.log(gw / aw), np.log(gh / ah)], -1)
+    want_reg = np.abs(reg[0] - t).sum(-1)[fg].sum() / num_fg
+
+    np.testing.assert_allclose(
+        float(losses["classification"]), want_cls, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(losses["bbox_regression"]), want_reg, rtol=1e-5
+    )
