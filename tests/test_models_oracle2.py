@@ -1042,3 +1042,133 @@ def test_retinanet_loss_matches_torch_transcription():
     np.testing.assert_allclose(
         float(losses["bbox_regression"]), want_reg, rtol=1e-5
     )
+
+
+def test_fcos_loss_matches_torch_transcription():
+    """FCOS training losses: center-sampling + scale-range matching to
+    the min-area gt, focal over all anchors, GIoU on foreground,
+    centerness BCE — vs a numpy/torch transcription of reference
+    fcos.py:440 compute_loss."""
+    from vision_tpu.models.detection import _utils as det_utils
+    from vision_tpu.models.detection.fcos import FCOS
+
+    rng = np.random.RandomState(7)
+    num_classes, g = 4, 2
+    # two levels of stride-sized anchors (stride 8 and 16)
+    def grid_anchors(fh, fw, stride):
+        out = []
+        for yy in range(fh):
+            for xx in range(fw):
+                cx = xx * stride + stride / 2
+                cy = yy * stride + stride / 2
+                out.append([cx - stride / 2, cy - stride / 2,
+                            cx + stride / 2, cy + stride / 2])
+        return np.asarray(out, np.float32)
+
+    anchors = [grid_anchors(8, 8, 8), grid_anchors(4, 4, 16)]
+    n_per = [64, 16]
+    gt = np.asarray([[6, 6, 40, 36], [20, 24, 60, 62]], np.float32)
+    gt_labels = np.asarray([2, 1])
+    logits = [rng.randn(1, n, num_classes).astype(np.float32) for n in n_per]
+    reg = [np.abs(rng.randn(1, n, 4)).astype(np.float32) for n in n_per]
+    ctr = [rng.randn(1, n, 1).astype(np.float32) for n in n_per]
+
+    class _Logic:
+        num_classes = 4
+        box_coder = det_utils.BoxLinearCoder(normalize_by_size=True)
+        center_sampling_radius = 1.5
+
+    losses = FCOS.compute_loss(
+        _Logic(),
+        [jnp.asarray(x) for x in logits],
+        [jnp.asarray(x) for x in reg],
+        [jnp.asarray(x) for x in ctr],
+        [jnp.asarray(a) for a in anchors],
+        jnp.asarray(gt)[None],
+        jnp.asarray(gt_labels)[None],
+        jnp.ones((1, g), bool),
+    )
+
+    # ---- transcription ----
+    A = np.concatenate(anchors)
+    R = A.shape[0]
+    sizes = A[:, 2] - A[:, 0]
+    lower = sizes * 4.0
+    upper = sizes * 8.0
+    lower[:64] = 0.0
+    upper[64:] = np.inf
+    ac = (A[:, :2] + A[:, 2:]) / 2
+    gc = (gt[:, :2] + gt[:, 2:]) / 2
+    pm = (
+        np.abs(ac[:, None] - gc[None]).max(2)
+        < 1.5 * sizes[:, None]
+    )
+    dist = np.stack(
+        [ac[:, 0:1] - gt[None, :, 0], ac[:, 1:2] - gt[None, :, 1],
+         gt[None, :, 2] - ac[:, 0:1], gt[None, :, 3] - ac[:, 1:2]], 2)
+    pm &= dist.min(2) > 0
+    dmax = dist.max(2)
+    pm &= (dmax > lower[:, None]) & (dmax < upper[:, None])
+    areas = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1])
+    score = pm.astype(np.float64) * (1e8 - areas[None])
+    matched = np.where(score.max(1) < 1e-5, -1, score.argmax(1))
+    fg = matched >= 0
+    num_fg = max(int(fg.sum()), 1)
+
+    L = np.concatenate([x[0] for x in logits])
+    Rg = np.concatenate([x[0] for x in reg])
+    C = np.concatenate([x[0] for x in ctr])[:, 0]
+
+    tgt = np.zeros((R, num_classes), np.float32)
+    tgt[fg, gt_labels[np.clip(matched, 0, None)[fg]]] = 1.0
+    p = 1 / (1 + np.exp(-L))
+    ce = -(tgt * np.log(p + 1e-20) + (1 - tgt) * np.log(1 - p + 1e-20))
+    p_t = p * tgt + (1 - p) * (1 - tgt)
+    focal = (0.25 * tgt + 0.75 * (1 - tgt)) * (1 - p_t) ** 2 * ce
+    want_cls = focal.sum() / num_fg
+
+    # decode (BoxLinearCoder, normalized): pred = center -/+ rel * size
+    w = sizes
+    h = A[:, 3] - A[:, 1]
+    rr = Rg * np.stack([w, h, w, h], -1)
+    pred = np.stack(
+        [ac[:, 0] - rr[:, 0], ac[:, 1] - rr[:, 1],
+         ac[:, 0] + rr[:, 2], ac[:, 1] + rr[:, 3]], -1)
+    gb = gt[np.clip(matched, 0, None)]
+
+    def giou_loss(a, b):
+        x1 = np.maximum(a[:, 0], b[:, 0]); y1 = np.maximum(a[:, 1], b[:, 1])
+        x2 = np.minimum(a[:, 2], b[:, 2]); y2 = np.minimum(a[:, 3], b[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        union = aa + ab - inter
+        iou = inter / (union + 1e-7)
+        cx1 = np.minimum(a[:, 0], b[:, 0]); cy1 = np.minimum(a[:, 1], b[:, 1])
+        cx2 = np.maximum(a[:, 2], b[:, 2]); cy2 = np.maximum(a[:, 3], b[:, 3])
+        hull = (cx2 - cx1) * (cy2 - cy1)
+        return 1 - iou + (hull - union) / (hull + 1e-7)
+
+    want_reg = (giou_loss(pred, gb) * fg).sum() / num_fg
+
+    # centerness targets from encoded l/t/r/b
+    l_ = (ac[:, 0] - gb[:, 0]) / w
+    t_ = (ac[:, 1] - gb[:, 1]) / h
+    r_ = (gb[:, 2] - ac[:, 0]) / w
+    b_ = (gb[:, 3] - ac[:, 1]) / h
+    lr = np.stack([l_, r_], -1); tb = np.stack([t_, b_], -1)
+    ctr_t = np.sqrt(np.clip(
+        (lr.min(-1) / np.clip(lr.max(-1), 1e-6, None))
+        * (tb.min(-1) / np.clip(tb.max(-1), 1e-6, None)), 0, None))
+    bce = np.clip(C, 0, None) - C * ctr_t + np.log1p(np.exp(-np.abs(C)))
+    want_ctr = (bce * fg).sum() / num_fg
+
+    np.testing.assert_allclose(
+        float(losses["classification"]), want_cls, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(losses["bbox_regression"]), want_reg, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(losses["bbox_ctrness"]), want_ctr, rtol=1e-4
+    )
