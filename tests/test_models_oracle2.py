@@ -1172,3 +1172,80 @@ def test_fcos_loss_matches_torch_transcription():
     np.testing.assert_allclose(
         float(losses["bbox_ctrness"]), want_ctr, rtol=1e-4
     )
+
+
+def test_rpn_loss_matches_torch_transcription():
+    """RPN training losses with a SATURATED sampler (budget >= all
+    candidate anchors makes BalancedPositiveNegativeSampler
+    deterministic): Matcher(0.7, 0.3, low-quality) + BCE objectness +
+    smooth-L1(beta=1/9) on positives / num_sampled, vs a numpy
+    transcription of reference rpn.py:299."""
+    from vision_tpu.models.detection.rpn import RegionProposalNetwork
+
+    rng = np.random.RandomState(8)
+    r, g = 40, 2
+    xy = rng.uniform(4, 56, (r, 2)).astype(np.float32)
+    wh = rng.uniform(8, 24, (r, 2)).astype(np.float32)
+    anchors = np.concatenate([xy - wh / 2, xy + wh / 2], 1)
+    gt = np.asarray([[8, 8, 30, 30], [28, 30, 56, 55]], np.float32)
+    obj = rng.randn(1, r).astype(np.float32)
+    deltas = (rng.randn(1, r, 4) * 0.3).astype(np.float32)
+
+    rpn = RegionProposalNetwork(batch_size_per_image=4 * r)
+    losses = rpn.compute_loss(
+        [jnp.asarray(obj)],
+        [jnp.asarray(deltas)],
+        [jnp.asarray(anchors)],
+        jnp.asarray(gt)[None],
+        jnp.ones((1, g), bool),
+        jax.random.PRNGKey(0),
+    )
+
+    def iou(a, b):
+        x1 = np.maximum(a[:, None, 0], b[None, :, 0])
+        y1 = np.maximum(a[:, None, 1], b[None, :, 1])
+        x2 = np.minimum(a[:, None, 2], b[None, :, 2])
+        y2 = np.minimum(a[:, None, 3], b[None, :, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        return inter / (aa[:, None] + ab[None] - inter)
+
+    m = iou(gt, anchors)
+    mv, am = m.max(0), m.argmax(0)
+    matched = np.where(mv < 0.3, -1, am)
+    matched = np.where((mv >= 0.3) & (mv < 0.7), -2, matched)
+    restore = (m == m.max(1, keepdims=True)).any(0)
+    matched = np.where(restore, am, matched)
+
+    pos = matched >= 0
+    neg = matched == -1
+    sampled = pos | neg  # saturated budget selects everything
+    num_sampled = max(int(sampled.sum()), 1)
+    labels = pos.astype(np.float32)
+    o = obj[0]
+    bce = np.clip(o, 0, None) - o * labels + np.log1p(np.exp(-np.abs(o)))
+    want_obj = bce[sampled].sum() / num_sampled
+
+    mb = gt[np.clip(matched, 0, None)]
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    acx = anchors[:, 0] + aw / 2
+    acy = anchors[:, 1] + ah / 2
+    gw = mb[:, 2] - mb[:, 0]
+    gh = mb[:, 3] - mb[:, 1]
+    gcx = mb[:, 0] + gw / 2
+    gcy = mb[:, 1] + gh / 2
+    t = np.stack([(gcx - acx) / aw, (gcy - acy) / ah,
+                  np.log(gw / aw), np.log(gh / ah)], -1)
+    d = np.abs(deltas[0] - t)
+    beta = 1.0 / 9.0
+    sl1 = np.where(d < beta, 0.5 * d**2 / beta, d - 0.5 * beta).sum(-1)
+    want_box = sl1[pos].sum() / num_sampled
+
+    np.testing.assert_allclose(
+        float(losses["loss_objectness"]), want_obj, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(losses["loss_rpn_box_reg"]), want_box, rtol=1e-5
+    )
