@@ -186,9 +186,12 @@ class FasterRCNN(nn.Module):
         gt_valid: jax.Array,
         key: jax.Array,
         train: bool = True,
+        _return_internals: bool = False,
     ) -> Dict[str, jax.Array]:
         """Training forward: RPN + box-head losses (reference
-        GeneralizedRCNN.forward training branch)."""
+        GeneralizedRCNN.forward training branch). ``_return_internals``
+        additionally returns (feats, sampled, image_size) for the mask/
+        keypoint branch losses of the subclasses."""
         image_size = (images.shape[1], images.shape[2])
         feats, objectness, deltas, anchors = self._features_and_rpn(
             images, train=train
@@ -214,7 +217,10 @@ class FasterRCNN(nn.Module):
         box_losses = self.roi_heads.fastrcnn_loss(
             class_logits, box_regression, sampled
         )
-        return {**rpn_losses, **box_losses}
+        losses = {**rpn_losses, **box_losses}
+        if _return_internals:
+            return losses, (feats, sampled, image_size)
+        return losses
 
 
 def _frcnn_hooks(sd):

@@ -116,6 +116,41 @@ class KeypointRCNN(FasterRCNN):
             self.num_keypoints, name="roi_heads.keypoint_predictor"
         )
 
+    def compute_loss(
+        self,
+        images: jax.Array,
+        gt_boxes: jax.Array,
+        gt_labels: jax.Array,
+        gt_valid: jax.Array,
+        key: jax.Array,
+        gt_keypoints: jax.Array = None,  # [N, G, K, 3]
+        train: bool = True,
+    ):
+        """Training forward: RPN + box losses + keypoint-heatmap CE on
+        the sampled positives (reference keypointrcnn_loss)."""
+        losses, (feats, sampled, image_size) = super().compute_loss(
+            images, gt_boxes, gt_labels, gt_valid, key, train=train,
+            _return_internals=True,
+        )
+        if gt_keypoints is None:
+            return losses
+        n, s = sampled.boxes.shape[:2]
+        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), s)
+        rois = jnp.concatenate(
+            [batch_idx[:, None], sampled.boxes.reshape(-1, 4)], axis=1
+        )
+        pooled = self.keypoint_roi_pool(
+            {k: feats[k] for k in ["0", "1", "2", "3"]}, rois, image_size
+        )
+        x = self.keypoint_head(pooled)
+        maps = self.keypoint_predictor(x)  # [N*S, 56, 56, K]
+        hm = maps.shape[1]
+        maps = maps.reshape(n, s, hm, hm, -1)
+        losses["loss_keypoint"] = self.roi_heads.keypointrcnn_loss(
+            maps, sampled, gt_keypoints
+        )
+        return losses
+
     def __call__(self, images: jax.Array, train: bool = False):
         dets = super().__call__(images, train=train)
         image_size = (images.shape[1], images.shape[2])

@@ -56,6 +56,42 @@ class MaskRCNN(FasterRCNN):
             self.num_classes, name="roi_heads.mask_predictor"
         )
 
+    def compute_loss(
+        self,
+        images: jax.Array,
+        gt_boxes: jax.Array,
+        gt_labels: jax.Array,
+        gt_valid: jax.Array,
+        key: jax.Array,
+        gt_masks: jax.Array = None,  # [N, G, H, W]
+        train: bool = True,
+    ):
+        """Training forward: RPN + box losses + mask-branch BCE on the
+        sampled positives (reference MaskRCNN training branch,
+        roi_heads.py:100 maskrcnn_loss)."""
+        losses, (feats, sampled, image_size) = super().compute_loss(
+            images, gt_boxes, gt_labels, gt_valid, key, train=train,
+            _return_internals=True,
+        )
+        if gt_masks is None:
+            return losses
+        n, s = sampled.boxes.shape[:2]
+        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), s)
+        rois = jnp.concatenate(
+            [batch_idx[:, None], sampled.boxes.reshape(-1, 4)], axis=1
+        )
+        pooled = self.mask_roi_pool(
+            {k: feats[k] for k in ["0", "1", "2", "3"]}, rois, image_size
+        )
+        x = self.mask_head(pooled, train=train)
+        logits = self.mask_predictor(x)  # [N*S, 28, 28, C]
+        m = logits.shape[1]
+        logits = logits.reshape(n, s, m, m, -1)
+        losses["loss_mask"] = self.roi_heads.maskrcnn_loss(
+            logits, sampled, gt_masks
+        )
+        return losses
+
     def __call__(self, images: jax.Array, train: bool = False):
         """Eval path: box detections + per-detection mask probabilities
         (28x28 in box frame; use

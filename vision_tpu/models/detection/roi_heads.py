@@ -274,6 +274,92 @@ class RoIHeadsLogic:
         box_loss = jnp.sum(sl1.sum(-1) * sampled.pos_mask) / num_valid
         return {"loss_classifier": cls_loss, "loss_box_reg": box_loss}
 
+    def maskrcnn_loss(
+        self,
+        mask_logits: jax.Array,  # [N, S, M, M, C]
+        sampled: SampledProposals,
+        gt_masks: jax.Array,  # [N, G, H, W] (0/1)
+    ) -> jax.Array:
+        """reference ``roi_heads.py:100`` maskrcnn_loss: project each
+        positive proposal's matched gt mask into the proposal box at MxM
+        via roi_align (scale 1), then BCE-with-logits on the matched
+        class's mask channel, averaged over positive-proposal pixels.
+
+        Divergence note: the reference projects with the ADAPTIVE
+        sampling ratio (-1, ceil(box/M) samples per bin); the static-
+        shape path here uses sampling_ratio=2 — same bilinear filter,
+        fixed 2x2 sample grid per bin."""
+        from vision_tpu.ops.roi_align import roi_align
+
+        n, s, m, _, c = mask_logits.shape
+        g, h, w = gt_masks.shape[1:]
+        flat = gt_masks.reshape(n * g, h, w, 1).astype(jnp.float32)
+        gt_idx = jnp.clip(sampled.matched_gt, 0)
+        batch_idx = (
+            jnp.arange(n)[:, None] * g + gt_idx
+        ).reshape(-1).astype(jnp.float32)
+        rois = jnp.concatenate(
+            [batch_idx[:, None], sampled.boxes.reshape(-1, 4)], axis=1
+        )
+        targets = roi_align(flat, rois, (m, m), 1.0, sampling_ratio=2)
+        targets = targets[..., 0].reshape(n, s, m, m)
+
+        sel = jnp.take_along_axis(
+            mask_logits,
+            sampled.labels[..., None, None, None],
+            axis=-1,
+        )[..., 0]  # [N, S, M, M]
+        bce = (
+            jnp.clip(sel, 0)
+            - sel * targets
+            + jnp.log1p(jnp.exp(-jnp.abs(sel)))
+        )
+        pos = sampled.pos_mask
+        denom = jnp.maximum(jnp.sum(pos) * m * m, 1)
+        return jnp.sum(bce * pos[..., None, None]) / denom
+
+    def keypointrcnn_loss(
+        self,
+        keypoint_logits: jax.Array,  # [N, S, HM, HM, K]
+        sampled: SampledProposals,
+        gt_keypoints: jax.Array,  # [N, G, K, 3] (x, y, vis)
+    ) -> jax.Array:
+        """reference ``roi_heads.py`` keypointrcnn_loss +
+        keypoints_to_heatmap: discretize each visible keypoint of the
+        matched gt into the proposal's HMxHM grid and cross-entropy the
+        spatial softmax, averaged over valid keypoints of positive
+        proposals."""
+        n, s, hm, _, k = keypoint_logits.shape
+        kp = jnp.take_along_axis(
+            gt_keypoints,
+            jnp.clip(sampled.matched_gt, 0)[..., None, None],
+            axis=1,
+        )  # [N, S, K, 3]
+        boxes = sampled.boxes  # [N, S, 4]
+        x0, y0 = boxes[..., 0:1], boxes[..., 1:2]
+        sx = hm / jnp.maximum(boxes[..., 2:3] - x0, 1e-6)
+        sy = hm / jnp.maximum(boxes[..., 3:4] - y0, 1e-6)
+        x = kp[..., 0]
+        y = kp[..., 1]
+        on_bx = x == boxes[..., 2:3]
+        on_by = y == boxes[..., 3:4]
+        xi = jnp.floor((x - x0) * sx).astype(jnp.int32)
+        yi = jnp.floor((y - y0) * sy).astype(jnp.int32)
+        xi = jnp.where(on_bx, hm - 1, xi)
+        yi = jnp.where(on_by, hm - 1, yi)
+        valid_loc = (xi >= 0) & (yi >= 0) & (xi < hm) & (yi < hm)
+        valid = valid_loc & (kp[..., 2] > 0) & sampled.pos_mask[..., None]
+        target = yi * hm + xi  # [N, S, K]
+
+        logits = keypoint_logits.reshape(n, s, hm * hm, k)
+        logits = jnp.swapaxes(logits, -1, -2)  # [N, S, K, HM*HM]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(
+            logp, jnp.clip(target, 0, hm * hm - 1)[..., None], axis=-1
+        )[..., 0]
+        denom = jnp.maximum(jnp.sum(valid), 1)
+        return jnp.sum(ce * valid) / denom
+
     def postprocess_detections(
         self,
         class_logits: jax.Array,  # [N, P, C]
