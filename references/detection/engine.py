@@ -31,7 +31,9 @@ def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None,
     Two conventions (matching the model families):
     * two-stage (Faster/Mask/Keypoint R-CNN): ``compute_loss(images,
       gt_boxes, gt_labels, gt_valid, key)`` runs the whole path (RPN
-      sampling needs the key).
+      sampling needs the key). When the batch carries "masks"
+      ([N, G, H, W]) or "keypoints" ([N, G, K, 3]) they are forwarded so
+      the mask/keypoint branch losses train too.
     * one-stage (RetinaNet/SSD/FCOS, ``one_stage=True``): forward first
       (raw head outputs + anchors), then ``compute_loss(*outputs,
       gt_boxes, gt_labels, gt_valid)``."""
@@ -56,6 +58,11 @@ def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None,
                     method="compute_loss",
                 )
             else:
+                kw = {}
+                if "masks" in batch:
+                    kw["gt_masks"] = batch["masks"]
+                if "keypoints" in batch:
+                    kw["gt_keypoints"] = batch["keypoints"]
                 losses = module.apply(
                     {"params": p, **extra},
                     batch["image"],
@@ -64,6 +71,7 @@ def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None,
                     batch["valid"],
                     key,
                     method="compute_loss",
+                    **kw,
                 )
             total = sum(losses.values())
             return total, losses

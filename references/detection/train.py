@@ -266,6 +266,11 @@ def _fake_batches(args, steps, seed=0):
             ).astype(np.float32),
             "labels": rng.randint(1, args.num_classes, (n, g)).astype(np.int32),
             "valid": (rng.rand(n, g) < 0.7),
+            **(
+                {"masks": (rng.rand(n, g, s, s) > 0.5).astype(np.float32)}
+                if getattr(args, "with_masks", False)
+                else {}
+            ),
         }
 
 
@@ -323,6 +328,11 @@ def get_args_parser():
     p.add_argument("--num-classes", default=91, type=int)
     p.add_argument("--batch-size", default=2, type=int)
     p.add_argument("--max-boxes", default=32, type=int)
+    p.add_argument(
+        "--with-masks", action="store_true",
+        help="carry instance masks and train the mask branch "
+        "(maskrcnn_* models)",
+    )
     p.add_argument("--epochs", default=26, type=int)
     p.add_argument("--steps-per-epoch", default=None, type=int)
     p.add_argument("--lr", default=0.02, type=float)
