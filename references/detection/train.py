@@ -271,6 +271,21 @@ def _fake_batches(args, steps, seed=0):
                 if getattr(args, "with_masks", False)
                 else {}
             ),
+            **(
+                # keypoints scattered inside each gt box, all visible
+                {
+                    "keypoints": np.concatenate(
+                        [
+                            x1[..., None] + bw[..., None] * rng.rand(n, g, 17, 1),
+                            y1[..., None] + bh[..., None] * rng.rand(n, g, 17, 1),
+                            np.ones((n, g, 17, 1)),
+                        ],
+                        -1,
+                    ).astype(np.float32)
+                }
+                if getattr(args, "with_keypoints", False)
+                else {}
+            ),
         }
 
 
@@ -332,6 +347,11 @@ def get_args_parser():
         "--with-masks", action="store_true",
         help="carry instance masks and train the mask branch "
         "(maskrcnn_* models)",
+    )
+    p.add_argument(
+        "--with-keypoints", action="store_true",
+        help="carry keypoints and train the keypoint branch "
+        "(keypointrcnn_* models)",
     )
     p.add_argument("--epochs", default=26, type=int)
     p.add_argument("--steps-per-epoch", default=None, type=int)
