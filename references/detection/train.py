@@ -65,7 +65,9 @@ def _coco_batches(args, ann_file, img_dir, train=True, seed=0):
     gba = _load_local("group_by_aspect_ratio")
     det_presets = _load_local("presets")
     coco_utils = _load_local("coco_utils")
-    convert = coco_utils.ConvertCocoPolysToMask(with_masks=False)
+    with_masks = getattr(args, "with_masks", False)
+    with_keypoints = getattr(args, "with_keypoints", False)
+    convert = coco_utils.ConvertCocoPolysToMask(with_masks=with_masks)
     GroupedBatchSampler = gba.GroupedBatchSampler
     create_aspect_ratio_groups = gba.create_aspect_ratio_groups
     group_canvas_sizes = gba.group_canvas_sizes
@@ -108,6 +110,7 @@ def _coco_batches(args, ann_file, img_dir, train=True, seed=0):
             else (args.size, args.size)
         )
         imgs, boxes_l, labels_l, valid_l = [], [], [], []
+        masks_l, kps_l = [], []
         for idx in batch_indices:
             img, annos = ds[int(idx)]
             img = np.asarray(img)
@@ -124,18 +127,43 @@ def _coco_batches(args, ann_file, img_dir, train=True, seed=0):
             canvas[:nh, :nw] = img
             raw_boxes = (t["boxes"][:g] * scale).tolist()
             raw_labels = t["labels"][:g].tolist()
-            sample = (
-                tv_tensors.Image(canvas),
-                {
-                    "boxes": tv_tensors.BoundingBoxes(
-                        np.asarray(raw_boxes, np.float32).reshape(-1, 4),
-                        format="XYXY", canvas_size=(ch, cw),
-                    ),
-                    "labels": np.asarray(raw_labels, np.int64),
-                },
-            )
+            n_gt = len(raw_boxes)
+            target_dict = {
+                "boxes": tv_tensors.BoundingBoxes(
+                    np.asarray(raw_boxes, np.float32).reshape(-1, 4),
+                    format="XYXY", canvas_size=(ch, cw),
+                ),
+                "labels": np.asarray(raw_labels, np.int64),
+            }
+            if with_masks:
+                # gt masks resized with the image and placed on the same
+                # canvas, then through the preset as tv_tensors.Mask so
+                # geometry (flips/crops) stays aligned with the boxes
+                mk = np.zeros((n_gt, ch, cw), np.float32)
+                for mi in range(n_gt):
+                    mm = np.asarray(
+                        TF.resize(
+                            t["masks"][mi][..., None].astype(np.uint8),
+                            (nh, nw), interpolation="nearest",
+                        )
+                    )[..., 0]
+                    mk[mi, :nh, :nw] = mm
+                target_dict["masks"] = tv_tensors.Mask(mk)
+            if with_keypoints:
+                if "keypoints" not in t:
+                    raise ValueError(
+                        "--with-keypoints needs a keypoint annotation "
+                        "file (person_keypoints_*.json)"
+                    )
+                kp = np.asarray(t["keypoints"][:g], np.float32)
+                target_dict["keypoints"] = tv_tensors.KeyPoints(
+                    kp[..., :2] * scale, canvas_size=(ch, cw)
+                )
+                kp_vis = kp[..., 2]
             key, sub = jax.random.split(key)
-            img_t, target = preset(sample, key=sub)
+            img_t, target = preset(
+                (tv_tensors.Image(canvas), target_dict), key=sub
+            )
             out_boxes = np.asarray(target["boxes"].data, np.float32)
             out_labels = np.asarray(target["labels"])
             boxes = np.zeros((g, 4), np.float32)
@@ -154,12 +182,28 @@ def _coco_batches(args, ann_file, img_dir, train=True, seed=0):
             boxes_l.append(boxes)
             labels_l.append(labels)
             valid_l.append(valid)
-        yield {
+            if with_masks:
+                om = np.asarray(target["masks"].data, np.float32)
+                pad_m = np.zeros((g, ch, cw), np.float32)
+                pad_m[: len(sel)] = om[sel]
+                masks_l.append(pad_m)
+            if with_keypoints:
+                ok = np.asarray(target["keypoints"].data, np.float32)
+                pad_k = np.zeros((g, ok.shape[-2], 3), np.float32)
+                pad_k[: len(sel), :, :2] = ok[sel]
+                pad_k[: len(sel), :, 2] = kp_vis[sel]
+                kps_l.append(pad_k)
+        out = {
             "image": np.stack(imgs),
             "boxes": np.stack(boxes_l),
             "labels": np.stack(labels_l),
             "valid": np.stack(valid_l),
         }
+        if with_masks:
+            out["masks"] = np.stack(masks_l)
+        if with_keypoints:
+            out["keypoints"] = np.stack(kps_l)
+        yield out
 
 
 def _coco_eval_data(args, ann_file, img_dir):

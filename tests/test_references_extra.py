@@ -439,3 +439,64 @@ def test_detection_test_only_coco_eval(tmp_path):
         model = get_model(args.model)
     metrics = run_coco_eval(args, model)
     assert "map" in metrics and 0.0 <= metrics["map"] <= 1.0
+
+
+def test_detection_coco_batches_with_masks(tmp_path):
+    """--with-masks on the REAL COCO path (round-2 review: it used to be
+    a silent fake-data-only no-op): batches carry (N, G, H, W) masks that
+    went through the same preset geometry as the boxes."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, "references/detection")
+    import numpy as np
+
+    from vision_tpu.io.image import write_png
+
+    root = tmp_path / "imgs"
+    os.makedirs(root)
+    images, annos = [], []
+    for i in range(2):
+        name = f"{i:06d}.png"
+        write_png(np.full((40, 80, 3), 100, np.uint8), str(root / name))
+        images.append(
+            {"id": i, "file_name": name, "height": 40, "width": 80}
+        )
+        annos.append(
+            {"id": i, "image_id": i, "category_id": 1,
+             "bbox": [10, 10, 30, 20], "area": 600, "iscrowd": 0,
+             "segmentation": [[10, 10, 40, 10, 40, 30, 10, 30]]}
+        )
+    ann_file = tmp_path / "ann.json"
+    with open(ann_file, "w") as f:
+        json.dump(
+            {"images": images, "annotations": annos,
+             "categories": [{"id": 1, "name": "thing"}]},
+            f,
+        )
+
+    from train import _coco_batches, get_args_parser
+
+    args = get_args_parser().parse_args(
+        ["--batch-size", "2", "--size", "64", "--max-boxes", "4",
+         "--aspect-ratio-group-factor", "0", "--with-masks",
+         "--data-augmentation", "hflip"]
+    )
+    (batch,) = list(
+        _coco_batches(args, str(ann_file), str(root), train=True, seed=0)
+    )
+    assert "masks" in batch
+    n, g = batch["boxes"].shape[:2]
+    h, w = batch["image"].shape[1:3]
+    assert batch["masks"].shape == (n, g, h, w)
+    for i in range(n):
+        for j in range(g):
+            if not batch["valid"][i, j]:
+                assert batch["masks"][i, j].sum() == 0
+                continue
+            ys, xs = np.nonzero(batch["masks"][i, j])
+            x1, y1, x2, y2 = batch["boxes"][i, j]
+            # mask support sits inside the (augmented) box, +-1 px
+            assert xs.min() >= x1 - 1 and xs.max() <= x2 + 1
+            assert ys.min() >= y1 - 1 and ys.max() <= y2 + 1

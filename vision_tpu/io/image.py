@@ -122,22 +122,40 @@ def decode_jpeg(
     if device == "tpu":
         from vision_tpu.io.jpeg_tpu import decode_jpeg_batch_tpu
 
+        if mode in (ImageReadMode.GRAY_ALPHA, ImageReadMode.RGB_ALPHA):
+            raise ValueError(
+                "decode_jpeg(device='tpu') supports UNCHANGED/RGB/GRAY "
+                "(JPEG has no alpha; the host path synthesizes it)"
+            )
+        coef_limit = 0
+        if scale is not None:
+            if scale[1] != 8 or not 1 <= scale[0] <= 7:
+                raise ValueError(
+                    "device='tpu' DCT scaling supports scale=(M, 8) with "
+                    f"M in 1..7, got {scale}"
+                )
+            coef_limit = scale[0]
         is_list = isinstance(data, (list, tuple))
         buffers = data if is_list else [data]
-        out = decode_jpeg_batch_tpu(buffers)
+        out = decode_jpeg_batch_tpu(buffers, coef_limit=coef_limit)
         if out is not None:
             if mode == ImageReadMode.GRAY:
                 import jax.numpy as jnp
 
                 w = jnp.asarray([0.2989, 0.587, 0.114], jnp.float32)
                 g = jnp.sum(out.astype(jnp.float32) * w, axis=-1)
-                out = jnp.clip(jnp.round(g), 0, 255).astype(jnp.uint8)[
-                    ..., None
-                ]
+                # truncate like _apply_mode / the reference rgb_to_gray
+                out = jnp.clip(g, 0, 255).astype(jnp.uint8)[..., None]
             decoded = list(out)
         else:
             decoded = [
-                decode_jpeg(b, mode=ImageReadMode.RGB if mode == ImageReadMode.UNCHANGED else mode)
+                decode_jpeg(
+                    b,
+                    mode=ImageReadMode.RGB
+                    if mode == ImageReadMode.UNCHANGED
+                    else mode,
+                    scale=scale,
+                )
                 for b in buffers
             ]
         return decoded if is_list else decoded[0]
@@ -159,11 +177,11 @@ def decode_jpeg(
         num, den = scale
         nh = _math.ceil(full.shape[0] * num / den)
         nw = _math.ceil(full.shape[1] * num / den)
-        arr = np.asarray(
-            PIL.Image.fromarray(full).resize(
-                (nw, nh), PIL.Image.BILINEAR
-            )
-        )
+        squeeze = full.ndim == 3 and full.shape[2] == 1
+        pil = PIL.Image.fromarray(full[..., 0] if squeeze else full)
+        arr = np.asarray(pil.resize((nw, nh), PIL.Image.BILINEAR))
+        if squeeze:
+            arr = arr[..., None]
         return _apply_mode(arr, mode)
     arr = _codecs.decode_jpeg_native(data)
     if arr is None:

@@ -146,6 +146,14 @@ class FasterRCNN(nn.Module):
         )
         return feats, objectness, deltas, anchors
 
+    def _make_rois(self, boxes: jax.Array) -> jax.Array:
+        """[N, P, 4] boxes -> [N*P, 5] (batch_idx, x1, y1, x2, y2)."""
+        n, p = boxes.shape[:2]
+        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), p)
+        return jnp.concatenate(
+            [batch_idx[:, None], boxes.reshape(-1, 4)], axis=1
+        )
+
     def _box_branch(self, feats, rois, image_size):
         """rois: [K, 5] (batch_idx, x1..y2) -> (scores, deltas)."""
         pooled = self.box_roi_pool(
@@ -166,10 +174,7 @@ class FasterRCNN(nn.Module):
         )
 
         n, p = proposals.boxes.shape[:2]
-        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), p)
-        rois = jnp.concatenate(
-            [batch_idx[:, None], proposals.boxes.reshape(-1, 4)], axis=1
-        )
+        rois = self._make_rois(proposals.boxes)
         class_logits, box_regression = self._box_branch(feats, rois, image_size)
         class_logits = class_logits.reshape(n, p, -1)
         box_regression = box_regression.reshape(n, p, -1)
@@ -207,10 +212,7 @@ class FasterRCNN(nn.Module):
             proposals.boxes, proposals.valid, gt_boxes, gt_labels, gt_valid, k2
         )
         n, s = sampled.boxes.shape[:2]
-        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), s)
-        rois = jnp.concatenate(
-            [batch_idx[:, None], sampled.boxes.reshape(-1, 4)], axis=1
-        )
+        rois = self._make_rois(sampled.boxes)
         class_logits, box_regression = self._box_branch(feats, rois, image_size)
         class_logits = class_logits.reshape(n, s, -1)
         box_regression = box_regression.reshape(n, s, -1)

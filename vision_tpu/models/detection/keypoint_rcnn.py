@@ -109,7 +109,7 @@ class KeypointRCNN(FasterRCNN):
     def setup(self):
         super().setup()
         self.keypoint_roi_pool = MultiScaleRoIAlign(
-            ["0", "1", "2", "3"], output_size=14, sampling_ratio=2
+            list(self.featmap_names), output_size=14, sampling_ratio=2
         )
         self.keypoint_head = KeypointRCNNHeads(name="roi_heads.keypoint_head")
         self.keypoint_predictor = KeypointRCNNPredictor(
@@ -135,12 +135,9 @@ class KeypointRCNN(FasterRCNN):
         if gt_keypoints is None:
             return losses
         n, s = sampled.boxes.shape[:2]
-        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), s)
-        rois = jnp.concatenate(
-            [batch_idx[:, None], sampled.boxes.reshape(-1, 4)], axis=1
-        )
+        rois = self._make_rois(sampled.boxes)
         pooled = self.keypoint_roi_pool(
-            {k: feats[k] for k in ["0", "1", "2", "3"]}, rois, image_size
+            {k: feats[k] for k in self.featmap_names}, rois, image_size
         )
         x = self.keypoint_head(pooled)
         maps = self.keypoint_predictor(x)  # [N*S, 56, 56, K]
@@ -157,12 +154,9 @@ class KeypointRCNN(FasterRCNN):
         feats = self.backbone(images, train=train)
 
         n, d = dets.boxes.shape[:2]
-        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), d)
-        rois = jnp.concatenate(
-            [batch_idx[:, None], dets.boxes.reshape(-1, 4)], axis=1
-        )
+        rois = self._make_rois(dets.boxes)
         pooled = self.keypoint_roi_pool(
-            {k: feats[k] for k in ["0", "1", "2", "3"]}, rois, image_size
+            {k: feats[k] for k in self.featmap_names}, rois, image_size
         )
         x = self.keypoint_head(pooled)
         maps = self.keypoint_predictor(x)  # [N*D, 56, 56, K]

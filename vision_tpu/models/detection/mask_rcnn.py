@@ -46,7 +46,7 @@ class MaskRCNN(FasterRCNN):
     def setup(self):
         super().setup()
         self.mask_roi_pool = MultiScaleRoIAlign(
-            ["0", "1", "2", "3"], output_size=14, sampling_ratio=2
+            list(self.featmap_names), output_size=14, sampling_ratio=2
         )
         # v2 mask head adds BatchNorm; v1 is plain convs
         self.mask_head = MaskRCNNHeads(
@@ -76,14 +76,14 @@ class MaskRCNN(FasterRCNN):
         if gt_masks is None:
             return losses
         n, s = sampled.boxes.shape[:2]
-        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), s)
-        rois = jnp.concatenate(
-            [batch_idx[:, None], sampled.boxes.reshape(-1, 4)], axis=1
-        )
+        rois = self._make_rois(sampled.boxes)
         pooled = self.mask_roi_pool(
-            {k: feats[k] for k in ["0", "1", "2", "3"]}, rois, image_size
+            {k: feats[k] for k in self.featmap_names}, rois, image_size
         )
-        x = self.mask_head(pooled, train=train)
+        # train=False: the v2 mask head's BatchNorm runs with frozen
+        # running stats (like the backbone) — compute_loss is applied
+        # without mutable collections
+        x = self.mask_head(pooled, train=False)
         logits = self.mask_predictor(x)  # [N*S, 28, 28, C]
         m = logits.shape[1]
         logits = logits.reshape(n, s, m, m, -1)
@@ -101,12 +101,9 @@ class MaskRCNN(FasterRCNN):
         feats = self.backbone(images, train=train)
 
         n, d = dets.boxes.shape[:2]
-        batch_idx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), d)
-        rois = jnp.concatenate(
-            [batch_idx[:, None], dets.boxes.reshape(-1, 4)], axis=1
-        )
+        rois = self._make_rois(dets.boxes)
         pooled = self.mask_roi_pool(
-            {k: feats[k] for k in ["0", "1", "2", "3"]}, rois, image_size
+            {k: feats[k] for k in self.featmap_names}, rois, image_size
         )
         x = self.mask_head(pooled, train=train)
         logits = self.mask_predictor(x)  # [N*D, 28, 28, C]
