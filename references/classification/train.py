@@ -230,6 +230,10 @@ def make_device_augment(args):
     ]
     if args.auto_augment == "ra":
         stages.append(T.RandAugment(magnitude=args.ra_magnitude))
+    elif args.auto_augment == "ta_wide":
+        stages.append(T.TrivialAugmentWide())
+    elif args.auto_augment == "augmix":
+        stages.append(T.AugMix())
     stages += [
         T.ToDtype(jnp.float32, scale=True),
         T.Normalize(mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225]),

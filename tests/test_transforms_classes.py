@@ -342,3 +342,31 @@ def test_jitted_uint8_pipeline_dtype_flow(rng):
     # normalized value range (a dtype bug puts jit 100-1000x off)
     for arr in (jitted, eager):
         assert -4.0 < arr.min() and arr.max() < 4.0
+
+
+def test_augmix_jits(rng):
+    """AugMix compiles under jit. With a STATIC chain depth the traced
+    path consumes keys identically to the eager path, so outputs match
+    within uint8 rounding (f32-vs-f64 magnitude math); with chain_depth
+    -1 the traced path unrolls to depth 3 with gating (different key
+    tree, distribution-equivalent) — checked for determinism only."""
+    from vision_tpu.transforms import v2 as T
+
+    img = jnp.asarray((rng.rand(48, 48, 3) * 255).astype(np.uint8))
+    am = T.AugMix(chain_depth=2)
+    fn = jax.jit(lambda i, k: am(i, key=k))
+    for s in range(4):
+        k = jax.random.PRNGKey(s)
+        a = np.asarray(fn(img, k)).astype(np.int32)
+        b = np.asarray(am(img, key=k)).astype(np.int32)
+        d = np.abs(a - b)
+        # f32-vs-f64 boundary ties can flip one op's sign/bin, which an
+        # affine op spreads over a few pixels — bound the mass, not max
+        assert d.mean() < 0.05 and (d > 2).mean() < 0.01, f"key {s}"
+
+    am_dyn = T.AugMix()  # chain_depth=-1: traced depth via gating
+    fn_dyn = jax.jit(lambda i, k: am_dyn(i, key=k))
+    o1 = np.asarray(fn_dyn(img, jax.random.PRNGKey(9)))
+    o2 = np.asarray(fn_dyn(img, jax.random.PRNGKey(9)))
+    np.testing.assert_array_equal(o1, o2)
+    assert (o1 != np.asarray(img)).any()

@@ -523,6 +523,10 @@ class AugMix(_AutoAugmentBase):
         m = jax.random.dirichlet(
             km, jnp.array([self.alpha] * self.mixture_width, jnp.float32)
         )
+        if isinstance(key, jax.core.Tracer):
+            return self._call_traced(
+                flat, spec, needs, space, names, key, kd, m
+            )
         mix_weight = float(jax.random.beta(kd, self.alpha, self.alpha))
 
         out = []
@@ -560,6 +564,73 @@ class AugMix(_AutoAugmentBase):
                     aug = self._apply_op(aug, op_name, magnitude)
                 aug_arr = aug.data if isinstance(aug, tv_tensors.TVTensor) else aug
                 mix = mix + (1.0 - mix_weight) * float(m[i]) * aug_arr.astype(
+                    jnp.float32
+                )
+            if jnp.issubdtype(orig_dtype, jnp.integer):
+                mix = jnp.clip(jnp.round(mix), 0, 255)
+            mix = mix.astype(orig_dtype)
+            out.append(
+                tv_tensors.wrap(mix, like=x)
+                if isinstance(x, tv_tensors.TVTensor)
+                else mix
+            )
+        return jax.tree_util.tree_unflatten(spec, out)
+
+    def _call_traced(self, flat, spec, needs, space, names, key, kd, m):
+        """Jitted AugMix: op choice via lax.switch (concrete per-bin
+        magnitude tables, traced severity-bin index + sign, traced-bits
+        posterize), traced chain depth via per-step gating, traced
+        Beta/Dirichlet mixing weights."""
+        mix_weight = jax.random.beta(kd, self.alpha, self.alpha)
+        max_depth = self.chain_depth if self.chain_depth > 0 else 3
+
+        def chain_step(im, k, active):
+            k1, k2, k3 = jax.random.split(k, 3)
+            op_idx = jax.random.randint(k1, (), 0, len(names))
+            bin_idx = jax.random.randint(k2, (), 0, self.severity)
+            sign = jnp.where(jax.random.uniform(k3) > 0.5, -1.0, 1.0)
+            branches = []
+            for name in names:
+                magnitudes, signed = space[name]
+
+                def branch(x, name=name, magnitudes=magnitudes,
+                           signed=signed):
+                    if magnitudes.ndim > 0:
+                        mg = jnp.asarray(magnitudes, jnp.float32)[
+                            jnp.minimum(bin_idx, len(magnitudes) - 1)
+                        ]
+                    else:
+                        mg = jnp.float32(0.0)
+                    if signed:
+                        mg = mg * sign
+                    if name == "Posterize":
+                        mg = mg.astype(jnp.int32)
+                    return self._apply_op(x, name, mg)
+
+                branches.append(branch)
+            aug = jax.lax.switch(op_idx, branches, im)
+            return jnp.where(active, aug, im)
+
+        out = []
+        for x, n in zip(flat, needs):
+            if not n:
+                out.append(x)
+                continue
+            arr = x.data if isinstance(x, tv_tensors.TVTensor) else x
+            orig_dtype = arr.dtype
+            f = arr.astype(jnp.float32)
+            mix = mix_weight * f
+            kk = key
+            for i in range(self.mixture_width):
+                kk, kc = jax.random.split(kk)
+                if self.chain_depth > 0:
+                    depth = self.chain_depth
+                else:
+                    depth = jax.random.randint(kc, (), 1, 4)
+                aug = arr
+                for step, k in enumerate(jax.random.split(kc, max_depth)):
+                    aug = chain_step(aug, k, step < depth)
+                mix = mix + (1.0 - mix_weight) * m[i] * aug.astype(
                     jnp.float32
                 )
             if jnp.issubdtype(orig_dtype, jnp.integer):
