@@ -19,6 +19,14 @@ import jax
 from vision_tpu import tv_tensors
 from vision_tpu.transforms import v2 as T
 
+# COCO person keypoint order (nose, L/R eye, L/R ear, L/R shoulder, L/R
+# elbow, L/R wrist, L/R hip, L/R knee, L/R ankle); mirroring an image swaps
+# each left/right pair (reference ``references/detection/transforms.py``
+# ``_flip_coco_person_keypoints``).
+COCO_PERSON_KEYPOINT_FLIP_INDICES = (
+    0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15,
+)
+
 
 class DetectionPresetTrain:
     """reference ``presets.py:18`` (tv_tensor backend, v2 semantics)."""
@@ -29,17 +37,21 @@ class DetectionPresetTrain:
         data_augmentation: str,
         hflip_prob: float = 0.5,
         mean: tuple = (123.0, 117.0, 104.0),
+        keypoint_flip_indices=None,
     ):
         import jax.numpy as jnp
 
+        hflip = T.RandomHorizontalFlip(
+            p=hflip_prob, keypoint_flip_indices=keypoint_flip_indices
+        )
         transforms = []
         if data_augmentation == "hflip":
-            transforms += [T.RandomHorizontalFlip(p=hflip_prob)]
+            transforms += [hflip]
         elif data_augmentation == "lsj":
             transforms += [
                 T.ScaleJitter(target_size=(1024, 1024), antialias=True),
                 T.RandomCrop((1024, 1024), pad_if_needed=True, fill=0),
-                T.RandomHorizontalFlip(p=hflip_prob),
+                hflip,
             ]
         elif data_augmentation == "multiscale":
             transforms += [
@@ -48,19 +60,19 @@ class DetectionPresetTrain:
                               768, 800),
                     max_size=1333,
                 ),
-                T.RandomHorizontalFlip(p=hflip_prob),
+                hflip,
             ]
         elif data_augmentation == "ssd":
             transforms += [
                 T.RandomPhotometricDistort(),
                 T.RandomZoomOut(fill=list(mean)),
                 T.RandomIoUCrop(),
-                T.RandomHorizontalFlip(p=hflip_prob),
+                hflip,
             ]
         elif data_augmentation == "ssdlite":
             transforms += [
                 T.RandomIoUCrop(),
-                T.RandomHorizontalFlip(p=hflip_prob),
+                hflip,
             ]
         else:
             raise ValueError(

@@ -97,7 +97,15 @@ def _coco_batches(args, ann_file, img_dir, train=True, seed=0):
             for i in range(0, len(order) - args.batch_size + 1, args.batch_size)
         )
     preset = (
-        DetectionPresetTrain(data_augmentation=args.data_augmentation)
+        DetectionPresetTrain(
+            data_augmentation=args.data_augmentation,
+            # hflip must swap chiral COCO joints, not just mirror x
+            keypoint_flip_indices=(
+                det_presets.COCO_PERSON_KEYPOINT_FLIP_INDICES
+                if with_keypoints
+                else None
+            ),
+        )
         if train
         else DetectionPresetEval()
     )
@@ -156,10 +164,15 @@ def _coco_batches(args, ann_file, img_dir, train=True, seed=0):
                         "file (person_keypoints_*.json)"
                     )
                 kp = np.asarray(t["keypoints"][:g], np.float32)
+                # visibility rides as channel 2 of the KeyPoints tensor so
+                # SanitizeBoundingBoxes row-drops and the keypoint-aware
+                # hflip (left/right joint swap) keep it aligned with the
+                # coordinates (advisor r2: indexing a pre-preset vis array
+                # with post-preset rows corrupted supervision)
                 target_dict["keypoints"] = tv_tensors.KeyPoints(
-                    kp[..., :2] * scale, canvas_size=(ch, cw)
+                    np.concatenate([kp[..., :2] * scale, kp[..., 2:3]], -1),
+                    canvas_size=(ch, cw),
                 )
-                kp_vis = kp[..., 2]
             key, sub = jax.random.split(key)
             img_t, target = preset(
                 (tv_tensors.Image(canvas), target_dict), key=sub
@@ -190,8 +203,7 @@ def _coco_batches(args, ann_file, img_dir, train=True, seed=0):
             if with_keypoints:
                 ok = np.asarray(target["keypoints"].data, np.float32)
                 pad_k = np.zeros((g, ok.shape[-2], 3), np.float32)
-                pad_k[: len(sel), :, :2] = ok[sel]
-                pad_k[: len(sel), :, 2] = kp_vis[sel]
+                pad_k[: len(sel)] = ok[sel]  # (x, y, visibility)
                 kps_l.append(pad_k)
         out = {
             "image": np.stack(imgs),

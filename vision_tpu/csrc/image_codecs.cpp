@@ -683,9 +683,13 @@ int vtpu_decode_gif(const uint8_t* buf, size_t len, uint8_t** out_frames,
     if ((size_t)(n_frames + 1) * fbytes > frames_cap) {
       size_t ncap = frames_cap ? frames_cap * 2 : fbytes * 4;
       while (ncap < (size_t)(n_frames + 1) * fbytes) ncap *= 2;
-      frames = (uint8_t*)realloc(frames, ncap);
+      uint8_t* grown = (uint8_t*)realloc(frames, ncap);
+      if (!grown) {  // keep `frames` for the free() below; fail the decode
+        rc = -1;
+        break;
+      }
+      frames = grown;
       frames_cap = ncap;
-      if (!frames) break;
     }
     memcpy(frames + (size_t)n_frames * fbytes, canvas, fbytes);
     n_frames++;

@@ -541,13 +541,18 @@ class AugMix(_AutoAugmentBase):
             kk = key
             for i in range(self.mixture_width):
                 kk, kc = jax.random.split(kk)
+                # depth and chain-step randomness use independent streams
+                # (advisor r2: drawing both from kc correlates them); the
+                # traced path mirrors this split exactly so static-depth
+                # jit-vs-eager outputs stay identical
+                kd_i, kchain = jax.random.split(kc)
                 depth = (
                     self.chain_depth
                     if self.chain_depth > 0
-                    else int(jax.random.randint(kc, (), 1, 4))
+                    else int(jax.random.randint(kd_i, (), 1, 4))
                 )
                 aug = x
-                for k in jax.random.split(kc, depth):
+                for k in jax.random.split(kchain, depth):
                     k1, k2, k3 = jax.random.split(k, 3)
                     op_name = names[int(jax.random.randint(k1, (), 0, len(names)))]
                     magnitudes, signed = space[op_name]
@@ -623,12 +628,17 @@ class AugMix(_AutoAugmentBase):
             kk = key
             for i in range(self.mixture_width):
                 kk, kc = jax.random.split(kk)
+                # independent streams for the depth draw and the chain
+                # steps — reusing kc for both correlates the sampled depth
+                # with the per-step op/magnitude randomness (advisor r2);
+                # the split mirrors the eager path (kd_i, kchain)
+                kd_i, kchain = jax.random.split(kc)
                 if self.chain_depth > 0:
                     depth = self.chain_depth
                 else:
-                    depth = jax.random.randint(kc, (), 1, 4)
+                    depth = jax.random.randint(kd_i, (), 1, 4)
                 aug = arr
-                for step, k in enumerate(jax.random.split(kc, max_depth)):
+                for step, k in enumerate(jax.random.split(kchain, max_depth)):
                     aug = chain_step(aug, k, step < depth)
                 mix = mix + (1.0 - mix_weight) * m[i] * aug.astype(
                     jnp.float32

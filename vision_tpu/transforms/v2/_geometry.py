@@ -79,8 +79,37 @@ class CenterCrop(Transform):
 
 
 class RandomHorizontalFlip(_RandomApplyTransform):
+    """Horizontal flip with probability ``p``.
+
+    ``keypoint_flip_indices`` (e.g. the 17-entry COCO-person left/right
+    map) re-indexes KeyPoints rows after mirroring so chiral joints swap —
+    mirroring alone would label a flipped person's left shoulder as
+    "right_shoulder" (reference keypoint recipe:
+    ``references/detection/transforms.py`` ``_flip_coco_person_keypoints``).
+    """
+
+    def __init__(
+        self,
+        p: float = 0.5,
+        keypoint_flip_indices: Optional[Sequence[int]] = None,
+    ):
+        super().__init__(p)
+        self.keypoint_flip_indices = (
+            None
+            if keypoint_flip_indices is None
+            else tuple(int(i) for i in keypoint_flip_indices)
+        )
+
     def transform(self, inpt, params):
-        return F.horizontal_flip(inpt)
+        out = F.horizontal_flip(inpt)
+        if self.keypoint_flip_indices is not None and isinstance(
+            out, tv_tensors.KeyPoints
+        ):
+            idx = np.asarray(self.keypoint_flip_indices)
+            out = tv_tensors.KeyPoints(
+                out.data[..., idx, :], canvas_size=out.canvas_size
+            )
+        return out
 
 
 class RandomVerticalFlip(_RandomApplyTransform):

@@ -180,7 +180,8 @@ def resize_keypoints(
     old_h, old_w = canvas_size
     new_h, new_w = _compute_resized_output_size(canvas_size, size, max_size)
     scale = jnp.array([new_w / old_w, new_h / old_h], dtype=jnp.float32)
-    return (kp.astype(jnp.float32) * scale).astype(kp.dtype), (new_h, new_w)
+    xy = (kp[..., :2].astype(jnp.float32) * scale).astype(kp.dtype)
+    return jnp.concatenate([xy, kp[..., 2:]], axis=-1), (new_h, new_w)
 
 
 def resize(
@@ -254,8 +255,11 @@ def horizontal_flip_bounding_boxes(
 def horizontal_flip_keypoints(
     kp: jax.Array, canvas_size: Tuple[int, int]
 ) -> jax.Array:
+    # channels beyond (x, y) — e.g. COCO visibility — pass through untouched
     w = canvas_size[1]
-    return jnp.stack([w - 1 - kp[..., 0], kp[..., 1]], axis=-1).astype(kp.dtype)
+    return jnp.concatenate(
+        [(w - 1 - kp[..., 0:1]).astype(kp.dtype), kp[..., 1:]], axis=-1
+    )
 
 
 def vertical_flip_image(image: jax.Array) -> jax.Array:
@@ -295,7 +299,10 @@ def vertical_flip_bounding_boxes(
 
 def vertical_flip_keypoints(kp: jax.Array, canvas_size: Tuple[int, int]) -> jax.Array:
     h = canvas_size[0]
-    return jnp.stack([kp[..., 0], h - 1 - kp[..., 1]], axis=-1).astype(kp.dtype)
+    return jnp.concatenate(
+        [kp[..., 0:1], (h - 1 - kp[..., 1:2]).astype(kp.dtype), kp[..., 2:]],
+        axis=-1,
+    )
 
 
 def _dispatch_flip(inpt, image_k, mask_k, boxes_k, kp_k):
@@ -389,7 +396,8 @@ def crop_bounding_boxes(
 def crop_keypoints(
     kp: jax.Array, top: int, left: int, height: int, width: int
 ) -> Tuple[jax.Array, Tuple[int, int]]:
-    return kp - jnp.array([left, top], dtype=kp.dtype), (height, width)
+    xy = kp[..., :2] - jnp.array([left, top], dtype=kp.dtype)
+    return jnp.concatenate([xy, kp[..., 2:]], axis=-1), (height, width)
 
 
 def crop(inpt, top: int, left: int, height: int, width: int):
@@ -517,7 +525,8 @@ def pad(inpt, padding, fill=0, padding_mode: str = "constant"):
     if isinstance(inpt, KeyPoints):
         h, w = inpt.canvas_size
         new_cs = (h + top + bottom, w + left + right)
-        out = inpt.data + jnp.array([left, top], dtype=inpt.dtype)
+        xy = inpt.data[..., :2] + jnp.array([left, top], dtype=inpt.dtype)
+        out = jnp.concatenate([xy, inpt.data[..., 2:]], axis=-1)
         return KeyPoints(out, canvas_size=new_cs)
     raise TypeError(f"pad: unsupported type {type(inpt).__name__}")
 
@@ -936,6 +945,8 @@ def _affine_keypoints_with_expand(
         list(map(float, shear)), inverted=False,
     )
     M = jnp.array([[m[0], m[1], m[2]], [m[3], m[4], m[5]]], dtype=jnp.float32)
+    extra = kp[..., 2:]  # pass-through channels (e.g. visibility)
+    kp = kp[..., :2]
     ones = jnp.ones(kp.shape[:-1] + (1,), dtype=jnp.float32)
     pts = jnp.concatenate([kp.astype(jnp.float32), ones], axis=-1)
     out = pts @ M.T
@@ -955,7 +966,8 @@ def _affine_keypoints_with_expand(
         )
         new_w, new_h = _compute_affine_output_size(inv, w, h)
         new_canvas = (new_h, new_w)
-    return out.astype(kp.dtype), new_canvas
+    out = jnp.concatenate([out.astype(kp.dtype), extra], axis=-1)
+    return out, new_canvas
 
 
 def affine_keypoints(

@@ -273,6 +273,7 @@ def clamp_keypoints(
 
 def _clamp_kp(kp, canvas_size):
     h, w = canvas_size
-    x = jnp.clip(kp[..., 0], 0, w - 1)
-    y = jnp.clip(kp[..., 1], 0, h - 1)
-    return jnp.stack([x, y], axis=-1).astype(kp.dtype)
+    x = jnp.clip(kp[..., 0:1], 0, w - 1)
+    y = jnp.clip(kp[..., 1:2], 0, h - 1)
+    # channels beyond (x, y) — e.g. COCO visibility — pass through untouched
+    return jnp.concatenate([x, y, kp[..., 2:]], axis=-1).astype(kp.dtype)

@@ -258,7 +258,15 @@ class BoundingBoxes(TVTensor):
 @jax.tree_util.register_pytree_node_class
 class KeyPoints(TVTensor):
     """Keypoints ``(..., K, 2)`` in (x, y) with canvas metadata
-    (reference ``_keypoints.py``)."""
+    (reference ``_keypoints.py``).
+
+    Channels beyond (x, y) — typically COCO per-joint visibility as
+    ``(..., K, 3)`` — are carried through every geometry kernel untouched,
+    so instance filtering (SanitizeBoundingBoxes) and the keypoint-aware
+    hflip keep side data aligned with the coordinates. The reference keeps
+    visibility in a separate array and realigns by hand in its keypoint
+    recipe (``references/detection/transforms.py``); threading it through
+    the pytree is the jit-friendly equivalent."""
 
     __slots__ = ("canvas_size",)
 
