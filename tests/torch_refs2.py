@@ -389,9 +389,9 @@ class TorchMaxVitMBConv(nn.Module):
     def forward(self, x):
         if self.should_proj:
             if self.stride == 2:
-                res = F.avg_pool2d(
-                    x, 3, 2, padding=1, count_include_pad=False
-                )
+                # reference MBConv uses nn.AvgPool2d(3, 2, 1) with the
+                # torch default count_include_pad=True (maxvit.py:87)
+                res = F.avg_pool2d(x, 3, 2, padding=1)
                 res = getattr(self.proj, "1")(res)
             else:
                 res = getattr(self.proj, "0")(x)

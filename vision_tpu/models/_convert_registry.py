@@ -47,4 +47,12 @@ def get_conversion_hooks(name: str) -> Optional[Callable[[Dict], Dict]]:
         from vision_tpu.models.detection.retinanet import _retinanet_hooks
 
         return _retinanet_hooks
+    if name.startswith("fcos"):
+        from vision_tpu.models.detection.fcos import _fcos_hooks
+
+        return _fcos_hooks
+    if name.startswith("ssdlite"):
+        from vision_tpu.models.detection.ssdlite import _ssdlite_hooks
+
+        return _ssdlite_hooks
     return None

@@ -160,6 +160,40 @@ class _ResNetTrunk(nn.Module):
         return feats
 
 
+def _fpn_checkpoint_renames(sd):
+    """Reference-checkpoint FPN names -> the torch-name space our flax
+    trees mirror.
+
+    The reference (>= 0.12, ``ops/feature_pyramid_network.py``) wraps each
+    lateral/smooth conv in a Conv2dNormActivation, so checkpoints say
+    ``backbone.fpn.inner_blocks.{i}.0.weight``; our flax FPN names the conv
+    directly (``inner_blocks_{i}``). P6/P7 extra blocks live inside the
+    reference FPN (``backbone.fpn.extra_blocks.p6``) but beside it here.
+    Pre-0.12 checkpoints (no ``.0`` wrapper) pass through unchanged."""
+    out = {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        for j, p in enumerate(parts):
+            if (
+                p in ("inner_blocks", "layer_blocks")
+                and j + 2 < len(parts)
+                and parts[j + 1].isdigit()
+            ):
+                i, rest = parts[j + 1], parts[j + 2 :]
+                stem = f"{p}_{i}"
+                if rest and rest[0] == "0":  # the conv inside the wrapper
+                    rest = rest[1:]
+                elif rest and rest[0] == "1":  # the v2 norm layer
+                    stem = p.replace("blocks", "norm") + f"_{i}"
+                    rest = rest[1:]
+                parts = parts[:j] + [stem] + rest
+                break
+        k = ".".join(parts)
+        k = k.replace("fpn.extra_blocks.", "extra_blocks.")
+        out[k] = v
+    return out
+
+
 class BackboneWithFPN(nn.Module):
     """reference ``backbone_utils.py`` BackboneWithFPN: trunk -> FPN.
     Child names ``body`` / ``fpn`` match the reference checkpoints."""

@@ -154,17 +154,27 @@ class FasterRCNN(nn.Module):
             [batch_idx[:, None], boxes.reshape(-1, 4)], axis=1
         )
 
-    def _box_branch(self, feats, rois, image_size):
+    def _box_branch(self, feats, rois, image_size, train: bool = False):
         """rois: [K, 5] (batch_idx, x1..y2) -> (scores, deltas)."""
         pooled = self.box_roi_pool(
             {k: feats[k] for k in self.featmap_names}, rois, image_size
         )
-        rep = self.box_head(pooled)
+        if self.v2:  # v2 conv-fc head carries BatchNorm (train-dependent)
+            rep = self.box_head(pooled, train=train)
+        else:
+            rep = self.box_head(pooled)
         return self.box_predictor(rep)
 
-    def __call__(self, images: jax.Array, train: bool = False):
+    def __call__(
+        self,
+        images: jax.Array,
+        train: bool = False,
+        return_features: bool = False,
+    ):
         """Eval forward: full detection path. images: [N, H, W, C] padded.
-        Returns Detections (fixed [N, 100] rows)."""
+        Returns Detections (fixed [N, 100] rows); with
+        ``return_features=True`` also the backbone FPN feature dict
+        (the FX-extractor analog, reference feature_extraction.py:269)."""
         image_size = (images.shape[1], images.shape[2])
         feats, objectness, deltas, anchors = self._features_and_rpn(
             images, train=train
@@ -178,10 +188,13 @@ class FasterRCNN(nn.Module):
         class_logits, box_regression = self._box_branch(feats, rois, image_size)
         class_logits = class_logits.reshape(n, p, -1)
         box_regression = box_regression.reshape(n, p, -1)
-        return self.roi_heads.postprocess_detections(
+        dets = self.roi_heads.postprocess_detections(
             class_logits, box_regression, proposals.boxes, proposals.valid,
             image_size,
         )
+        if return_features:
+            return dets, feats
+        return dets
 
     def compute_loss(
         self,
@@ -213,7 +226,9 @@ class FasterRCNN(nn.Module):
         )
         n, s = sampled.boxes.shape[:2]
         rois = self._make_rois(sampled.boxes)
-        class_logits, box_regression = self._box_branch(feats, rois, image_size)
+        class_logits, box_regression = self._box_branch(
+            feats, rois, image_size, train=train
+        )
         class_logits = class_logits.reshape(n, s, -1)
         box_regression = box_regression.reshape(n, s, -1)
         box_losses = self.roi_heads.fastrcnn_loss(
@@ -227,7 +242,12 @@ class FasterRCNN(nn.Module):
 
 def _frcnn_hooks(sd):
     """Checkpoint adjustments: v1 rpn conv rename (conv -> conv.0.0),
-    fc6 CHW->HWC reorder, drop cached anchors."""
+    fc6 CHW->HWC reorder, FPN block renames, drop cached anchors."""
+    from vision_tpu.models.detection.backbone_utils import (
+        _fpn_checkpoint_renames,
+    )
+
+    sd = _fpn_checkpoint_renames(sd)
     out = {}
     for k, v in sd.items():
         if ".anchors" in k or "cell_anchors" in k:
@@ -243,6 +263,28 @@ def _frcnn_hooks(sd):
         out["roi_heads.box_head.fc6.weight"] = (
             w.reshape(w.shape[0], 256, 7, 7).transpose(0, 2, 3, 1).reshape(w.shape[0], -1)
         )
+    # mask head v1: the reference module names its convs "{i}.0"
+    # (Sequential of Conv2dNormActivation, norm-free) but our v1 flax head
+    # and the published checkpoints both use the legacy "mask_fcn{i+1}"
+    # names (reference mask_rcnn.py:321 performs the reverse rename on
+    # load). v2 ("{i}.1" norm keys present) matches our naming as-is.
+    has_mask_norm = any(
+        k.startswith("roi_heads.mask_head.") and k.split(".")[3] == "1"
+        for k in out
+    )
+    if not has_mask_norm:
+        renamed = {}
+        for k, v in out.items():
+            parts = k.split(".")
+            if (
+                len(parts) == 5
+                and k.startswith("roi_heads.mask_head.")
+                and parts[2].isdigit()
+                and parts[3] == "0"
+            ):
+                k = f"roi_heads.mask_head.mask_fcn{int(parts[2]) + 1}.{parts[4]}"
+            renamed[k] = v
+        out = renamed
     # v2 conv-fc box head: flatten happens after convs ("5" dense input is
     # [7,7,256] flattened)
     if "roi_heads.box_head.5.weight" in out:

@@ -116,7 +116,12 @@ class FCOS(nn.Module):
         self.head = FCOSHead(num_classes=self.num_classes, name="head")
         self.box_coder = det_utils.BoxLinearCoder(normalize_by_size=True)
 
-    def __call__(self, images: jax.Array, train: bool = False):
+    def __call__(
+        self,
+        images: jax.Array,
+        train: bool = False,
+        return_features: bool = False,
+    ):
         feats = self.backbone(images, train=train)
         keys = [k for k in ["0", "1", "2", "p6", "p7"] if k in feats]
         features = [feats[k] for k in keys]
@@ -125,6 +130,8 @@ class FCOS(nn.Module):
         anchors = self.anchor_generator(
             (images.shape[1], images.shape[2]), fm_sizes
         )
+        if return_features:
+            return (logits, reg, ctr, anchors), feats
         return logits, reg, ctr, anchors
 
     def postprocess_detections(self, logits, reg, ctr, anchors, image_size):
@@ -277,6 +284,17 @@ class FCOS_ResNet50_FPN_Weights(WeightsEnum):
     DEFAULT = COCO_V1
 
 
+def _fcos_hooks(sd):
+    """Reference checkpoint -> flax-mirrored names: FPN/extra-block
+    renames plus dropped cached anchors."""
+    from vision_tpu.models.detection.backbone_utils import (
+        _fpn_checkpoint_renames,
+    )
+
+    sd = _fpn_checkpoint_renames(sd)
+    return {k: v for k, v in sd.items() if ".anchors" not in k}
+
+
 @register_model()
 def fcos_resnet50_fpn(
     *, weights: Optional[FCOS_ResNet50_FPN_Weights] = None,
@@ -292,6 +310,6 @@ def fcos_resnet50_fpn(
         from vision_tpu._torch_convert import convert_torch_state_dict
 
         sd = weights.get_state_dict()
-        variables = convert_torch_state_dict(sd, dict(variables))
+        variables = convert_torch_state_dict(sd, dict(variables), hooks=_fcos_hooks)
         preprocess = weights.transforms()
     return VisionModel(module=module, variables=variables, preprocess=preprocess)

@@ -148,7 +148,12 @@ class KeypointRCNN(FasterRCNN):
         )
         return losses
 
-    def __call__(self, images: jax.Array, train: bool = False):
+    def __call__(
+        self,
+        images: jax.Array,
+        train: bool = False,
+        return_features: bool = False,
+    ):
         dets = super().__call__(images, train=train)
         image_size = (images.shape[1], images.shape[2])
         feats = self.backbone(images, train=train)
@@ -161,7 +166,7 @@ class KeypointRCNN(FasterRCNN):
         x = self.keypoint_head(pooled)
         maps = self.keypoint_predictor(x)  # [N*D, 56, 56, K]
         kp, kp_scores = heatmaps_to_keypoints(maps, dets.boxes.reshape(-1, 4))
-        return KeypointDetections(
+        out = KeypointDetections(
             dets.boxes,
             dets.scores,
             dets.labels,
@@ -169,6 +174,9 @@ class KeypointRCNN(FasterRCNN):
             kp.reshape(n, d, self.num_keypoints, 3),
             kp_scores.reshape(n, d, self.num_keypoints),
         )
+        if return_features:
+            return out, feats
+        return out
 
 
 class KeypointRCNN_ResNet50_FPN_Weights(WeightsEnum):

@@ -92,7 +92,12 @@ class MaskRCNN(FasterRCNN):
         )
         return losses
 
-    def __call__(self, images: jax.Array, train: bool = False):
+    def __call__(
+        self,
+        images: jax.Array,
+        train: bool = False,
+        return_features: bool = False,
+    ):
         """Eval path: box detections + per-detection mask probabilities
         (28x28 in box frame; use
         ``roi_heads.paste_masks_in_image`` for full-resolution masks)."""
@@ -114,9 +119,12 @@ class MaskRCNN(FasterRCNN):
         )[..., 0]
         m = sel.shape[-1]
         masks = sel.reshape(n, d, m, m)
-        return MaskDetections(
+        out = MaskDetections(
             dets.boxes, dets.scores, dets.labels, dets.valid, masks
         )
+        if return_features:
+            return out, feats
+        return out
 
 
 def _coco_w(url, box_map, mask_map, num_params):

@@ -171,9 +171,15 @@ class RetinaNet(nn.Module):
             self.fg_iou_thresh, self.bg_iou_thresh, allow_low_quality_matches=True
         )
 
-    def __call__(self, images: jax.Array, train: bool = False):
+    def __call__(
+        self,
+        images: jax.Array,
+        train: bool = False,
+        return_features: bool = False,
+    ):
         """images: [N, H, W, C] padded batch. Returns (per-level cls logits,
-        per-level bbox deltas, per-level anchors)."""
+        per-level bbox deltas, per-level anchors); with
+        ``return_features=True`` also the backbone FPN feature dict."""
         feats = self.backbone(images, train=train)
         # FPN output order: "0","1","2" then p6, p7
         keys = [k for k in ["0", "1", "2", "p6", "p7"] if k in feats]
@@ -183,6 +189,8 @@ class RetinaNet(nn.Module):
         anchors = self.anchor_generator(
             (images.shape[1], images.shape[2]), fm_sizes
         )
+        if return_features:
+            return (cls_logits, bbox_reg, anchors), feats
         return cls_logits, bbox_reg, anchors
 
     # ---------------------------------------------------------------- eval
@@ -327,8 +335,13 @@ class RetinaNet_ResNet50_FPN_V2_Weights(WeightsEnum):
 
 def _retinanet_hooks(sd):
     """Map reference checkpoint names: v1 cls/reg towers are
-    ``head.*.conv.{i}`` plain convs -> our ``conv.{i}.0``; anchors buffer
-    dropped."""
+    ``head.*.conv.{i}`` plain convs -> our ``conv.{i}.0``; FPN block
+    renames; anchors buffer dropped."""
+    from vision_tpu.models.detection.backbone_utils import (
+        _fpn_checkpoint_renames,
+    )
+
+    sd = _fpn_checkpoint_renames(sd)
     out = {}
     for k, v in sd.items():
         if ".anchors" in k:

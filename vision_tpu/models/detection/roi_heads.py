@@ -50,19 +50,23 @@ class TwoMLPHead(nn.Module):
 
 
 class FastRCNNConvFCHead(nn.Module):
-    """v2 box head (reference FastRCNNConvFCHead): 4x conv3x3(256)+GN? ->
-    fc. Names 0..3 convs (each Conv2dNormActivation), 5 flatten, 6 fc."""
+    """v2 box head (reference FastRCNNConvFCHead, ``faster_rcnn.py:307``):
+    4x Conv2dNormActivation(256, norm_layer=nn.BatchNorm2d) -> flatten ->
+    fc. Names: "{i}.0" conv / "{i}.1" batch norm, "5" fc."""
 
     representation_size: int = 1024
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         for i in range(4):
             x = nn.Conv(
                 256, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
                 name=f"{i}.0",
             )(x)
-            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"{i}.1")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name=f"{i}.1",
+            )(x)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         return nn.relu(nn.Dense(self.representation_size, name="5")(x))

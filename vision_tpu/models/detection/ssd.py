@@ -137,13 +137,22 @@ class SSD(nn.Module):
         self.box_coder = det_utils.BoxCoder(weights=(10.0, 10.0, 5.0, 5.0))
         self.proposal_matcher = det_utils.SSDMatcher(self.iou_thresh)
 
-    def __call__(self, images: jax.Array, train: bool = False):
+    def __call__(
+        self,
+        images: jax.Array,
+        train: bool = False,
+        return_features: bool = False,
+    ):
         feats = self.backbone(images, train=train)
         cls_logits, bbox_reg = self.head(feats)
         fm_sizes = [(f.shape[1], f.shape[2]) for f in feats]
         anchors = self.anchor_generator(
             (images.shape[1], images.shape[2]), fm_sizes
         )
+        if return_features:
+            return (cls_logits, bbox_reg, anchors), {
+                str(i): f for i, f in enumerate(feats)
+            }
         return cls_logits, bbox_reg, anchors
 
     def postprocess_detections(
@@ -163,16 +172,17 @@ class SSD(nn.Module):
             y = jnp.clip(boxes[:, 1::2], 0, h)
             boxes = jnp.stack([x[:, 0], y[:, 0], x[:, 1], y[:, 1]], -1)
 
-            fg_scores = scores[:, 1:].reshape(-1)
-            fg_labels = jnp.tile(jnp.arange(1, c), (r,))
-            box_idx = jnp.repeat(jnp.arange(r), c - 1)
-            valid = fg_scores > self.score_thresh
-            k = min(self.topk_candidates * 2, fg_scores.shape[0])
-            cand_scores, cand_idx = jax.lax.top_k(
-                jnp.where(valid, fg_scores, -1.0), k
+            # reference keeps topk_candidates PER CLASS (ssd.py:432-442:
+            # per-label score filter -> topk -> concat), not a joint cap
+            k = min(self.topk_candidates, r)
+            cls_scores = scores[:, 1:]  # [R, C-1]
+            masked = jnp.where(
+                cls_scores > self.score_thresh, cls_scores, -1.0
             )
-            cand_boxes = boxes[box_idx[cand_idx]]
-            cand_labels = fg_labels[cand_idx]
+            top_s, top_i = jax.lax.top_k(masked.T, k)  # [C-1, k]
+            cand_scores = top_s.reshape(-1)
+            cand_boxes = boxes[top_i.reshape(-1)]
+            cand_labels = jnp.repeat(jnp.arange(1, c), k)
             cvalid = cand_scores > 0
             keep = batched_nms_mask(
                 cand_boxes, cand_scores, cand_labels, self.nms_thresh,

@@ -228,13 +228,22 @@ class SSDLite(SSD):
             self.iou_thresh, self.iou_thresh, allow_low_quality_matches=True
         )
 
-    def __call__(self, images: jax.Array, train: bool = False):
+    def __call__(
+        self,
+        images: jax.Array,
+        train: bool = False,
+        return_features: bool = False,
+    ):
         feats = self.backbone(images, train=train)
         cls_logits, bbox_reg = self.head(feats, train=train)
         fm_sizes = [(f.shape[1], f.shape[2]) for f in feats]
         anchors = self.anchor_generator(
             (images.shape[1], images.shape[2]), fm_sizes
         )
+        if return_features:
+            return (cls_logits, bbox_reg, anchors), {
+                str(i): f for i, f in enumerate(feats)
+            }
         return cls_logits, bbox_reg, anchors
 
 
@@ -248,6 +257,26 @@ class SSDLite320_MobileNet_V3_Large_Weights(WeightsEnum):
         },
     )
     DEFAULT = COCO_V1
+
+
+def _ssdlite_hooks(sd):
+    """Reference checkpoint -> flax names for the split C4 block.
+
+    ``SSDLiteFeatureExtractorMobileNet`` (reference ssdlite.py:131-135)
+    builds ``features.1.0`` from ``backbone[c4_pos].block[1:]`` — a
+    Sequential *slice*, which in torch keeps the original child keys
+    ("1" depthwise, "2" SE, "3" project). Our flax Sequential renumbers
+    them from 0, so shift those indices down by one."""
+    out = {}
+    prefix = "backbone.features.1.0."
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            parts = k[len(prefix):].split(".")
+            if parts[0].isdigit():
+                parts[0] = str(int(parts[0]) - 1)
+            k = prefix + ".".join(parts)
+        out[k] = v
+    return out
 
 
 @register_model()
@@ -269,6 +298,8 @@ def ssdlite320_mobilenet_v3_large(
         from vision_tpu._torch_convert import convert_torch_state_dict
 
         sd = weights.get_state_dict()
-        variables = convert_torch_state_dict(sd, dict(variables))
+        variables = convert_torch_state_dict(
+            sd, dict(variables), hooks=_ssdlite_hooks
+        )
         preprocess = weights.transforms()
     return VisionModel(module=module, variables=variables, preprocess=preprocess)

@@ -52,9 +52,12 @@ class MBConv(nn.Module):
         if should_proj:
             res = x
             if self.stride == 2:
+                # torch nn.AvgPool2d(3, 2, padding=1) divides by the full
+                # 3x3 window even where it overlaps padding
+                # (count_include_pad defaults True)
                 res = nn.avg_pool(
                     res, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
-                    count_include_pad=False,
+                    count_include_pad=True,
                 )
                 res = nn.Conv(self.out_channels, (1, 1), name="proj.1")(res)
             else:

@@ -302,7 +302,7 @@ class MViT(nn.Module):
     num_classes: int = 400
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
         embed = self.block_setting[0].input_channels
         x = nn.Conv(
             embed, (3, 7, 7), (2, 4, 4), padding=[(1, 1), (3, 3), (3, 3)],
@@ -337,6 +337,7 @@ class MViT(nn.Module):
         thw = (t, h, w)
         input_size = thw
         total = len(self.block_setting)
+        features = {}
         for i, cnf in enumerate(self.block_setting):
             sdp = self.stochastic_depth_prob * i / (total - 1.0)
             x, thw = MultiscaleBlock(
@@ -350,11 +351,15 @@ class MViT(nn.Module):
                 input_size,
                 name=f"blocks.{i}",
             )(x, train)
+            features[f"blocks.{i}"] = x
 
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         x = x[:, 0]
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.num_classes, name="head.1")(x)
+        x = nn.Dense(self.num_classes, name="head.1")(x)
+        if return_features:
+            return x, features
+        return x
 
 
 def _mk_config(config) -> Tuple[MSBlockConfig, ...]:

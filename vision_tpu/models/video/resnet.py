@@ -96,7 +96,7 @@ class VideoResNet(nn.Module):
     num_classes: int = 400
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
         if self.stem_type == "basic":
             x = _conv3d(64, (3, 7, 7), (1, 2, 2), "stem.0")(x)
             x = _bn(train, "stem.1")(x)
@@ -109,6 +109,7 @@ class VideoResNet(nn.Module):
             x = _bn(train, "stem.4")(x)
             x = nn.relu(x)
 
+        features = {"stem": x}
         in_planes = 64
         for i, (planes, blocks, conv_type) in enumerate(
             zip((64, 128, 256, 512), self.layers, self.conv_makers)
@@ -125,8 +126,12 @@ class VideoResNet(nn.Module):
                     name=f"layer{i + 1}.{j}",
                 )(x, train)
                 in_planes = planes
+            features[f"layer{i + 1}"] = x
         x = jnp.mean(x, axis=(-4, -3, -2))
-        return nn.Dense(self.num_classes, name="fc")(x)
+        x = nn.Dense(self.num_classes, name="fc")(x)
+        if return_features:
+            return x, features
+        return x
 
 
 def _w(url, acc1, acc5, num_params):

@@ -73,12 +73,13 @@ class S3D(nn.Module):
     dropout: float = 0.2
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
         x = _sep_conv(64, 7, 2, "features.0", train)(x)
         x = _maxpool3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         x = _cna3d(64, (1, 1, 1), (1, 1, 1), "features.2", train)(x)
         x = _sep_conv(192, 3, 1, "features.3", train)(x)
         x = _maxpool3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
+        features = {"stem": x}
         blocks = [
             (64, 96, 128, 16, 32, 32),
             (128, 128, 192, 32, 96, 64),
@@ -100,13 +101,17 @@ class S3D(nn.Module):
                 x = _maxpool3d(x, (2, 2, 2), (2, 2, 2), (0, 0, 0))
             else:
                 x = _SepInception(*b, name=f"features.{idx}")(x, train)
+            features[f"features.{idx}"] = x
             idx += 1
         # avg pool (2,7,7) stride 1 then mean == global mean for 224 input;
         # use global mean like the reference's final reduction
         x = jnp.mean(x, axis=(-4, -3, -2), keepdims=True)[:, 0]
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Conv(self.num_classes, (1, 1), name="classifier.1")(x)
-        return jnp.mean(x, axis=(-3, -2))
+        x = jnp.mean(x, axis=(-3, -2))
+        if return_features:
+            return x, features
+        return x
 
 
 class S3D_Weights(WeightsEnum):

@@ -193,7 +193,7 @@ class SwinTransformer3d(nn.Module):
     num_classes: int = 400
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
         pt, ph, pw = self.patch_size
         x = nn.Conv(
             self.embed_dim, (pt, ph, pw), (pt, ph, pw), padding="VALID",
@@ -204,6 +204,7 @@ class SwinTransformer3d(nn.Module):
         total = sum(self.depths)
         block_id = 0
         layer_idx = 0
+        features = {"patch_embed": x}
         for i_stage, depth in enumerate(self.depths):
             dim = self.embed_dim * 2**i_stage
             for i_layer in range(depth):
@@ -218,6 +219,7 @@ class SwinTransformer3d(nn.Module):
                     name=f"features.{layer_idx}.{i_layer}",
                 )(x, train)
                 block_id += 1
+            features[f"features.{layer_idx}"] = x
             layer_idx += 1
             if i_stage < len(self.depths) - 1:
                 # 2D patch merging over (H, W) only (reference uses the
@@ -242,7 +244,10 @@ class SwinTransformer3d(nn.Module):
 
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         x = jnp.mean(x, axis=(1, 2, 3))
-        return nn.Dense(self.num_classes, name="head")(x)
+        x = nn.Dense(self.num_classes, name="head")(x)
+        if return_features:
+            return x, features
+        return x
 
 
 def _w(url, acc1, acc5, num_params):
