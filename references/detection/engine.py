@@ -38,17 +38,29 @@ def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None,
       (raw head outputs + anchors), then ``compute_loss(*outputs,
       gt_boxes, gt_labels, gt_valid)``."""
 
-    # non-trainable collections (FrozenBatchNorm buffers, batch_stats)
+    # non-trainable collections. FrozenBatchNorm buffers live in
+    # "constants" and are never updated; live BatchNorm backbones
+    # (SSDLite's MobileNetV3) carry "batch_stats", which the production
+    # train step must update (reference trains BN: ``train.py:model.train()``)
+    # — so batch_stats is threaded through the step as mutable state.
     extra = {
         k: v for k, v in (variables or {}).items() if k != "params"
     }
+    has_bs = "batch_stats" in extra
 
-    def step(params, opt_state, batch, key):
+    def step(params, extra, opt_state, batch, key):
         def loss_fn(p):
+            mut = {}
             if one_stage:
-                outputs = module.apply(
-                    {"params": p, **extra}, batch["image"], train=True
-                )
+                if has_bs:
+                    outputs, mut = module.apply(
+                        {"params": p, **extra}, batch["image"], train=True,
+                        mutable=["batch_stats"],
+                    )
+                else:
+                    outputs = module.apply(
+                        {"params": p, **extra}, batch["image"], train=True
+                    )
                 losses = module.apply(
                     {"params": p, **extra},
                     *outputs,
@@ -63,7 +75,7 @@ def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None,
                     kw["gt_masks"] = batch["masks"]
                 if "keypoints" in batch:
                     kw["gt_keypoints"] = batch["keypoints"]
-                losses = module.apply(
+                out = module.apply(
                     {"params": p, **extra},
                     batch["image"],
                     batch["boxes"],
@@ -71,21 +83,28 @@ def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None,
                     batch["valid"],
                     key,
                     method="compute_loss",
+                    mutable=["batch_stats"] if has_bs else False,
                     **kw,
                 )
+                losses, mut = out if has_bs else (out, {})
             total = sum(losses.values())
-            return total, losses
+            return total, (losses, mut)
 
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (total, (losses, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, total, losses
+        if has_bs:
+            extra = {**extra, "batch_stats": mut["batch_stats"]}
+        return params, extra, opt_state, total, losses
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1, 2)), extra
 
 
 def train_one_epoch(
-    step_fn, params, opt_state, data_loader, key, epoch, print_freq=10
+    step_fn, params, extra, opt_state, data_loader, key, epoch,
+    print_freq=10,
 ):
     """reference ``engine.py:12`` (the lr warmup lives in the optax
     schedule)."""
@@ -93,15 +112,15 @@ def train_one_epoch(
     header = f"Epoch: [{epoch}]"
     for batch in logger.log_every(data_loader, print_freq, header):
         key, sub = jax.random.split(key)
-        params, opt_state, total, losses = step_fn(
-            params, opt_state, batch, sub
+        params, extra, opt_state, total, losses = step_fn(
+            params, extra, opt_state, batch, sub
         )
         loss_value = float(total)
         if not math.isfinite(loss_value):
             print(f"Loss is {loss_value}, stopping training")
             sys.exit(1)
         logger.update(loss=loss_value, **{k: float(v) for k, v in losses.items()})
-    return params, opt_state, key
+    return params, extra, opt_state, key
 
 
 def evaluate_detection(model, data_loader, ground_truths, postprocess=None):

@@ -360,7 +360,7 @@ def main(args):
     )
     opt_state = tx.init(params)
     one_stage = any(s in args.model for s in ("retinanet", "ssd", "fcos"))
-    step_fn = make_detection_train_step(
+    step_fn, extra = make_detection_train_step(
         module, tx, one_stage=one_stage, variables=model.variables
     )
 
@@ -379,8 +379,8 @@ def main(args):
                 train=True, seed=epoch,
             )
         t0 = time.time()
-        params, opt_state, key = train_one_epoch(
-            step_fn, params, opt_state, train_iter, key, epoch,
+        params, extra, opt_state, key = train_one_epoch(
+            step_fn, params, extra, opt_state, train_iter, key, epoch,
             print_freq=args.print_freq,
         )
         print(f"epoch {epoch} done in {time.time() - t0:.1f}s")
@@ -388,7 +388,7 @@ def main(args):
     if args.output_dir:
         utils.save_checkpoint(
             os.path.join(args.output_dir, "checkpoint.msgpack"),
-            {"params": jax.device_get(params)},
+            {"params": jax.device_get(params), **jax.device_get(extra)},
         )
 
 
