@@ -29,7 +29,9 @@ from vision_tpu.transforms.v2.functional._geometry import (
     crop_keypoints,
     crop_mask,
     elastic,
+    elastic_bounding_boxes,
     elastic_image,
+    elastic_keypoints,
     five_crop,
     horizontal_flip,
     horizontal_flip_bounding_boxes,
@@ -41,6 +43,7 @@ from vision_tpu.transforms.v2.functional._geometry import (
     perspective,
     perspective_bounding_boxes,
     perspective_image,
+    perspective_keypoints,
     perspective_mask,
     resize,
     resize_bounding_boxes,

@@ -33,13 +33,26 @@ def erase(
     )
 
 
-def jpeg(inpt, quality: int):
-    """JPEG encode->decode round trip (reference ``_augment.py`` jpeg).
-    Host-side (PIL/libjpeg) — not jittable; apply outside jit in the input
-    pipeline."""
+def _jpeg_roundtrip_host(arr, quality: int):
+    """numpy uint8 [..., H, W, C] -> same, via host libjpeg."""
     import numpy as np
 
     from vision_tpu.io import decode_jpeg, encode_jpeg
+
+    lead = arr.shape[:-3]
+    flat = arr.reshape((-1,) + arr.shape[-3:])
+    outs = [decode_jpeg(encode_jpeg(im, quality=quality)) for im in flat]
+    return np.stack([np.asarray(o) for o in outs]).reshape(
+        lead + outs[0].shape
+    )
+
+
+def jpeg(inpt, quality: int):
+    """JPEG encode->decode round trip (reference ``_augment.py`` jpeg).
+    The codec runs on the host (libjpeg); under ``jit`` it is staged as a
+    ``pure_callback`` (shape/dtype-preserving), so JPEG augmentation can
+    live inside a compiled input pipeline."""
+    import numpy as np
 
     if isinstance(inpt, tv_tensors.TVTensor):
         img = inpt.data
@@ -48,9 +61,12 @@ def jpeg(inpt, quality: int):
         img, rewrap = inpt, lambda out: out
     if img.dtype != jnp.uint8:
         raise ValueError("jpeg expects uint8 input")
-    arr = np.asarray(img)
-    lead = arr.shape[:-3]
-    flat = arr.reshape((-1,) + arr.shape[-3:])
-    outs = [decode_jpeg(encode_jpeg(im, quality=quality)) for im in flat]
-    out = np.stack(outs).reshape(lead + outs[0].shape)
-    return rewrap(jnp.asarray(out))
+    if isinstance(img, jax.core.Tracer):
+        out = jax.pure_callback(
+            lambda a: _jpeg_roundtrip_host(np.asarray(a), quality),
+            jax.ShapeDtypeStruct(img.shape, jnp.uint8),
+            img,
+            vmap_method="sequential",
+        )
+        return rewrap(out)
+    return rewrap(jnp.asarray(_jpeg_roundtrip_host(np.asarray(img), quality)))

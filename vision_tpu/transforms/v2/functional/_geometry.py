@@ -1214,6 +1214,29 @@ def perspective_bounding_boxes(
     return box_convert(out, "xyxy", fmt_name).astype(dtype)
 
 
+def perspective_keypoints(
+    kp, canvas_size, startpoints=None, endpoints=None, coefficients=None
+):
+    """Forward homography on points (reference perspective_keypoints);
+    trailing channels beyond (x, y) pass through untouched."""
+    if coefficients is None:
+        coefficients = _perspective_coeffs(startpoints, endpoints)
+    c = coefficients
+    M = np.array(
+        [[c[0], c[1], c[2]], [c[3], c[4], c[5]], [c[6], c[7], 1.0]],
+        dtype=np.float64,
+    )
+    Minv = np.linalg.inv(M)
+    dtype = kp.dtype
+    xy = kp[..., :2].astype(jnp.float32)
+    extra = kp[..., 2:]
+    ones = jnp.ones(xy.shape[:-1] + (1,), dtype=jnp.float32)
+    pts = jnp.concatenate([xy + 0.5, ones], axis=-1)  # pixel centers
+    tp = pts @ jnp.array(Minv, dtype=jnp.float32).T
+    out = tp[..., :2] / tp[..., 2:3] - 0.5
+    return jnp.concatenate([out.astype(dtype), extra], axis=-1)
+
+
 def perspective(
     inpt,
     startpoints=None,
@@ -1241,6 +1264,11 @@ def perspective(
             inpt.data, inpt.format, inpt.canvas_size, startpoints, endpoints, coefficients
         )
         return clamp_bounding_boxes(tv_tensors.wrap(out, like=inpt))
+    if isinstance(inpt, KeyPoints):
+        out = perspective_keypoints(
+            inpt.data, inpt.canvas_size, startpoints, endpoints, coefficients
+        )
+        return clamp_keypoints(KeyPoints(out, canvas_size=inpt.canvas_size))
     raise TypeError(f"perspective: unsupported type {type(inpt).__name__}")
 
 
@@ -1288,6 +1316,54 @@ def elastic_image(
     return out.astype(orig_dtype)
 
 
+def elastic_keypoints(kp, canvas_size, displacement):
+    """reference elastic_keypoints: the inverse warp is approximated by
+    looking up the displacement at each point's (truncated, clamped)
+    pixel location — dst = src - d * size/2, matching
+    :func:`elastic_image`'s dst->src convention. Trailing channels
+    beyond (x, y) pass through."""
+    h, w = canvas_size
+    d = jnp.asarray(displacement, jnp.float32).reshape(h, w, 2)
+    dtype = kp.dtype
+    xy = kp[..., :2].astype(jnp.float32)
+    extra = kp[..., 2:]
+    xi = jnp.clip(xy[..., 0].astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(xy[..., 1].astype(jnp.int32), 0, h - 1)
+    dx = d[yi, xi, 0] * (w * 0.5)
+    dy = d[yi, xi, 1] * (h * 0.5)
+    out = jnp.stack([xy[..., 0] - dx, xy[..., 1] - dy], axis=-1)
+    return jnp.concatenate([out.astype(dtype), extra], axis=-1)
+
+
+def elastic_bounding_boxes(boxes, format, canvas_size, displacement):
+    """reference elastic_bounding_boxes: transform the 4 corners with the
+    approximate inverse warp, envelope bbox."""
+    dtype = boxes.dtype
+    fmt_name = format.value.lower()
+    xyxy = box_convert(boxes.astype(jnp.float32), fmt_name, "xyxy")
+    x1, y1, x2, y2 = (xyxy[..., i] for i in range(4))
+    corners = jnp.stack(
+        [
+            jnp.stack([x1, y1], -1),
+            jnp.stack([x2, y1], -1),
+            jnp.stack([x2, y2], -1),
+            jnp.stack([x1, y2], -1),
+        ],
+        axis=-2,
+    )
+    tp = elastic_keypoints(corners, canvas_size, displacement)
+    out = jnp.stack(
+        [
+            jnp.min(tp[..., 0], axis=-1),
+            jnp.min(tp[..., 1], axis=-1),
+            jnp.max(tp[..., 0], axis=-1),
+            jnp.max(tp[..., 1], axis=-1),
+        ],
+        axis=-1,
+    )
+    return box_convert(out, "xyxy", fmt_name).astype(dtype)
+
+
 def elastic(inpt, displacement, interpolation: str = "bilinear", fill=None):
     if _is_image_like(inpt):
         return elastic_image(inpt, displacement, interpolation, fill)
@@ -1296,6 +1372,14 @@ def elastic(inpt, displacement, interpolation: str = "bilinear", fill=None):
     if isinstance(inpt, Mask):
         out = elastic_image(inpt.data[..., None], displacement, "nearest", fill)
         return Mask(out[..., 0])
+    if isinstance(inpt, BoundingBoxes):
+        out = elastic_bounding_boxes(
+            inpt.data, inpt.format, inpt.canvas_size, displacement
+        )
+        return clamp_bounding_boxes(tv_tensors.wrap(out, like=inpt))
+    if isinstance(inpt, KeyPoints):
+        out = elastic_keypoints(inpt.data, inpt.canvas_size, displacement)
+        return clamp_keypoints(KeyPoints(out, canvas_size=inpt.canvas_size))
     raise TypeError(f"elastic: unsupported type {type(inpt).__name__}")
 
 
