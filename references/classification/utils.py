@@ -147,7 +147,12 @@ class ExponentialMovingAverage:
 
     def __init__(self, params, decay: float = 0.9999):
         self.decay = decay
-        self.shadow = jax.tree_util.tree_map(jnp.asarray, params)
+        # copy: the train step donates its state, so aliasing params here
+        # (jnp.asarray is a no-op on device arrays) would leave the shadow
+        # pointing at deleted buffers after the first step
+        self.shadow = jax.tree_util.tree_map(
+            lambda p: jnp.array(p, copy=True), params
+        )
 
     def update(self, params):
         d = self.decay
