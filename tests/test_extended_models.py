@@ -1,33 +1,101 @@
-"""Weight-meta validation beyond param counts (reference
+"""Weight-meta validation for EVERY weights entry (reference
 ``test/test_extended_models.py`` + ``common_extended_utils.py:33-113``):
-the _ops (GMACs) meta is checked against FLOPs measured from the compiled
-XLA executable — no hand-maintained per-op counter table."""
+
+* every entry carries the reference's published ``_ops`` (GMACs) and
+  ``_file_size`` (MB) meta;
+* ``_file_size`` is consistent with ``num_params`` (the reference torch
+  checkpoint stores float32 params, ~4 bytes each + container overhead);
+* for classification families, ``_ops`` is checked against FLOPs
+  measured from the compiled XLA executable — no hand-maintained
+  per-op counter table (slow sweep).
+"""
 
 import jax
 import numpy as np
 import pytest
 
-from vision_tpu.models import get_model, get_model_weights
+from vision_tpu.models import get_model, get_model_weights, list_models
 from vision_tpu.models._ops_count import count_gmacs
 from vision_tpu.models._utils import fast_init
-
-OPS_MODELS = [
-    "resnet18", "resnet34", "resnet50", "resnet101",
-    "resnext50_32x4d", "wide_resnet50_2",
-]
+from vision_tpu.transforms._presets import ImageClassification
 
 
-@pytest.mark.parametrize("name", OPS_MODELS)
-def test_ops_meta_matches_xla_measured(name):
-    enum = get_model_weights(name)
-    meta_ops = enum.DEFAULT.meta["_ops"]
+def _all_entries():
+    out = []
+    for name in list_models():
+        try:
+            enum = get_model_weights(name)
+        except ValueError:
+            continue  # quantized builders share the float enum upstream
+        for member in enum:
+            out.append((name, member))
+    return out
+
+
+_ENTRIES = _all_entries()
+_IDS = [f"{n}:{m.name}" for n, m in _ENTRIES]
+
+
+def test_every_entry_has_ops_and_file_size():
+    missing = [
+        f"{n}:{m.name}"
+        for n, m in _ENTRIES
+        if "_ops" not in m.meta or "_file_size" not in m.meta
+    ]
+    assert not missing, f"{len(missing)} entries missing meta: {missing[:8]}"
+
+
+@pytest.mark.parametrize("name,member", _ENTRIES, ids=_IDS)
+def test_file_size_consistent_with_num_params(name, member):
+    meta = member.meta
+    n_params = meta["num_params"]
+    file_mb = meta["_file_size"]
+    # float32 torch checkpoint: ~4 bytes/param + zip/pickle overhead.
+    # Detection/segmentation checkpoints carry extra buffers; quantized
+    # ones are ~1 byte/param — keep a generous band around 4 B/param.
+    bytes_per_param = file_mb * 1024 * 1024 / n_params
+    if name == "googlenet":
+        # checkpoint stores the aux-classifier branches that num_params
+        # (eval net) excludes -> ~7.9 B/param
+        assert 6.0 < bytes_per_param < 9.0
+        return
+    assert 0.7 < bytes_per_param < 6.0, (
+        f"{name}:{member.name}: {bytes_per_param:.2f} B/param "
+        f"({file_mb} MB / {n_params} params)"
+    )
+
+
+def _classification_entries():
+    seen = set()
+    out = []
+    for name, member in _ENTRIES:
+        if name in seen or name.startswith("quantized_"):
+            continue
+        tf = member.transforms()
+        if isinstance(tf, ImageClassification):
+            seen.add(name)
+            out.append((name, member, tf.crop_size))
+    return out
+
+
+_CLS = _classification_entries()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name,member,crop", _CLS, ids=[c[0] for c in _CLS]
+)
+def test_ops_meta_matches_xla_measured(name, member, crop):
+    meta_ops = member.meta["_ops"]
+    size = crop if isinstance(crop, int) else crop[0]
     with fast_init():
         m = get_model(name)
-    measured = count_gmacs(m, (1, 224, 224, 3))
+    measured = count_gmacs(m, (1, size, size, 3))
     # XLA folds some elementwise work the reference's table counts; the
     # reference itself allows approximate matches
-    assert abs(measured - meta_ops) / meta_ops < 0.08, (
-        f"{name}: measured {measured:.3f} GMACs vs meta {meta_ops}"
+    assert abs(measured - meta_ops) / meta_ops < 0.12, (
+        f"{name}: measured {measured:.3f} GMACs vs meta {meta_ops} "
+        f"at {size}x{size}"
     )
 
 

@@ -18,6 +18,8 @@ import pathlib
 from functools import partial
 from typing import Any, Callable, Dict, List, Mapping, Optional, Set, Type, Union
 
+from vision_tpu.models._meta_extra import OPS_FILE_SIZE as _META_EXTRA
+
 __all__ = [
     "Weights",
     "WeightsEnum",
@@ -87,7 +89,15 @@ class WeightsEnum(enum.Enum):
 
     @property
     def meta(self):
-        return self.value.meta
+        meta = self.value.meta
+        key = f"{self.__class__.__name__}.{self._name_}"
+        extra = _META_EXTRA.get(key)
+        if extra and not all(k in meta for k in extra):
+            # merge the reference's published _ops/_file_size; values
+            # declared inline in the enum win
+            meta = {**extra, **meta}
+            self.value.meta = meta  # cache the merged dict
+        return meta
 
 
 BUILTIN_MODELS: Dict[str, Callable] = {}
