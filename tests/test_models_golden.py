@@ -88,7 +88,24 @@ def _forward(name, model, shape):
     return fwd(variables, x)
 
 
-@pytest.mark.parametrize("name", list_models())
+# fast smoke subset (one small representative per family group); the
+# rest of the 121-builder sweep is `slow` (run with `-m slow` or no -m)
+FAST = {
+    "resnet18", "mobilenet_v3_small", "efficientnet_b0",
+    "shufflenet_v2_x0_5", "squeezenet1_1", "densenet121", "convnext_tiny",
+    "swin_t", "vit_b_32", "regnet_y_400mf",
+    "fasterrcnn_resnet50_fpn", "fcn_resnet50", "r3d_18", "raft_small",
+    "quantized_resnet18",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=() if n in FAST else pytest.mark.slow)
+        for n in list_models()
+    ],
+)
 def test_builder_output_pinned(name):
     shape, kwargs = _config(name)
     with fast_init():

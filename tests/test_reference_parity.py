@@ -106,8 +106,20 @@ def _names(kinds):
     return out
 
 
+# fast default subset: one small representative per family; the rest of
+# the sweep (still every builder) runs under `-m slow` / full runs
+FAST = {
+    "resnet18", "mobilenet_v2", "mobilenet_v3_small", "efficientnet_b0",
+    "shufflenet_v2_x0_5", "squeezenet1_1", "densenet121", "convnext_tiny",
+    "swin_t", "vit_b_32", "regnet_y_400mf", "mnasnet0_5", "googlenet",
+    "vgg11", "alexnet",
+    "fasterrcnn_mobilenet_v3_large_fpn", "ssdlite320_mobilenet_v3_large",
+    "fcn_resnet50", "lraspp_mobilenet_v3_large", "r3d_18", "raft_small",
+}
+
+
 def _param(n):
-    marks = [pytest.mark.slow] if n in SLOW else []
+    marks = [] if n in FAST else [pytest.mark.slow]
     return pytest.param(n, marks=marks)
 
 
