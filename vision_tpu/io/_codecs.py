@@ -236,7 +236,8 @@ def decode_jpeg_scaled_native(
 
 
 def jpeg_coefficients_native(data: bytes, coef_limit: int = 0):
-    """Entropy-decode a baseline JPEG to quantized DCT coefficients (the
+    """Entropy-decode a baseline or progressive JPEG to quantized DCT
+    coefficients (the
     host half of the TPU-offloaded decode; see csrc vtpu_jpeg_coefficients
     and vision_tpu/io/jpeg_tpu.py for the device half).
 
@@ -244,8 +245,11 @@ def jpeg_coefficients_native(data: bytes, coef_limit: int = 0):
     int16 array of shape ``(blocks_h, blocks_w, M*M)`` (natural coefficient
     order; M = ``coef_limit`` or 8), ``qtabs[ci]`` a uint16 ``(64,)``
     quantization table and ``samp[ci] = (h_samp, v_samp)``; or None when
-    the native lib is absent or the stream is unsupported (e.g.
-    progressive with >3 components). ``coef_limit`` in 1..7 keeps only the
+    the native lib is absent or the stream is unsupported (>3 components,
+    e.g. CMYK; progressive scans ARE supported — libjpeg's
+    ``jpeg_read_coefficients`` accumulates successive-approximation and
+    spectral-selection passes into the same coefficient buffer, so the
+    host/device split point is unchanged). ``coef_limit`` in 1..7 keeps only the
     top-left MxM coefficients per block for M/8-scale device decode.
     """
     lib = _load()
