@@ -125,3 +125,72 @@ def test_mixed_sampling_buckets_separate():
     # different sampling factors cannot share a compiled program
     assert len(batches) == 2
     assert all(b["image"].shape == (1, 32, 32, 3) for b in batches)
+
+
+def test_progressive_jpeg_rides_offload_path():
+    """Progressive streams entropy-decode directly (no fallback) and the
+    device decode matches PIL within the baseline bound (<=8 counts)."""
+    import io as _io
+
+    import PIL.Image
+
+    from vision_tpu.io.jpeg_tpu import decode_coefs, host_entropy_decode
+
+    _, img = _jpeg(64, 96, seed=3)
+    b = _io.BytesIO()
+    PIL.Image.fromarray(img).save(b, "JPEG", quality=85, progressive=True)
+    data = b.getvalue()
+    r = host_entropy_decode(data)
+    assert r is not None, "progressive stream fell back off the offload path"
+    coefs, qtabs, samp, (h, w) = r
+    out = np.asarray(decode_coefs(coefs, qtabs, h, w, samp))
+    pil = np.asarray(PIL.Image.open(_io.BytesIO(data)).convert("RGB"))
+    assert int(np.abs(out.astype(int) - pil.astype(int)).max()) <= 8
+
+    # and the loader counts it as a direct offload hit
+    loader = TpuJpegLoader([(data, 0)], batch_size=1, crop_size=32)
+    list(loader)
+    assert loader.stats["offload"] == 1
+    assert loader.offload_hit_rate == 1.0
+
+
+def test_cmyk_jpeg_reencode_fallback_counted():
+    """A 4-component (CMYK) JPEG can't feed the coefficient path directly;
+    the loader must host-decode + re-encode it (sample kept, counted)."""
+    import io as _io
+
+    import PIL.Image
+
+    _, img = _jpeg(64, 64, seed=5)
+    b = _io.BytesIO()
+    PIL.Image.fromarray(img, "RGB").convert("CMYK").save(b, "JPEG", quality=90)
+    data = b.getvalue()
+    loader = TpuJpegLoader([(data, 1)], batch_size=1, crop_size=32)
+    batches = list(loader)
+    assert sum(x["image"].shape[0] for x in batches) == 1  # sample kept
+    assert loader.stats["reencode_fallback"] == 1
+    assert loader.stats["dropped"] == 0
+    assert loader.offload_hit_rate == 0.0
+
+
+def test_multihost_sharding_disjoint_and_complete():
+    """Per-host strided shards of the same seeded permutation: disjoint,
+    complete, deterministic (SURVEY §2.10 per-host file lists)."""
+    samples = []
+    for i in range(8):
+        data, _ = _jpeg(48 + 8 * (i % 2), 64, seed=i)
+        samples.append((data, i))
+    seen = []
+    for pi in range(2):
+        loader = TpuJpegLoader(
+            samples, batch_size=2, crop_size=32, train=True, seed=7,
+            process_index=pi, process_count=2,
+        )
+        labels = []
+        for b in loader:
+            labels.extend(int(v) for v in np.asarray(b["label"]))
+        assert len(labels) == 4
+        assert len(loader) == 2
+        seen.append(set(labels))
+    assert seen[0] | seen[1] == set(range(8))
+    assert not (seen[0] & seen[1])
