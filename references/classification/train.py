@@ -220,28 +220,36 @@ def load_data(args):
 
 
 def make_device_augment(args):
-    """ONE jitted program: per-sample RandomResizedCrop + flip (+RandAugment
-    with --auto-augment ra) + normalize, then batch MixUp/CutMix — the
-    fused-augmentation pipeline (BASELINE config #2; ~3.5k img/s on v5e,
-    benchmarks/augmentation.py)."""
-    stages = [
+    """ONE jitted program: per-sample RandomResizedCrop + flip (+auto
+    augment) + normalize, then batch MixUp/CutMix — the fused-augmentation
+    pipeline (BASELINE config #2; benchmarks/augmentation.py).
+
+    RandAugment/TrivialAugmentWide run through the batched TPU engine
+    (``v2/_batch_augment.py`` — shear passes + fused color branches, no
+    per-pixel gathers) between the vmapped crop/flip stage and the
+    normalize stage: ~17x faster than vmapping their ``lax.switch`` op
+    selection, with bit-identical outputs for every non-Rotate op. AugMix
+    keeps the per-sample vmap path (mixture chains)."""
+    pre_stages = [
         T.RandomResizedCrop(args.train_crop_size, antialias=True),
         T.RandomHorizontalFlip(p=0.5),
     ]
+    batched_aa = None
     if args.auto_augment == "ra":
-        stages.append(T.RandAugment(magnitude=args.ra_magnitude))
+        batched_aa = T.RandAugment(magnitude=args.ra_magnitude)
     elif args.auto_augment == "ta_wide":
-        stages.append(T.TrivialAugmentWide())
+        batched_aa = T.TrivialAugmentWide()
     elif args.auto_augment == "augmix":
-        stages.append(T.AugMix())
-    stages += [
+        pre_stages.append(T.AugMix())
+    post_stages = [
         T.ToDtype(jnp.float32, scale=True),
         T.Normalize(mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225]),
     ]
     if args.random_erase > 0:
         # after Normalize, like the reference preset (presets.py)
-        stages.append(T.RandomErasing(p=args.random_erase))
-    pipeline = T.Compose(stages)
+        post_stages.append(T.RandomErasing(p=args.random_erase))
+    pre = T.Compose(pre_stages)
+    post = T.Compose(post_stages)
     mixers = []
     if args.mixup_alpha > 0:
         mixers.append(T.MixUp(args.mixup_alpha, num_classes=args.num_classes))
@@ -250,11 +258,14 @@ def make_device_augment(args):
 
     @jax.jit
     def augment(batch, key):
-        k1, k2, k3 = jax.random.split(key, 3)
-        keys = jax.random.split(k1, batch["image"].shape[0])
-        imgs = jax.vmap(lambda im, k: pipeline(im, key=k))(
-            batch["image"], keys
-        )
+        k1, k2, k3, kaa, kpost = jax.random.split(key, 5)
+        n = batch["image"].shape[0]
+        keys = jax.random.split(k1, n)
+        imgs = jax.vmap(lambda im, k: pre(im, key=k))(batch["image"], keys)
+        if batched_aa is not None:
+            imgs = batched_aa.batched(imgs, kaa)
+        pkeys = jax.random.split(kpost, n)
+        imgs = jax.vmap(lambda im, k: post(im, key=k))(imgs, pkeys)
         labels = batch["label"]
         if mixers:
             onehot = jax.nn.one_hot(labels, args.num_classes)

@@ -371,6 +371,46 @@ class RandAugment(_AutoAugmentBase):
             out.append(img)
         return jax.tree_util.tree_unflatten(spec, out)
 
+    def batched(self, imgs: jax.Array, key: jax.Array) -> jax.Array:
+        """Per-sample RandAugment on a uint8 batch [N,H,W,C] via the
+        batched TPU engine (``_batch_augment.py``) — the production
+        ``--device-augment`` path, ~17x faster than ``vmap(__call__)``.
+        The RNG draw structure mirrors the vmapped path, so every
+        non-Rotate op is bit-identical to ``vmap`` with the same key;
+        Rotate samples within +-1 source pixel (three-shear)."""
+        from vision_tpu.transforms.v2._batch_augment import (
+            apply_ops_batched,
+            max_shift_bound,
+        )
+
+        n, h, w, _ = imgs.shape
+        space = self._augmentation_space(self.num_magnitude_bins, (h, w))
+        names = list(space.keys())
+        bound = max_shift_bound(space, self.magnitude, (h, w))
+
+        def draws(k):
+            ops, signs = [], []
+            for kk in jax.random.split(k, self.num_ops):
+                k1, k2 = jax.random.split(kk)
+                ops.append(jax.random.randint(k1, (), 0, len(names)))
+                signs.append(
+                    jnp.where(jax.random.uniform(k2) > 0.5, -1.0, 1.0)
+                )
+            return jnp.stack(ops), jnp.stack(signs)
+
+        op_idx, signs = jax.vmap(draws)(jax.random.split(key, n))
+        x = imgs
+        for s in range(self.num_ops):
+            mags = {}
+            for name, (tab, signed) in space.items():
+                mag = float(tab[self.magnitude]) if tab.ndim > 0 else 0.0
+                if signed:
+                    mags[name] = mag * signs[:, s]
+                else:
+                    mags[name] = jnp.full((n,), mag, jnp.float32)
+            x = apply_ops_batched(x, op_idx[:, s], mags, names, bound)
+        return x
+
 
 class TrivialAugmentWide(_AutoAugmentBase):
     """reference ``_auto_augment.py:489``."""
@@ -454,6 +494,41 @@ class TrivialAugmentWide(_AutoAugmentBase):
             for x, n in zip(flat, needs)
         ]
         return jax.tree_util.tree_unflatten(spec, out)
+
+    def batched(self, imgs: jax.Array, key: jax.Array) -> jax.Array:
+        """Per-sample TrivialAugmentWide on a uint8 batch [N,H,W,C] via
+        the batched TPU engine; requires square images (the space allows
+        Rotate up to 135 deg -> exact rot90 pre-rotation + three-shear
+        residual). RNG draw structure mirrors the per-sample path."""
+        from vision_tpu.transforms.v2._batch_augment import (
+            apply_ops_batched,
+            max_shift_bound,
+        )
+
+        n = imgs.shape[0]
+        space = self._augmentation_space(self.num_magnitude_bins)
+        names = list(space.keys())
+        bound = max_shift_bound(space, None, imgs.shape[1:3])
+
+        def draws(k):
+            k1, k2, k3 = jax.random.split(k, 3)
+            op = jax.random.randint(k1, (), 0, len(names))
+            b = jax.random.randint(k2, (), 0, self.num_magnitude_bins)
+            sign = jnp.where(jax.random.uniform(k3) > 0.5, -1.0, 1.0)
+            return op, b, sign
+
+        op_idx, bins, signs = jax.vmap(draws)(jax.random.split(key, n))
+        mags = {}
+        for name, (tab, signed) in space.items():
+            if tab.ndim > 0:
+                t = jnp.asarray(tab, jnp.float32)
+                m = t[jnp.minimum(bins, len(tab) - 1)]
+            else:
+                m = jnp.zeros((n,), jnp.float32)
+            mags[name] = m * signs if signed else m
+        return apply_ops_batched(
+            imgs, op_idx, mags, names, bound, rot90_needed=True
+        )
 
 
 class AugMix(_AutoAugmentBase):

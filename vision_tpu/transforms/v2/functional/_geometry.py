@@ -24,7 +24,6 @@ from vision_tpu import tv_tensors
 from vision_tpu.ops.boxes import box_convert
 from vision_tpu.transforms.v2.functional._meta import (
     clamp_bounding_boxes,
-    clamp_keypoints,
 )
 from vision_tpu.transforms.v2.functional._resample import resize_2d
 from vision_tpu.tv_tensors import (
@@ -417,7 +416,7 @@ def crop(inpt, top: int, left: int, height: int, width: int):
         return clamp_bounding_boxes(bb)
     if isinstance(inpt, KeyPoints):
         out, cs = crop_keypoints(inpt.data, top, left, height, width)
-        return clamp_keypoints(KeyPoints(out, canvas_size=cs))
+        return KeyPoints(out, canvas_size=cs)
     raise TypeError(f"crop: unsupported type {type(inpt).__name__}")
 
 
@@ -1015,7 +1014,7 @@ def affine(
         out, _ = affine_keypoints(
             inpt.data, inpt.canvas_size, angle, translate, scale, shear, center
         )
-        return clamp_keypoints(KeyPoints(out, canvas_size=inpt.canvas_size))
+        return KeyPoints(out, canvas_size=inpt.canvas_size)
     raise TypeError(f"affine: unsupported type {type(inpt).__name__}")
 
 
@@ -1091,7 +1090,7 @@ def rotate(
             inpt.data, inpt.canvas_size, -angle, [0.0, 0.0], 1.0, [0.0, 0.0],
             center, expand,
         )
-        return clamp_keypoints(KeyPoints(out, canvas_size=cs))
+        return KeyPoints(out, canvas_size=cs)
     raise TypeError(f"rotate: unsupported type {type(inpt).__name__}")
 
 
@@ -1197,11 +1196,14 @@ def perspective_bounding_boxes(
         ],
         axis=-2,
     )
+    # raw coordinates, no pixel-center offset — the reference transforms
+    # corner coordinates directly (``_geometry.py:2159-2167``; its analytic
+    # inv_coeffs are adj(M)/adj[2,2], identical to this normalized inverse)
     ones = jnp.ones(corners.shape[:-1] + (1,), dtype=jnp.float32)
-    pts = jnp.concatenate([corners + 0.5, ones], axis=-1)  # pixel centers
+    pts = jnp.concatenate([corners, ones], axis=-1)
     Mj = jnp.array(Minv, dtype=jnp.float32)
     tp = pts @ Mj.T
-    tp = tp[..., :2] / tp[..., 2:3] - 0.5
+    tp = tp[..., :2] / tp[..., 2:3]
     out = jnp.stack(
         [
             jnp.min(tp[..., 0], axis=-1),
@@ -1230,10 +1232,12 @@ def perspective_keypoints(
     dtype = kp.dtype
     xy = kp[..., :2].astype(jnp.float32)
     extra = kp[..., 2:]
+    # raw coordinates, no pixel-center offset (matches the reference's
+    # keypoint kernel, which reuses the bbox thetas on raw points)
     ones = jnp.ones(xy.shape[:-1] + (1,), dtype=jnp.float32)
-    pts = jnp.concatenate([xy + 0.5, ones], axis=-1)  # pixel centers
+    pts = jnp.concatenate([xy, ones], axis=-1)
     tp = pts @ jnp.array(Minv, dtype=jnp.float32).T
-    out = tp[..., :2] / tp[..., 2:3] - 0.5
+    out = tp[..., :2] / tp[..., 2:3]
     return jnp.concatenate([out.astype(dtype), extra], axis=-1)
 
 
@@ -1268,7 +1272,7 @@ def perspective(
         out = perspective_keypoints(
             inpt.data, inpt.canvas_size, startpoints, endpoints, coefficients
         )
-        return clamp_keypoints(KeyPoints(out, canvas_size=inpt.canvas_size))
+        return KeyPoints(out, canvas_size=inpt.canvas_size)
     raise TypeError(f"perspective: unsupported type {type(inpt).__name__}")
 
 
@@ -1379,7 +1383,7 @@ def elastic(inpt, displacement, interpolation: str = "bilinear", fill=None):
         return clamp_bounding_boxes(tv_tensors.wrap(out, like=inpt))
     if isinstance(inpt, KeyPoints):
         out = elastic_keypoints(inpt.data, inpt.canvas_size, displacement)
-        return clamp_keypoints(KeyPoints(out, canvas_size=inpt.canvas_size))
+        return KeyPoints(out, canvas_size=inpt.canvas_size)
     raise TypeError(f"elastic: unsupported type {type(inpt).__name__}")
 
 
