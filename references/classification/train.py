@@ -224,12 +224,12 @@ def make_device_augment(args):
     augment) + normalize, then batch MixUp/CutMix — the fused-augmentation
     pipeline (BASELINE config #2; benchmarks/augmentation.py).
 
-    RandAugment/TrivialAugmentWide run through the batched TPU engine
-    (``v2/_batch_augment.py`` — shear passes + fused color branches, no
-    per-pixel gathers) between the vmapped crop/flip stage and the
-    normalize stage: ~17x faster than vmapping their ``lax.switch`` op
-    selection, with bit-identical outputs for every non-Rotate op. AugMix
-    keeps the per-sample vmap path (mixture chains)."""
+    RandAugment/TrivialAugmentWide/AugMix run through the batched TPU
+    engine (``v2/_batch_augment.py`` — shear passes + fused color
+    branches, no per-pixel gathers) between the vmapped crop/flip stage
+    and the normalize stage: ~17x faster than vmapping their
+    ``lax.switch`` op selection, with bit-identical outputs for every
+    non-Rotate op."""
     pre_stages = [
         T.RandomResizedCrop(args.train_crop_size, antialias=True),
         T.RandomHorizontalFlip(p=0.5),
@@ -240,7 +240,7 @@ def make_device_augment(args):
     elif args.auto_augment == "ta_wide":
         batched_aa = T.TrivialAugmentWide()
     elif args.auto_augment == "augmix":
-        pre_stages.append(T.AugMix())
+        batched_aa = T.AugMix()
     post_stages = [
         T.ToDtype(jnp.float32, scale=True),
         T.Normalize(mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225]),

@@ -30,8 +30,12 @@ __all__ = ["nms", "nms_mask", "batched_nms", "batched_nms_mask"]
 
 
 def _pallas_nms_enabled() -> bool:
-    """Pallas kernel rides the hot path on TPU (2x the XLA chunked path on
-    v5e: 0.77ms vs 1.38ms @1024 boxes); env-gated for A/B and debugging."""
+    """Pallas kernel rides the hot path on TPU; env-gated for A/B and
+    debugging. Measured v5e boxes/s vs the XLA chunked path (BENCH_r03
+    sweep): 176k/168k @256, 623k/481k @1k (1.29x), 535k/426k @4k (1.26x),
+    776k/530k @20k (1.47x) — the win grows with box count because
+    suppressed rows skip their IoU work entirely (``pl.when``), while the
+    chunked path always materializes every 128x128 tile."""
     if os.environ.get("VISION_TPU_DISABLE_PALLAS_NMS", "0") == "1":
         return False
     try:

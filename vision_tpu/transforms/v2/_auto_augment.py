@@ -408,7 +408,10 @@ class RandAugment(_AutoAugmentBase):
                     mags[name] = mag * signs[:, s]
                 else:
                     mags[name] = jnp.full((n,), mag, jnp.float32)
-            x = apply_ops_batched(x, op_idx[:, s], mags, names, bound)
+            x = apply_ops_batched(
+                x, op_idx[:, s], mags, names, bound,
+                interpolation=self.interpolation,
+            )
         return x
 
 
@@ -527,7 +530,8 @@ class TrivialAugmentWide(_AutoAugmentBase):
                 m = jnp.zeros((n,), jnp.float32)
             mags[name] = m * signs if signed else m
         return apply_ops_batched(
-            imgs, op_idx, mags, names, bound, rot90_needed=True
+            imgs, op_idx, mags, names, bound, rot90_needed=True,
+            interpolation=self.interpolation,
         )
 
 
@@ -727,3 +731,81 @@ class AugMix(_AutoAugmentBase):
                 else mix
             )
         return jax.tree_util.tree_unflatten(spec, out)
+
+    def batched(self, imgs: jax.Array, key: jax.Array) -> jax.Array:
+        """Per-sample AugMix on a uint8 batch [N,H,W,C] via the batched
+        TPU engine: each of the ``mixture_width x max_depth`` chain steps
+        is one engine application; steps beyond a sample's traced depth
+        pass ``op_idx = -1`` (no mask matches -> exact copy). RNG draw
+        structure mirrors the per-sample path, so non-Rotate chains are
+        bit-identical to ``vmap(__call__)`` with the same keys."""
+        from vision_tpu.transforms.v2._batch_augment import (
+            apply_ops_batched,
+            max_shift_bound,
+        )
+
+        n, h, w, _ = imgs.shape
+        space = self._augmentation_space(11, (h, w))
+        names = list(space.keys())
+        # magnitude bins are drawn in [0, severity); geometric tables
+        # ascend, so bin severity-1 bounds the shifts
+        bound = max_shift_bound(space, self.severity - 1, (h, w))
+        width = self.mixture_width
+        max_depth = self.chain_depth if self.chain_depth > 0 else 3
+
+        def draws(k):
+            kd, km = jax.random.split(k)
+            mix_w = jax.random.beta(kd, self.alpha, self.alpha)
+            mw = jax.random.dirichlet(
+                km, jnp.array([self.alpha] * width, jnp.float32)
+            )
+            ops, bins, signs = [], [], []
+            kk = k
+            for _i in range(width):
+                kk, kc = jax.random.split(kk)
+                kd_i, kchain = jax.random.split(kc)
+                if self.chain_depth > 0:
+                    depth = self.chain_depth
+                else:
+                    depth = jax.random.randint(kd_i, (), 1, 4)
+                for step, ks in enumerate(jax.random.split(kchain, max_depth)):
+                    k1, k2, k3 = jax.random.split(ks, 3)
+                    op = jax.random.randint(k1, (), 0, len(names))
+                    b = jax.random.randint(k2, (), 0, self.severity)
+                    sg = jnp.where(jax.random.uniform(k3) > 0.5, -1.0, 1.0)
+                    ops.append(jnp.where(step < depth, op, -1))
+                    bins.append(b)
+                    signs.append(sg)
+            return mix_w, mw, jnp.stack(ops), jnp.stack(bins), jnp.stack(signs)
+
+        mix_w, mw, ops, bins, signs = jax.vmap(draws)(
+            jax.random.split(key, n)
+        )
+        # ops/bins/signs: [N, width*max_depth] in chain-major order
+        tabs = {
+            name: (jnp.asarray(tab, jnp.float32) if tab.ndim > 0 else None,
+                   signed)
+            for name, (tab, signed) in space.items()
+        }
+        f = imgs.astype(jnp.float32)
+        mw4 = mix_w[:, None, None, None]
+        mix = mw4 * f
+        for i in range(width):
+            aug = imgs
+            for step in range(max_depth):
+                col = i * max_depth + step
+                mags = {}
+                for name, (tab, signed) in tabs.items():
+                    if tab is None:
+                        m = jnp.zeros((n,), jnp.float32)
+                    else:
+                        m = tab[jnp.minimum(bins[:, col], len(tab) - 1)]
+                    mags[name] = m * signs[:, col] if signed else m
+                aug = apply_ops_batched(
+                    aug, ops[:, col], mags, names, bound,
+                    interpolation=self.interpolation,
+                )
+            mix = mix + (1.0 - mw4) * mw[:, i, None, None, None] * aug.astype(
+                jnp.float32
+            )
+        return jnp.clip(jnp.round(mix), 0, 255).astype(imgs.dtype)

@@ -47,18 +47,32 @@ __all__ = ["apply_ops_batched", "max_shift_bound"]
 _GEOMETRIC = ("ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate")
 
 
-def _barrel_pass(xw: jax.Array, t: jax.Array, m: int) -> jax.Array:
-    """1-D nearest resample along the minor axis with a per-row integer
-    shift: ``out[..., r, j] = x[..., r, j + round(t[..., r])]`` (zeros
-    outside). ``xw`` is [N, C, H, W] (W minor = full vector lanes),
-    ``t`` is [N, H] float. Shift is clipped to [-m, m]; |shift| >= W
-    correctly yields an empty row."""
+def _barrel_pass(
+    xw: jax.Array, t: jax.Array, m: int, interpolation: str = "nearest"
+) -> jax.Array:
+    """1-D resample along the minor axis with a per-row shift:
+    ``out[..., r, j] = x[..., r, j + t[..., r]]`` (zeros outside).
+    ``xw`` is [N, C, H, W] (W minor = full vector lanes), ``t`` is [N, H]
+    float. Shift is clipped to [-m, m]; |shift| >= W correctly yields an
+    empty row.
+
+    nearest: integer shift ``round(t)`` via a log-step barrel of
+    conditional static slices — pure VPU selects, no gather.
+    bilinear: lerp of the two adjacent integer shifts (``floor(t)`` and
+    ``floor(t)+1``) — one barrel + one extra static slice; ``xw`` should
+    be float for exact blending."""
     n, c, h, w = xw.shape
-    ti = jnp.clip(jnp.round(t).astype(jnp.int32), -m, m)
-    pad = jnp.zeros((n, c, h, m), xw.dtype)
+    if interpolation == "bilinear":
+        t0 = jnp.floor(t)
+        frac = (t - t0)[:, None, :, None]
+        ti = jnp.clip(t0.astype(jnp.int32), -(m + 1), m)
+    else:
+        ti = jnp.clip(jnp.round(t).astype(jnp.int32), -m, m)
+    mm = m + 1  # headroom for the floor+1 slice in bilinear mode
+    pad = jnp.zeros((n, c, h, mm), xw.dtype)
     buf = jnp.concatenate([pad, xw, pad], axis=3)
-    s = (ti + m)[:, None, :]  # [N,1,H] in [0, 2m]
-    nbits = max(1, int(math.ceil(math.log2(2 * m + 1))))
+    s = (ti + mm)[:, None, :]  # [N,1,H] in [0, 2m+1]
+    nbits = max(1, int(math.ceil(math.log2(2 * mm + 1))))
     for b in range(nbits):
         step = 1 << b
         bit = ((s >> b) & 1).astype(bool)[..., None]
@@ -66,6 +80,10 @@ def _barrel_pass(xw: jax.Array, t: jax.Array, m: int) -> jax.Array:
             [buf[..., step:], jnp.zeros((n, c, h, step), xw.dtype)], axis=3
         )
         buf = jnp.where(bit, shifted, buf)
+    if interpolation == "bilinear":
+        lo = buf[..., :w].astype(jnp.float32)
+        hi = buf[..., 1 : w + 1].astype(jnp.float32)
+        return lo * (1.0 - frac) + hi * frac
     return buf[..., :w]
 
 
@@ -106,6 +124,7 @@ def apply_ops_batched(
     names: List[str],
     max_shift: int,
     rot90_needed: bool = False,
+    interpolation: str = "nearest",
 ) -> jax.Array:
     """Apply per-sample auto-augment ops to a uint8 batch.
 
@@ -187,13 +206,20 @@ def apply_ops_batched(
         tx2 = tx2 + (rot * a)[:, None] * ci[None, :]
 
     xw = jnp.moveaxis(base, -1, 1)  # [N, C, H, W]
-    xw = _barrel_pass(xw, tx1, max_shift)
+    if interpolation == "bilinear":
+        # f32 through the three passes, one round at stage exit — like the
+        # direct warp, which blends in f32 and rounds once per op
+        xw = xw.astype(jnp.float32)
+    xw = _barrel_pass(xw, tx1, max_shift, interpolation)
     xw = jnp.swapaxes(xw, 2, 3)  # now [N, C, W, H]: shift along H
-    xw = _barrel_pass(xw, ty, max_shift)
+    xw = _barrel_pass(xw, ty, max_shift, interpolation)
     xw = jnp.swapaxes(xw, 2, 3)
-    xw = _barrel_pass(xw, tx2, max_shift)
+    xw = _barrel_pass(xw, tx2, max_shift, interpolation)
+    if interpolation == "bilinear":
+        xw = jnp.clip(jnp.round(xw), 0, 255).astype(imgs.dtype)
     out = jnp.moveaxis(xw, 1, -1)
     # non-geometric samples have all-zero shifts -> exact copy of `imgs`
+    # (bilinear: frac 0 -> lerp degenerates to the exact copy too)
 
     # ---- color stage: batched branches + per-sample select ------------
     def put(nm, branch):
