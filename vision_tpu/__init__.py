@@ -16,6 +16,7 @@ from vision_tpu import models  # noqa: F401
 from vision_tpu import datasets  # noqa: F401
 from vision_tpu import io  # noqa: F401
 from vision_tpu import utils  # noqa: F401
+from vision_tpu import export  # noqa: F401
 
 __version__ = "0.1.0"
 
