@@ -80,10 +80,77 @@ def main(args):
     )
 
 
+def auto_augment_ab(args):
+    """A/B the two auto-augment execution strategies on device — the
+    source of the "batched engine is ~20x vmap(switch)" claim:
+
+    - ``vmap``: per-sample ``lax.switch`` op selection under ``jax.vmap``
+      (every sample pays every branch; XLA can't fuse across the switch)
+    - ``batched``: the ``_batch_augment.py`` engine (three shear/translate
+      barrel passes + fused color branches shared across the batch)
+
+    Run: ``python benchmarks/augmentation.py --ab ra|ta_wide|augmix``.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vision_tpu.transforms import v2 as T
+
+    aug = {
+        "ra": T.RandAugment(magnitude=9),
+        "ta_wide": T.TrivialAugmentWide(),
+        "augmix": T.AugMix(),
+    }[args.ab]
+
+    def run(fn):
+        @jax.jit
+        def loop(raw, key):
+            def body(i, carry):
+                acc, key = carry
+                key, sub = jax.random.split(key)
+                out = fn(raw, sub)
+                return acc + jnp.sum(out, dtype=jnp.int32), key
+
+            acc, _ = jax.lax.fori_loop(
+                0, args.iters, body, (jnp.int32(0), key)
+            )
+            return acc
+
+        rng = np.random.RandomState(0)
+        raw = jnp.asarray(
+            rng.randint(0, 256, (args.batch, args.crop, args.crop, 3)),
+            jnp.uint8,
+        )
+        int(loop(raw, jax.random.PRNGKey(0)))  # compile
+        t0 = time.perf_counter()
+        int(loop(raw, jax.random.PRNGKey(0)))
+        return (time.perf_counter() - t0) / args.iters
+
+    def vmapped(raw, key):
+        keys = jax.random.split(key, raw.shape[0])
+        return jax.vmap(lambda im, k: aug(im, key=k))(raw, keys)
+
+    dt_b = run(aug.batched)
+    dt_v = run(vmapped)
+    print(
+        f"{args.ab} @{args.crop}px batch {args.batch} on "
+        f"{jax.default_backend()}: batched engine "
+        f"{args.batch / dt_b:.0f} img/s ({dt_b * 1e3:.2f} ms/batch), "
+        f"vmap(switch) {args.batch / dt_v:.0f} img/s "
+        f"({dt_v * 1e3:.2f} ms/batch) -> {dt_v / dt_b:.1f}x"
+    )
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--crop", type=int, default=224)
     p.add_argument("--iters", type=int, default=20)
-    main(p.parse_args())
+    p.add_argument(
+        "--ab", choices=("ra", "ta_wide", "augmix"), default=None,
+        help="A/B the batched auto-augment engine vs vmap(lax.switch)",
+    )
+    a = p.parse_args()
+    auto_augment_ab(a) if a.ab else main(a)
