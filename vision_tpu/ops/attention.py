@@ -7,8 +7,8 @@ ViT/MaxViT blocks (SURVEY.md §5 long-context note: ViT-H/14 at 518px is
 
 from __future__ import annotations
 
-import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -26,6 +26,15 @@ def _einsum_attention(q, k, v, scale):
 
 
 def _flash_supported(q) -> bool:
+    """Route to the Pallas flash kernel only where it wins: short
+    sequences (ViT-B/16 at 224px is s=197) fit the whole [S, S] score
+    block in VMEM, so the einsum path is faster there and flash's
+    block machinery only pays off once S is past a few hundred
+    (``benchmarks/attention.py`` measures the crossover). Env override
+    ``VISION_TPU_FLASH_ATTENTION=0|1`` forces a path for A/B."""
+    forced = os.environ.get("VISION_TPU_FLASH_ATTENTION")
+    if forced is not None:
+        return forced == "1"
     if jax.default_backend() != "tpu":
         return False
     b, h, s, d = q.shape
