@@ -45,6 +45,12 @@ def get_args_parser():
     p.add_argument("--data-path", default="/data/imagenet", type=str)
     p.add_argument("--model", default="resnet18", type=str)
     p.add_argument("--batch-size", default=32, type=int, help="per-host batch")
+    p.add_argument(
+        "--amp", action="store_true",
+        help="bf16 compute with f32 master weights — the TPU equivalent of "
+        "the reference's torch.cuda.amp autocast (train.py:29,287); no "
+        "GradScaler analog is needed (bf16 keeps f32's exponent range)",
+    )
     p.add_argument("--epochs", default=90, type=int)
     p.add_argument("--steps-per-epoch", default=None, type=int)
     p.add_argument("--workers", default=16, type=int)
@@ -367,18 +373,32 @@ def main(args):
             choices.append(T.CutMix(args.cutmix_alpha, num_classes=args.num_classes))
         mixup = T.RandomChoice(choices)
 
+    amp_dtype = jnp.bfloat16 if args.amp else None
     train_step = make_train_step(
         model.module.apply, tx, label_smoothing=args.label_smoothing,
         has_batch_stats=bool(state.batch_stats),
+        compute_dtype=amp_dtype,
     )
+
+    def _amp_cast(tree):
+        if amp_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(amp_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
 
     @jax.jit
     def eval_step(params, batch_stats, batch):
-        variables = {"params": params}
+        variables = {"params": _amp_cast(params)}
         if batch_stats:
-            variables["batch_stats"] = batch_stats
-        logits = model.module.apply(variables, batch["image"], train=False)
-        return utils.accuracy(logits, batch["label"], topk=(1, 5))
+            variables["batch_stats"] = _amp_cast(batch_stats)
+        logits = model.module.apply(
+            variables, _amp_cast(batch["image"]), train=False
+        )
+        return utils.accuracy(logits.astype(jnp.float32), batch["label"], topk=(1, 5))
 
     ema = (
         utils.ExponentialMovingAverage(state.params, args.model_ema_decay)

@@ -46,6 +46,7 @@ def cross_entropy_loss(
     logits: jax.Array, labels: jax.Array, label_smoothing: float = 0.0
 ) -> jax.Array:
     """labels: int [N] or soft [N, C] (MixUp/CutMix)."""
+    logits = logits.astype(jnp.float32)  # stable softmax under bf16 compute
     if labels.ndim == logits.ndim - 1:
         labels = jax.nn.one_hot(labels, logits.shape[-1], dtype=logits.dtype)
     if label_smoothing > 0:
@@ -62,24 +63,45 @@ def make_train_step(
     label_smoothing: float = 0.0,
     has_batch_stats: bool = True,
     donate: bool = True,
+    compute_dtype=None,
 ):
     """Build a jitted data-parallel train step.
 
     ``apply_fn(variables, images, train=True, rngs=..., mutable=[...])`` is
     the flax module apply. The returned step takes (state, batch, key) with
     ``batch = {"image": [N,H,W,C], "label": [N] or [N,C]}``.
+
+    ``compute_dtype=jnp.bfloat16`` is the TPU-native equivalent of the
+    reference's ``--amp`` autocast (``train.py:29,287``): the forward and
+    backward run in bf16 (params/stats/images cast at the step boundary),
+    while master params, optimizer state, and BatchNorm running stats stay
+    f32 — the grad of the cast upcasts cotangents back, so the optimizer
+    sees f32 grads. bf16 shares f32's exponent range, so no GradScaler
+    analog is needed; the loss softmax is computed in f32 regardless.
     """
+
+    def cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype")
+            and jnp.issubdtype(x.dtype, jnp.floating)
+            and x.dtype != compute_dtype
+            else x,
+            tree,
+        )
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
         def loss_of(params):
-            variables = {"params": params}
+            variables = {"params": cast(params)}
             mutable = []
             if has_batch_stats:
-                variables["batch_stats"] = state.batch_stats
+                variables["batch_stats"] = cast(state.batch_stats)
                 mutable = ["batch_stats"]
             out = apply_fn(
                 variables,
-                batch["image"],
+                cast(batch["image"]),
                 train=True,
                 rngs={"dropout": key},
                 mutable=mutable,
@@ -87,6 +109,14 @@ def make_train_step(
             if mutable:
                 logits, updates = out
                 new_stats = updates.get("batch_stats", state.batch_stats)
+                if compute_dtype is not None:
+                    # master stats keep the state dtype (flax computes the
+                    # batch statistics in f32 even for bf16 inputs)
+                    new_stats = jax.tree_util.tree_map(
+                        lambda n, o: n.astype(o.dtype),
+                        new_stats,
+                        state.batch_stats,
+                    )
             else:
                 logits, new_stats = out, state.batch_stats
             loss = loss_fn(logits, batch["label"], label_smoothing)
