@@ -23,10 +23,18 @@ from coco_eval import CocoEvaluator
 
 
 def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None,
-                              one_stage: bool = False, variables=None):
+                              one_stage: bool = False, variables=None,
+                              compute_dtype=None):
     """jit'ed train step over detection ``compute_loss`` modules.
     Batch: {"image": [N,H,W,C], "boxes": [N,G,4], "labels": [N,G],
     "valid": [N,G]}.
+
+    ``compute_dtype=jnp.bfloat16`` is the --amp path: params/stats/images
+    cast at the step boundary (backbone+head convs run bf16) while gt
+    boxes/labels/targets stay f32, so all box-coordinate math promotes to
+    f32 — the reference's autocast policy, which registers f32 casts for
+    the roi ops (csrc/ops/autocast/) while convs run fp16. Master params,
+    optimizer state and BN running stats stay f32.
 
     Two conventions (matching the model families):
     * two-stage (Faster/Mask/Keypoint R-CNN): ``compute_loss(images,
@@ -48,21 +56,36 @@ def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None,
     }
     has_bs = "batch_stats" in extra
 
+    def cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype")
+            and jnp.issubdtype(x.dtype, jnp.floating)
+            and x.dtype != compute_dtype
+            else x,
+            tree,
+        )
+
     def step(params, extra, opt_state, batch, key):
         def loss_fn(p):
             mut = {}
+            p = cast(p)
+            ex = cast(extra)
+            img = cast(batch["image"])
             if one_stage:
                 if has_bs:
                     outputs, mut = module.apply(
-                        {"params": p, **extra}, batch["image"], train=True,
+                        {"params": p, **ex}, img, train=True,
                         mutable=["batch_stats"],
                     )
                 else:
                     outputs = module.apply(
-                        {"params": p, **extra}, batch["image"], train=True
+                        {"params": p, **ex}, img, train=True
                     )
                 losses = module.apply(
-                    {"params": p, **extra},
+                    {"params": p, **ex},
                     *outputs,
                     batch["boxes"],
                     batch["labels"],
@@ -76,8 +99,8 @@ def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None,
                 if "keypoints" in batch:
                     kw["gt_keypoints"] = batch["keypoints"]
                 out = module.apply(
-                    {"params": p, **extra},
-                    batch["image"],
+                    {"params": p, **ex},
+                    img,
                     batch["boxes"],
                     batch["labels"],
                     batch["valid"],
@@ -87,7 +110,9 @@ def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None,
                     **kw,
                 )
                 losses, mut = out if has_bs else (out, {})
-            total = sum(losses.values())
+            total = sum(
+                v.astype(jnp.float32) for v in losses.values()
+            )
             return total, (losses, mut)
 
         (total, (losses, mut)), grads = jax.value_and_grad(
@@ -96,7 +121,15 @@ def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None,
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if has_bs:
-            extra = {**extra, "batch_stats": mut["batch_stats"]}
+            new_bs = mut["batch_stats"]
+            if compute_dtype is not None:
+                # master stats keep the f32 state dtype
+                new_bs = jax.tree_util.tree_map(
+                    lambda n, o: n.astype(o.dtype),
+                    new_bs,
+                    extra["batch_stats"],
+                )
+            extra = {**extra, "batch_stats": new_bs}
         return params, extra, opt_state, total, losses
 
     return jax.jit(step, donate_argnums=(0, 1, 2)), extra

@@ -361,7 +361,8 @@ def main(args):
     opt_state = tx.init(params)
     one_stage = any(s in args.model for s in ("retinanet", "ssd", "fcos"))
     step_fn, extra = make_detection_train_step(
-        module, tx, one_stage=one_stage, variables=model.variables
+        module, tx, one_stage=one_stage, variables=model.variables,
+        compute_dtype=jnp.bfloat16 if args.amp else None,
     )
 
     key = jax.random.PRNGKey(args.seed)
@@ -398,6 +399,11 @@ def get_args_parser():
     p.add_argument("--model", default="retinanet_resnet50_fpn", type=str)
     p.add_argument("--num-classes", default=91, type=int)
     p.add_argument("--batch-size", default=2, type=int)
+    p.add_argument(
+        "--amp", action="store_true",
+        help="bf16 convs with f32 master weights and f32 box math "
+        "(reference --amp, detection/train.py:167)",
+    )
     p.add_argument("--max-boxes", default=32, type=int)
     p.add_argument(
         "--with-masks", action="store_true",

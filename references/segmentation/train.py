@@ -210,18 +210,42 @@ def main(args):
 
     base_key = jax.random.PRNGKey(args.seed)
 
+    def amp_cast(tree):
+        # --amp: bf16 compute, f32 master state (reference --amp,
+        # segmentation/train.py:320)
+        if not args.amp:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
     @jax.jit
     def train_step(state, batch):
         step_key = jax.random.fold_in(base_key, state.step)
 
         def loss_fn(p):
             outputs, mutated = module.apply(
-                {"params": p, "batch_stats": state.batch_stats},
-                batch["image"], train=True, mutable=["batch_stats"],
+                {
+                    "params": amp_cast(p),
+                    "batch_stats": amp_cast(state.batch_stats),
+                },
+                amp_cast(batch["image"]), train=True,
+                mutable=["batch_stats"],
                 rngs={"dropout": step_key},
             )
+            outputs = jax.tree_util.tree_map(
+                lambda o: o.astype(jnp.float32), outputs
+            )
             loss = criterion(outputs, batch["target"], num_classes)
-            return loss, mutated["batch_stats"]
+            new_bs = jax.tree_util.tree_map(
+                lambda n, o: n.astype(o.dtype),
+                mutated["batch_stats"],
+                state.batch_stats,
+            )
+            return loss, new_bs
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -285,6 +309,10 @@ def get_args_parser():
     p.add_argument("--model", default="fcn_resnet50", type=str)
     p.add_argument("--num-classes", default=21, type=int)
     p.add_argument("--aux-loss", action="store_true", default=True)
+    p.add_argument(
+        "--amp", action="store_true",
+        help="bf16 compute with f32 master weights (reference --amp)",
+    )
     p.add_argument("--batch-size", default=8, type=int)
     p.add_argument("--epochs", default=30, type=int)
     p.add_argument("--steps-per-epoch", default=None, type=int)

@@ -137,25 +137,43 @@ def main(args):
     state = replicate(state, mesh)
     base_key = jax.random.PRNGKey(args.seed)
 
+    def amp_cast(tree):
+        # --amp: bf16 compute, f32 master state (reference --amp,
+        # video_classification/train.py:439)
+        if not args.amp:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
     @jax.jit
     def train_step(state, batch):
         step_key = jax.random.fold_in(base_key, state.step)
 
         def loss_fn(p):
-            varz = {"params": p}
+            varz = {"params": amp_cast(p)}
+            video = amp_cast(batch["video"])
             if state.batch_stats:
-                varz["batch_stats"] = state.batch_stats
+                varz["batch_stats"] = amp_cast(state.batch_stats)
                 logits, mutated = module.apply(
-                    varz, batch["video"], train=True, mutable=["batch_stats"],
+                    varz, video, train=True, mutable=["batch_stats"],
                     rngs={"dropout": step_key},
                 )
-                bs = mutated["batch_stats"]
+                bs = jax.tree_util.tree_map(
+                    lambda n, o: n.astype(o.dtype),
+                    mutated["batch_stats"],
+                    state.batch_stats,
+                )
             else:
                 logits = module.apply(
-                    varz, batch["video"], train=True,
+                    varz, video, train=True,
                     rngs={"dropout": step_key},
                 )
                 bs = state.batch_stats
+            logits = logits.astype(jnp.float32)
             one_hot = jax.nn.one_hot(batch["label"], num_classes)
             loss = -jnp.mean(
                 jnp.sum(one_hot * jax.nn.log_softmax(logits), axis=-1)
@@ -222,6 +240,10 @@ def get_args_parser():
     p.add_argument("--data-path", default="/data/kinetics", type=str)
     p.add_argument("--model", default="r3d_18", type=str)
     p.add_argument("--num-classes", default=400, type=int)
+    p.add_argument(
+        "--amp", action="store_true",
+        help="bf16 compute with f32 master weights (reference --amp)",
+    )
     p.add_argument("--clip-len", default=16, type=int)
     p.add_argument("--batch-size", default=8, type=int)
     p.add_argument("--epochs", default=45, type=int)
