@@ -57,23 +57,84 @@ def get_args_parser():
     p.add_argument("--opt", default="sgd", type=str)
     p.add_argument("--lr", default=0.1, type=float)
     p.add_argument("--momentum", default=0.9, type=float)
-    p.add_argument("--weight-decay", default=1e-4, type=float)
+    p.add_argument(
+        "--weight-decay", "--wd", dest="weight_decay", default=1e-4,
+        type=float,
+    )
+    p.add_argument(
+        "--norm-weight-decay", default=None, type=float,
+        help="weight decay for normalization-layer params (reference "
+        "utils.set_weight_decay); None = same as --weight-decay",
+    )
+    p.add_argument(
+        "--bias-weight-decay", default=None, type=float,
+        help="weight decay for all bias params; None = same as "
+        "--weight-decay",
+    )
+    p.add_argument(
+        "--transformer-embedding-decay", default=None, type=float,
+        help="weight decay for class tokens / position embeddings / "
+        "relative position bias tables; None = same as --weight-decay",
+    )
     p.add_argument("--label-smoothing", default=0.0, type=float)
     p.add_argument("--mixup-alpha", default=0.0, type=float)
     p.add_argument("--cutmix-alpha", default=0.0, type=float)
     p.add_argument("--lr-scheduler", default="steplr", type=str)
     p.add_argument("--lr-step-size", default=30, type=int)
     p.add_argument("--lr-gamma", default=0.1, type=float)
+    p.add_argument(
+        "--lr-min", default=0.0, type=float,
+        help="cosine annealing floor (reference eta_min)",
+    )
     p.add_argument("--lr-warmup-epochs", default=0, type=int)
+    p.add_argument(
+        "--lr-warmup-method", default="linear", type=str,
+        choices=("linear", "constant"),
+    )
+    p.add_argument(
+        "--lr-warmup-decay", default=0.01, type=float,
+        help="warmup start factor (start lr = lr * decay)",
+    )
     p.add_argument("--print-freq", default=10, type=int)
     p.add_argument("--output-dir", default=".", type=str)
     p.add_argument("--resume", default="", type=str)
     p.add_argument("--start-epoch", default=0, type=int)
+    p.add_argument(
+        "--test-only", action="store_true",
+        help="evaluate the (resumed) model and exit",
+    )
+    p.add_argument(
+        "--weights", default=None, type=str,
+        help="weights enum name to start from, e.g. IMAGENET1K_V2 "
+        "(downloads + converts the reference torch checkpoint)",
+    )
     p.add_argument("--auto-augment", default=None, type=str)
     p.add_argument("--ra-magnitude", default=9, type=int)
+    p.add_argument("--augmix-severity", default=3, type=int)
+    p.add_argument(
+        "--interpolation", default="bilinear", type=str,
+        help="resize/auto-augment interpolation mode",
+    )
     p.add_argument("--random-erase", default=0.0, type=float)
     p.add_argument("--model-ema", action="store_true")
     p.add_argument("--model-ema-decay", default=0.99998, type=float)
+    p.add_argument(
+        "--model-ema-steps", default=32, type=int,
+        help="EMA update interval in optimizer steps; the decay is "
+        "adjusted for it like the reference (train.py:329-339)",
+    )
+    p.add_argument(
+        "--sync-bn", action="store_true",
+        help="accepted for reference-CLI parity; under SPMD jit the "
+        "batch is one logical array, so BatchNorm statistics are ALWAYS "
+        "global across data-parallel shards (XLA inserts the all-reduce) "
+        "— this flag is a no-op",
+    )
+    p.add_argument(
+        "--use-deterministic-algorithms", action="store_true",
+        help="accepted for reference-CLI parity; XLA on TPU is "
+        "deterministic by default (tests/test_determinism.py) — no-op",
+    )
     p.add_argument("--val-resize-size", default=256, type=int)
     p.add_argument("--val-crop-size", default=224, type=int)
     p.add_argument("--train-crop-size", default=224, type=int)
@@ -109,8 +170,10 @@ def load_data(args):
     """reference ``train.py:114`` load_data."""
     train_preset = presets.ClassificationPresetTrain(
         crop_size=args.train_crop_size,
+        interpolation=getattr(args, "interpolation", "bilinear"),
         auto_augment_policy=args.auto_augment,
         ra_magnitude=args.ra_magnitude,
+        augmix_severity=getattr(args, "augmix_severity", 3),
         random_erase_prob=args.random_erase,
     )
     eval_preset = presets.ClassificationPresetEval(
@@ -240,13 +303,16 @@ def make_device_augment(args):
         T.RandomResizedCrop(args.train_crop_size, antialias=True),
         T.RandomHorizontalFlip(p=0.5),
     ]
+    interp = getattr(args, "interpolation", "bilinear")
     batched_aa = None
     if args.auto_augment == "ra":
-        batched_aa = T.RandAugment(magnitude=args.ra_magnitude)
+        batched_aa = T.RandAugment(
+            magnitude=args.ra_magnitude, interpolation=interp
+        )
     elif args.auto_augment == "ta_wide":
-        batched_aa = T.TrivialAugmentWide()
+        batched_aa = T.TrivialAugmentWide(interpolation=interp)
     elif args.auto_augment == "augmix":
-        batched_aa = T.AugMix()
+        batched_aa = T.AugMix(severity=getattr(args, "augmix_severity", 3))
     post_stages = [
         T.ToDtype(jnp.float32, scale=True),
         T.Normalize(mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225]),
@@ -284,6 +350,78 @@ def make_device_augment(args):
     return augment
 
 
+_EMBED_KEYS = (
+    "class_token", "cls_token", "position_embedding", "pos_embedding",
+    "relative_position_bias",
+)
+
+
+def _wd_groups(args):
+    """Group-wise weight decay (reference ``utils.set_weight_decay``):
+    norm-layer params, biases, and transformer embeddings can carry their
+    own decay. Returns {group: wd} with None entries resolved to the main
+    decay, or None when everything shares one value."""
+    main = args.weight_decay
+    groups = {
+        "main": main,
+        "norm": args.norm_weight_decay,
+        "bias": args.bias_weight_decay,
+        "embed": args.transformer_embedding_decay,
+    }
+    groups = {k: (main if v is None else v) for k, v in groups.items()}
+    if all(v == main for v in groups.values()):
+        return None
+    return groups
+
+
+def _wd_label_tree(params):
+    """Label every param leaf: 'embed' (token/position tables), 'norm'
+    (module whose param set contains 'scale' — flax norm layers are the
+    only users of that name), 'bias' (conv/dense bias), else 'main'."""
+
+    def walk(d, path):
+        keys = set(d.keys())
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, path + (k,))
+                continue
+            ps = "/".join(path + (k,)).lower()
+            if any(e in ps for e in _EMBED_KEYS):
+                out[k] = "embed"
+            elif "scale" in keys:
+                out[k] = "norm"
+            elif k == "bias":
+                out[k] = "bias"
+            else:
+                out[k] = "main"
+        return out
+
+    return walk(params, ())
+
+
+def _decay_transforms(args):
+    """One masked add_decayed_weights per distinct group value."""
+    groups = _wd_groups(args)
+    if groups is None:
+        if args.weight_decay:
+            return [optax.add_decayed_weights(args.weight_decay)]
+        return []
+
+    def mask_for(group):
+        def mask(params):
+            labels = _wd_label_tree(params)
+            return jax.tree_util.tree_map(lambda g: g == group, labels)
+
+        return mask
+
+    return [
+        optax.add_decayed_weights(v, mask=mask_for(g))
+        for g, v in groups.items()
+        if v
+    ]
+
+
 def make_optimizer(args, steps_per_epoch: int):
     if args.lr_scheduler == "steplr":
         sched = optax.exponential_decay(
@@ -294,27 +432,35 @@ def make_optimizer(args, steps_per_epoch: int):
         )
     elif args.lr_scheduler == "cosineannealinglr":
         sched = optax.cosine_decay_schedule(
-            args.lr, args.epochs * steps_per_epoch
+            args.lr,
+            args.epochs * steps_per_epoch,
+            alpha=(args.lr_min / args.lr) if args.lr else 0.0,
         )
     else:
         raise ValueError(f"unknown scheduler {args.lr_scheduler}")
     if args.lr_warmup_epochs > 0:
+        warm_steps = args.lr_warmup_epochs * steps_per_epoch
+        start = args.lr * args.lr_warmup_decay
+        if args.lr_warmup_method == "constant":
+            warmup = optax.constant_schedule(start)
+        else:
+            warmup = optax.linear_schedule(start, args.lr, warm_steps)
         sched = optax.join_schedules(
             [
-                optax.linear_schedule(
-                    0.0, args.lr, args.lr_warmup_epochs * steps_per_epoch
-                ),
+                warmup,
                 sched,
             ],
             [args.lr_warmup_epochs * steps_per_epoch],
         )
+    decays = _decay_transforms(args)
     if args.opt == "sgd":
-        tx = optax.chain(
-            optax.add_decayed_weights(args.weight_decay),
-            optax.sgd(sched, momentum=args.momentum),
-        )
+        tx = optax.chain(*decays, optax.sgd(sched, momentum=args.momentum))
     elif args.opt == "adamw":
-        tx = optax.adamw(sched, weight_decay=args.weight_decay)
+        # decomposed AdamW so group decays slot in before the lr scaling —
+        # matches torch's decoupled p -= lr * (adam_update + wd * p)
+        tx = optax.chain(
+            optax.scale_by_adam(), *decays, optax.scale_by_learning_rate(sched)
+        )
     else:
         raise ValueError(f"unknown optimizer {args.opt}")
     if getattr(args, "clip_grad_norm", None):
@@ -351,7 +497,12 @@ def main(args):
     train_loader, val_loader, train_sampler = load_data(args)
     steps_per_epoch = len(train_loader)
 
-    model = get_model(args.model, num_classes=args.num_classes)
+    model_kwargs = {"num_classes": args.num_classes}
+    if args.weights:
+        # start from a converted reference checkpoint (downloads the torch
+        # .pth; weights enums pin num_classes themselves)
+        model_kwargs = {"weights": args.weights}
+    model = get_model(args.model, **model_kwargs)
     tx = make_optimizer(args, steps_per_epoch)
     state = TrainState(
         params=model.variables["params"],
@@ -400,24 +551,54 @@ def main(args):
         )
         return utils.accuracy(logits.astype(jnp.float32), batch["label"], topk=(1, 5))
 
-    ema = (
-        utils.ExponentialMovingAverage(state.params, args.model_ema_decay)
-        if args.model_ema
-        else None
-    )
+    ema = None
+    if args.model_ema:
+        # reference train.py:329-339: the published decay assumes an
+        # update every optimizer step of a full-recipe run; adjust it for
+        # the actual update interval and epoch count
+        adjust = (
+            jax.process_count()
+            * args.batch_size
+            * args.model_ema_steps
+            / args.epochs
+        )
+        alpha = min(1.0, (1.0 - args.model_ema_decay) * adjust)
+        ema = utils.ExponentialMovingAverage(state.params, 1.0 - alpha)
 
     if args.resume:
-        restored = utils.load_checkpoint(
-            args.resume,
-            {"state": state, "epoch": 0},
-        )
-        state = restored["state"]
-        args.start_epoch = int(restored["epoch"]) + 1
+        if args.test_only:
+            # eval needs params/batch_stats only; a raw (untyped) restore
+            # tolerates checkpoints from runs with a different optimizer
+            # or EMA setting (TrainState round-trips as a 4-list)
+            raw = utils.load_checkpoint(args.resume)
+            st = raw["state"]
+            state = TrainState(st[0], st[1], state.opt_state, state.step)
+            if ema is not None and "ema" in raw:
+                ema.shadow = raw["ema"]
+        else:
+            template = {"state": state, "epoch": 0}
+            if "ema" in utils.checkpoint_keys(args.resume):
+                # EMA shadow shares the params' tree structure; shape the
+                # template even when this run doesn't use --model-ema so
+                # the strict orbax restore accepts the stored layout
+                template["ema"] = state.params
+            restored = utils.load_checkpoint(args.resume, template)
+            state = restored["state"]
+            if ema is not None and "ema" in restored:
+                ema.shadow = restored["ema"]
+            args.start_epoch = int(restored["epoch"]) + 1
+
+    if args.test_only:
+        with mesh:
+            state = replicate(state, mesh)
+            evaluate(eval_step, state, val_loader, mesh)
+        return
 
     with mesh:
         state = replicate(state, mesh)
         key = jax.random.PRNGKey(args.seed)
         start = time.time()
+        host_step = 0  # host-side twin of state.step (no device fetch)
         for epoch in range(args.start_epoch, args.epochs):
             if train_sampler is not None:
                 train_sampler.set_epoch(epoch)
@@ -444,7 +625,8 @@ def main(args):
                         batch = {"image": img, "label": lbl}
                     batch = shard_batch(batch, mesh)
                 state, metrics = train_step(state, batch, sub)
-                if ema is not None:
+                host_step += 1
+                if ema is not None and host_step % args.model_ema_steps == 0:
                     ema.update(state.params)
                 logger.update(
                     loss=float(metrics["loss"]),
@@ -455,10 +637,22 @@ def main(args):
                     ),
                 )
             evaluate(eval_step, state, val_loader, mesh)
+            if ema is not None:
+                # reference train.py:444-449: evaluate the EMA weights too
+                ema_state = TrainState(
+                    ema.shadow, state.batch_stats, state.opt_state, state.step
+                )
+                evaluate(
+                    eval_step, ema_state, val_loader, mesh,
+                    header="Test: EMA",
+                )
             if args.output_dir and jax.process_index() == 0:
+                ckpt = {"state": jax.device_get(state), "epoch": epoch}
+                if ema is not None:
+                    ckpt["ema"] = jax.device_get(ema.shadow)
                 utils.save_checkpoint(
                     os.path.join(args.output_dir, f"checkpoint_{epoch}"),
-                    {"state": jax.device_get(state), "epoch": epoch},
+                    ckpt,
                 )
         print(f"Training time {time.time() - start:.1f}s")
 

@@ -174,6 +174,19 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
     ckptr.wait_until_finished()
 
 
+def checkpoint_keys(path: str):
+    """Top-level keys stored in an orbax checkpoint (so a resume template
+    can be shaped to match, e.g. detect an "ema" entry)."""
+    import orbax.checkpoint as ocp
+
+    meta = ocp.StandardCheckpointer().metadata(os.path.abspath(path))
+    item = getattr(meta, "item_metadata", meta)
+    try:
+        return set(item.keys())
+    except (AttributeError, TypeError):
+        return set()
+
+
 def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None):
     """reference ``train.py:341-351`` resume path."""
     import orbax.checkpoint as ocp
