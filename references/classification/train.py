@@ -431,9 +431,13 @@ def make_optimizer(args, steps_per_epoch: int):
             staircase=True,
         )
     elif args.lr_scheduler == "cosineannealinglr":
+        # reference train.py: CosineAnnealingLR(T_max=epochs - warmup_epochs)
+        # — the cosine spans only the post-warmup epochs, reaching lr_min
+        # exactly at the end of training
+        cos_epochs = args.epochs - getattr(args, "lr_warmup_epochs", 0)
         sched = optax.cosine_decay_schedule(
             args.lr,
-            args.epochs * steps_per_epoch,
+            max(1, cos_epochs) * steps_per_epoch,
             alpha=(args.lr_min / args.lr) if args.lr else 0.0,
         )
     else:

@@ -173,3 +173,100 @@ def test_ra_sampler():
     assert list(iter(s0)) == i0
     s0.set_epoch(1)
     assert list(iter(s0)) != i0
+
+
+def _load_cls_train():
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "references", "classification",
+        "train.py",
+    )
+    spec = importlib.util.spec_from_file_location("_cls_train", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_wd_label_tree_groups():
+    """Group-wise weight decay labeling (train.py _wd_label_tree): norm
+    modules (param set contains 'scale'), biases, embeddings, main."""
+    train = _load_cls_train()
+    params = {
+        "conv1": {"kernel": 1, "bias": 2},
+        "bn1": {"scale": 3, "bias": 4},
+        "encoder": {
+            "pos_embedding": 5,
+            "class_token": 6,
+            "ln": {"scale": 7, "bias": 8},
+        },
+        "fc": {"kernel": 9, "bias": 10},
+    }
+    labels = train._wd_label_tree(params)
+    assert labels["conv1"] == {"kernel": "main", "bias": "bias"}
+    assert labels["bn1"] == {"scale": "norm", "bias": "norm"}
+    assert labels["encoder"]["pos_embedding"] == "embed"
+    assert labels["encoder"]["class_token"] == "embed"
+    assert labels["encoder"]["ln"] == {"scale": "norm", "bias": "norm"}
+    assert labels["fc"]["bias"] == "bias"
+
+
+def test_group_weight_decay_masks_apply():
+    """--norm-weight-decay 0: norm params see no decay, conv kernels do."""
+    import types
+
+    import optax
+
+    train = _load_cls_train()
+    args = types.SimpleNamespace(
+        lr_scheduler="steplr", lr=0.0, lr_step_size=1, lr_gamma=1.0,
+        lr_warmup_epochs=0, opt="sgd", momentum=0.0,
+        weight_decay=0.5, norm_weight_decay=0.0, bias_weight_decay=None,
+        transformer_embedding_decay=None, clip_grad_norm=None,
+    )
+    tx = train.make_optimizer(args, steps_per_epoch=1)
+    params = {
+        "conv": {"kernel": jnp.ones((2,))},
+        "bn": {"scale": jnp.ones((2,)), "bias": jnp.ones((2,))},
+    }
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    # lr=0 -> sgd scale is 0... use the raw decay transform instead:
+    decays = train._decay_transforms(args)
+    chain = optax.chain(*decays)
+    st = chain.init(params)
+    upd, _ = chain.update(grads, st, params)
+    np.testing.assert_allclose(np.asarray(upd["conv"]["kernel"]), 0.5)
+    np.testing.assert_allclose(np.asarray(upd["bn"]["scale"]), 0.0)
+    # bias of a norm module follows the norm group, not the bias group
+    np.testing.assert_allclose(np.asarray(upd["bn"]["bias"]), 0.0)
+
+
+def test_warmup_schedule_start_factor():
+    import types
+
+    train = _load_cls_train()
+    args = types.SimpleNamespace(
+        lr_scheduler="cosineannealinglr", lr=1.0, lr_min=0.1,
+        lr_warmup_epochs=1, lr_warmup_method="linear", lr_warmup_decay=0.25,
+        epochs=3, opt="sgd", momentum=0.0, weight_decay=0.0,
+        norm_weight_decay=None, bias_weight_decay=None,
+        transformer_embedding_decay=None, clip_grad_norm=None,
+        lr_step_size=30, lr_gamma=0.1,
+    )
+    # reach into the schedule through a 1-param sgd update
+    import optax
+
+    tx = train.make_optimizer(args, steps_per_epoch=10)
+    p = {"w": jnp.ones(())}
+    st = tx.init(p)
+    g = {"w": jnp.ones(())}
+    upd, st = tx.update(g, st, p)
+    # first step: lr == lr * warmup_decay == 0.25
+    np.testing.assert_allclose(float(upd["w"]), -0.25, rtol=1e-5)
+    for _ in range(30):
+        upd, st = tx.update(g, st, p)
+    # the cosine reaches lr_min = 0.1 at end of training (T_max excludes
+    # warmup epochs, reference CosineAnnealingLR(T_max=epochs - warmup))
+    np.testing.assert_allclose(-float(upd["w"]), 0.1, rtol=1e-3)
