@@ -42,6 +42,115 @@ def warmup_schedule(base_lr: float, warmup_iters: int = 1000,
     return schedule
 
 
+def epoch_lr(args, epoch: int) -> float:
+    """Per-epoch LR (the reference steps MultiStepLR / CosineAnnealingLR
+    once per EPOCH, detection/train.py:252-260); the per-step warmup factor
+    is composed separately inside the optimizer."""
+    if args.lr_scheduler == "multisteplr":
+        return args.lr * args.lr_gamma ** sum(
+            epoch >= m for m in args.lr_steps
+        )
+    if args.lr_scheduler == "cosineannealinglr":
+        import math
+
+        return args.lr * 0.5 * (1.0 + math.cos(math.pi * epoch / args.epochs))
+    raise ValueError(f"unknown scheduler {args.lr_scheduler}")
+
+
+_BACKBONE_LAYER_ORDER = ("layer4", "layer3", "layer2", "layer1", "conv1")
+
+
+def make_tx(args, params):
+    """Detection optimizer with the reference's full recipe surface:
+    sgd/adamw, --norm-weight-decay, per-step linear warmup (engine.py:12),
+    per-epoch LR decay via an injected hyperparam (set by ``epoch_lr``),
+    and --trainable-backbone-layers freezing (the reference's
+    requires_grad_(False), here an update mask — backbone_utils.py
+    _validate_trainable_layers)."""
+
+    def norm_mask(want_norm):
+        def mask(params):
+            def walk(d):
+                return {
+                    k: (walk(v) if isinstance(v, dict) else
+                        (("scale" in d) == want_norm))
+                    for k, v in d.items()
+                }
+
+            return walk(params)
+
+        return mask
+
+    def frozen_mask(params):
+        # freeze body modules outside the last N stages; FPN/heads always
+        # train. Body keys are "conv1" / "layerN.M" (BN buffers live in
+        # the frozen "constants" collection already).
+        n = args.trainable_backbone_layers
+        train_layers = set(_BACKBONE_LAYER_ORDER[:n])
+
+        def fill(d, value):
+            return {
+                k: (fill(v, value) if isinstance(v, dict) else value)
+                for k, v in d.items()
+            }
+
+        out = fill(params, False)
+        body = params.get("backbone", {}).get("body", None)
+        if body is not None:
+            out["backbone"]["body"] = {
+                k: fill(v, k.split(".")[0] not in train_layers)
+                for k, v in body.items()
+            }
+        return out
+
+    def factory(learning_rate):
+        wd = args.weight_decay
+        nwd = args.norm_weight_decay
+        if nwd is None or nwd == wd:
+            decays = [optax.add_decayed_weights(wd)] if wd else []
+        else:
+            decays = [
+                optax.add_decayed_weights(wd, mask=norm_mask(False)),
+            ]
+            if nwd:
+                decays.append(
+                    optax.add_decayed_weights(nwd, mask=norm_mask(True))
+                )
+        if args.opt == "sgd":
+            opt = optax.sgd(learning_rate, momentum=args.momentum)
+            parts = [*decays, opt]
+        elif args.opt == "adamw":
+            parts = [
+                optax.scale_by_adam(),
+                *decays,
+                optax.scale_by_learning_rate(learning_rate),
+            ]
+        else:
+            raise ValueError(f"unknown optimizer {args.opt}")
+        # per-step warmup factor (reference LinearLR over warmup_iters)
+        parts.append(
+            optax.scale_by_schedule(
+                lambda step: (
+                    1.0 / 1000
+                    + (1.0 - 1.0 / 1000)
+                    * jnp.minimum(step / max(args.warmup_iters, 1), 1.0)
+                )
+            )
+        )
+        if args.trainable_backbone_layers is not None:
+            parts.append(optax.masked(optax.set_to_zero(), frozen_mask))
+        return optax.chain(*parts)
+
+    tx = optax.inject_hyperparams(factory)(learning_rate=args.lr)
+    return tx
+
+
+def set_epoch_lr(opt_state, lr: float):
+    """Host-side per-epoch LR assignment on the injected hyperparam."""
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
 def _coco_batches(args, ann_file, img_dir, train=True, seed=0):
     """Real-data path over vision_tpu.datasets.CocoDetection with
     aspect-ratio grouped batching (reference
@@ -347,17 +456,18 @@ def _fake_batches(args, steps, seed=0):
 
 def main(args):
     print(args)
-    model = get_model(args.model, num_classes=args.num_classes)
-    if args.test_only:
+    model_kwargs = {"num_classes": args.num_classes}
+    if args.weights:
+        model_kwargs = {"weights": args.weights}
+    if args.rpn_score_thresh is not None:
+        model_kwargs["rpn_score_thresh"] = args.rpn_score_thresh
+    model = get_model(args.model, **model_kwargs)
+    if args.test_only and not args.resume:
         return run_coco_eval(args, model)
     module = model.module
     params = dict(model.variables)["params"]
 
-    lr = warmup_schedule(args.lr, warmup_iters=args.warmup_iters)
-    tx = optax.chain(
-        optax.add_decayed_weights(args.weight_decay),
-        optax.sgd(lr, momentum=args.momentum),
-    )
+    tx = make_tx(args, params)
     opt_state = tx.init(params)
     one_stage = any(s in args.model for s in ("retinanet", "ssd", "fcos"))
     step_fn, extra = make_detection_train_step(
@@ -365,8 +475,22 @@ def main(args):
         compute_dtype=jnp.bfloat16 if args.amp else None,
     )
 
+    start_epoch = args.start_epoch
+    if args.resume:
+        restored = utils.load_checkpoint(
+            args.resume,
+            {"params": params, "extra": extra, "epoch": 0},
+        )
+        params = restored["params"]
+        extra = restored["extra"]
+        start_epoch = int(restored["epoch"]) + 1
+        if args.test_only:
+            model.variables = {"params": params, **extra}
+            return run_coco_eval(args, model)
+
     key = jax.random.PRNGKey(args.seed)
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
+        opt_state = set_epoch_lr(opt_state, epoch_lr(args, epoch))
         if args.fake_data:
             steps = args.steps_per_epoch or 100
             train_iter = _fake_batches(args, steps, seed=epoch)
@@ -385,12 +509,15 @@ def main(args):
             print_freq=args.print_freq,
         )
         print(f"epoch {epoch} done in {time.time() - t0:.1f}s")
-
-    if args.output_dir:
-        utils.save_checkpoint(
-            os.path.join(args.output_dir, "checkpoint.msgpack"),
-            {"params": jax.device_get(params), **jax.device_get(extra)},
-        )
+        if args.output_dir:
+            utils.save_checkpoint(
+                os.path.join(args.output_dir, f"checkpoint_{epoch}"),
+                {
+                    "params": jax.device_get(params),
+                    "extra": jax.device_get(extra),
+                    "epoch": epoch,
+                },
+            )
 
 
 def get_args_parser():
@@ -417,10 +544,57 @@ def get_args_parser():
     )
     p.add_argument("--epochs", default=26, type=int)
     p.add_argument("--steps-per-epoch", default=None, type=int)
+    p.add_argument("--opt", default="sgd", type=str, choices=("sgd", "adamw"))
     p.add_argument("--lr", default=0.02, type=float)
     p.add_argument("--momentum", default=0.9, type=float)
-    p.add_argument("--weight-decay", default=1e-4, type=float)
+    p.add_argument(
+        "--weight-decay", "--wd", dest="weight_decay", default=1e-4,
+        type=float,
+    )
+    p.add_argument(
+        "--norm-weight-decay", default=None, type=float,
+        help="weight decay for normalization-layer params; None = same as "
+        "--weight-decay",
+    )
+    p.add_argument(
+        "--lr-scheduler", default="multisteplr", type=str,
+        choices=("multisteplr", "cosineannealinglr"),
+    )
+    p.add_argument(
+        "--lr-steps", default=[16, 22], nargs="+", type=int,
+        help="multisteplr epoch milestones",
+    )
+    p.add_argument("--lr-gamma", default=0.1, type=float)
     p.add_argument("--warmup-iters", default=1000, type=int)
+    p.add_argument("--resume", default="", type=str)
+    p.add_argument("--start-epoch", default=0, type=int)
+    p.add_argument(
+        "--trainable-backbone-layers", default=None, type=int,
+        help="train only the last N backbone stages (reference "
+        "backbone_utils._validate_trainable_layers); None = all. "
+        "Implemented as a frozen-update mask (the JAX requires_grad)",
+    )
+    p.add_argument(
+        "--rpn-score-thresh", default=None, type=float,
+        help="rpn score threshold for eval (rcnn families)",
+    )
+    p.add_argument(
+        "--weights", default=None, type=str,
+        help="weights enum name to start from (downloads + converts the "
+        "reference torch checkpoint)",
+    )
+    p.add_argument(
+        "--dataset", default="coco", type=str, choices=("coco",),
+        help="accepted for reference-CLI parity (COCO is the dataset)",
+    )
+    p.add_argument(
+        "--sync-bn", action="store_true",
+        help="no-op: SPMD BatchNorm statistics are always global",
+    )
+    p.add_argument(
+        "--use-deterministic-algorithms", action="store_true",
+        help="no-op: XLA on TPU is deterministic by default",
+    )
     p.add_argument("--print-freq", default=20, type=int)
     p.add_argument("--output-dir", default=None, type=str)
     p.add_argument("--size", default=640, type=int)

@@ -80,12 +80,24 @@ class ConfusionMatrix:
         )
 
 
-def poly_lr_schedule(base_lr: float, total_steps: int, power: float = 0.9):
-    """reference ``train.py``: PolynomialLR over total iterations."""
+def poly_lr_schedule(base_lr: float, total_steps: int, power: float = 0.9,
+                     warmup_iters: int = 0, warmup_decay: float = 0.01,
+                     warmup_method: str = "linear"):
+    """reference ``train.py``: PolynomialLR over total iterations, with an
+    optional LinearLR/ConstantLR warmup prefix (--lr-warmup-*)."""
 
     def schedule(step):
         frac = jnp.minimum(step / max(total_steps, 1), 1.0)
-        return base_lr * (1.0 - frac) ** power
+        lr = base_lr * (1.0 - frac) ** power
+        if warmup_iters > 0:
+            if warmup_method == "constant":
+                wf = jnp.where(step < warmup_iters, warmup_decay, 1.0)
+            else:
+                wf = warmup_decay + (1.0 - warmup_decay) * jnp.minimum(
+                    step / max(warmup_iters, 1), 1.0
+                )
+            lr = lr * wf
+        return lr
 
     return schedule
 
@@ -185,9 +197,12 @@ def _voc_batches(args, split, train, seed=0):
 def main(args):
     print(args)
     num_classes = args.num_classes
-    kwargs = {"num_classes": num_classes}
-    if "lraspp" not in args.model:  # lraspp has no aux head (reference parity)
-        kwargs["aux_loss"] = args.aux_loss
+    if args.weights:
+        kwargs = {"weights": args.weights}
+    else:
+        kwargs = {"num_classes": num_classes}
+        if "lraspp" not in args.model:  # lraspp has no aux head
+            kwargs["aux_loss"] = args.aux_loss
     model = get_model(args.model, **kwargs)
     module = model.module
     variables = dict(model.variables)
@@ -195,7 +210,12 @@ def main(args):
     batch_stats = variables.pop("batch_stats", {})
 
     steps_total = (args.steps_per_epoch or 100) * args.epochs
-    lr = poly_lr_schedule(args.lr, steps_total)
+    lr = poly_lr_schedule(
+        args.lr, steps_total,
+        warmup_iters=args.lr_warmup_epochs * (args.steps_per_epoch or 100),
+        warmup_decay=args.lr_warmup_decay,
+        warmup_method=args.lr_warmup_method,
+    )
     tx = optax.sgd(lr, momentum=args.momentum)
     if args.weight_decay:
         tx = optax.chain(optax.add_decayed_weights(args.weight_decay), tx)
@@ -269,7 +289,39 @@ def main(args):
         )
         return jnp.argmax(outputs["out"], axis=-1)
 
-    for epoch in range(args.epochs):
+    start_epoch = args.start_epoch
+    if args.resume:
+        restored = utils.load_checkpoint(
+            args.resume,
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "epoch": 0,
+            },
+        )
+        state = TrainState(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=state.opt_state,
+            step=state.step,
+        )
+        start_epoch = int(restored["epoch"]) + 1
+
+    if args.test_only:
+        confmat = ConfusionMatrix(num_classes)
+        eval_iter = (
+            _fake_batches(args, num_classes, 2, seed=999)
+            if args.fake_data
+            else _voc_batches(args, "val", False)
+        )
+        for batch in eval_iter:
+            batch = shard_batch(batch, mesh)
+            pred = eval_step(state, batch)
+            confmat.update(batch["target"], np.asarray(pred))
+        print(confmat)
+        return
+
+    for epoch in range(start_epoch, args.epochs):
         logger = utils.MetricLogger()
         if args.fake_data:
             steps = args.steps_per_epoch or 100
@@ -294,13 +346,16 @@ def main(args):
             confmat.update(batch["target"], np.asarray(pred))
         print(confmat)
 
-    if args.output_dir:
-        utils.save_checkpoint(
-            os.path.join(args.output_dir, "checkpoint.msgpack"),
-            {"params": jax.device_get(state.params),
-             "batch_stats": jax.device_get(state.batch_stats)},
-        )
-        print(f"saved checkpoint to {args.output_dir}")
+        if args.output_dir:
+            utils.save_checkpoint(
+                os.path.join(args.output_dir, f"checkpoint_{epoch}"),
+                {
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                    "epoch": epoch,
+                },
+            )
+            print(f"saved checkpoint_{epoch} to {args.output_dir}")
 
 
 def get_args_parser():
@@ -318,7 +373,30 @@ def get_args_parser():
     p.add_argument("--steps-per-epoch", default=None, type=int)
     p.add_argument("--lr", default=0.01, type=float)
     p.add_argument("--momentum", default=0.9, type=float)
-    p.add_argument("--weight-decay", default=1e-4, type=float)
+    p.add_argument(
+        "--weight-decay", "--wd", dest="weight_decay", default=1e-4,
+        type=float,
+    )
+    p.add_argument("--lr-warmup-epochs", default=0, type=int)
+    p.add_argument(
+        "--lr-warmup-method", default="linear", type=str,
+        choices=("linear", "constant"),
+    )
+    p.add_argument("--lr-warmup-decay", default=0.01, type=float)
+    p.add_argument("--resume", default="", type=str)
+    p.add_argument("--start-epoch", default=0, type=int)
+    p.add_argument(
+        "--test-only", action="store_true",
+        help="evaluate mIoU of the (resumed) model and exit",
+    )
+    p.add_argument(
+        "--weights", default=None, type=str,
+        help="weights enum name to start from",
+    )
+    p.add_argument(
+        "--use-deterministic-algorithms", action="store_true",
+        help="no-op: XLA on TPU is deterministic by default",
+    )
     p.add_argument("--print-freq", default=10, type=int)
     p.add_argument("--output-dir", default=None, type=str)
     p.add_argument("--size", default=480, type=int)

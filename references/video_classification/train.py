@@ -120,13 +120,29 @@ def _fake_batches(args, num_classes, steps, seed=0):
 def main(args):
     print(args)
     num_classes = args.num_classes
-    model = get_model(args.model, num_classes=num_classes)
+    if args.weights:
+        model = get_model(args.model, weights=args.weights)
+    else:
+        model = get_model(args.model, num_classes=num_classes)
     module = model.module
     variables = dict(model.variables)
     params = variables.pop("params")
     batch_stats = variables.pop("batch_stats", {})
 
-    tx = optax.sgd(args.lr, momentum=args.momentum)
+    # reference: MultiStepLR(milestones, gamma) + linear warmup epochs
+    spe = args.steps_per_epoch or 100
+    sched = optax.piecewise_constant_schedule(
+        args.lr, {m * spe: args.lr_gamma for m in args.lr_milestones}
+    )
+    if args.lr_warmup_epochs > 0:
+        warm = optax.linear_schedule(
+            args.lr * args.lr_warmup_decay, args.lr,
+            args.lr_warmup_epochs * spe,
+        )
+        sched = optax.join_schedules(
+            [warm, sched], [args.lr_warmup_epochs * spe]
+        )
+    tx = optax.sgd(sched, momentum=args.momentum)
     if args.weight_decay:
         tx = optax.chain(optax.add_decayed_weights(args.weight_decay), tx)
     state = TrainState(
@@ -200,7 +216,38 @@ def main(args):
         logits = module.apply(varz, batch["video"], train=False)
         return jax.nn.softmax(logits)
 
-    for epoch in range(args.epochs):
+    start_epoch = args.start_epoch
+    if args.resume:
+        restored = utils.load_checkpoint(
+            args.resume,
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "epoch": 0,
+            },
+        )
+        state = TrainState(
+            params=restored["params"], batch_stats=restored["batch_stats"],
+            opt_state=state.opt_state, step=state.step,
+        )
+        start_epoch = int(restored["epoch"]) + 1
+
+    if args.test_only:
+        vacc = VideoAccuracy(num_classes)
+        eval_iter = (
+            _fake_batches(args, num_classes, 2, seed=999)
+            if args.fake_data
+            else _kinetics_batches(args, "val")
+        )
+        for batch in eval_iter:
+            probs = eval_step(
+                state, shard_batch({"video": batch["video"]}, mesh)
+            )
+            vacc.update(batch["video_id"], probs, batch["label"])
+        print(f"video-level acc: {vacc.compute():.4f}")
+        return
+
+    for epoch in range(start_epoch, args.epochs):
         logger = utils.MetricLogger()
         if args.fake_data:
             steps = args.steps_per_epoch or 100
@@ -227,12 +274,15 @@ def main(args):
             vacc.update(batch["video_id"], probs, batch["label"])
         print(f"video-level acc: {vacc.compute():.4f}")
 
-    if args.output_dir:
-        utils.save_checkpoint(
-            os.path.join(args.output_dir, "checkpoint.msgpack"),
-            {"params": jax.device_get(state.params),
-             "batch_stats": jax.device_get(state.batch_stats)},
-        )
+        if args.output_dir:
+            utils.save_checkpoint(
+                os.path.join(args.output_dir, f"checkpoint_{epoch}"),
+                {
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                    "epoch": epoch,
+                },
+            )
 
 
 def get_args_parser():
@@ -250,7 +300,31 @@ def get_args_parser():
     p.add_argument("--steps-per-epoch", default=None, type=int)
     p.add_argument("--lr", default=0.01, type=float)
     p.add_argument("--momentum", default=0.9, type=float)
-    p.add_argument("--weight-decay", default=1e-4, type=float)
+    p.add_argument(
+        "--weight-decay", "--wd", dest="weight_decay", default=1e-4,
+        type=float,
+    )
+    p.add_argument(
+        "--lr-milestones", default=[20, 30, 40], nargs="+", type=int,
+        help="MultiStepLR epoch milestones (reference --lr-milestones)",
+    )
+    p.add_argument("--lr-gamma", default=0.1, type=float)
+    p.add_argument("--lr-warmup-epochs", default=0, type=int)
+    p.add_argument("--lr-warmup-decay", default=0.001, type=float)
+    p.add_argument("--resume", default="", type=str)
+    p.add_argument("--start-epoch", default=0, type=int)
+    p.add_argument(
+        "--test-only", action="store_true",
+        help="evaluate video-level accuracy of the (resumed) model",
+    )
+    p.add_argument(
+        "--weights", default=None, type=str,
+        help="weights enum name to start from",
+    )
+    p.add_argument(
+        "--sync-bn", action="store_true",
+        help="no-op: SPMD BatchNorm statistics are always global",
+    )
     p.add_argument("--print-freq", default=10, type=int)
     p.add_argument("--output-dir", default=None, type=str)
     p.add_argument("--size", default=112, type=int)

@@ -500,3 +500,76 @@ def test_detection_coco_batches_with_masks(tmp_path):
             # mask support sits inside the (augmented) box, +-1 px
             assert xs.min() >= x1 - 1 and xs.max() <= x2 + 1
             assert ys.min() >= y1 - 1 and ys.max() <= y2 + 1
+
+
+def test_detection_trainable_backbone_layers_freeze():
+    """--trainable-backbone-layers N freezes body stages outside the last
+    N (the reference's requires_grad_(False), backbone_utils.py) while FPN
+    and heads train."""
+    import importlib.util
+    import os as _os
+    import types
+
+    import numpy as np
+    import optax
+
+    import jax
+    import jax.numpy as jnp
+
+    def load(name, rel):
+        spec = importlib.util.spec_from_file_location(
+            name,
+            _os.path.join(_os.path.dirname(__file__), "..", "references",
+                          "detection", rel),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    train = load("_det_train_t", "train.py")
+    engine = load("_det_engine_t", "engine.py")
+    from vision_tpu.models import get_model
+    from vision_tpu.models._utils import fast_init
+
+    with fast_init():
+        m = get_model("retinanet_resnet50_fpn", num_classes=5)
+    args = types.SimpleNamespace(
+        opt="sgd", lr=0.1, momentum=0.9, weight_decay=1e-4,
+        norm_weight_decay=None, warmup_iters=1,
+        trainable_backbone_layers=1,
+    )
+    params = m.variables["params"]
+    tx = train.make_tx(args, params)
+    st = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    upd, _ = tx.update(grads, st, params)
+
+    def max_abs(tree):
+        return max(
+            float(jnp.abs(l).max()) for l in jax.tree_util.tree_leaves(tree)
+        )
+
+    body = upd["backbone"]["body"]
+    # frozen stages get exactly-zero updates
+    for k in ("conv1", "layer1.0", "layer2.0", "layer3.0"):
+        assert max_abs(body[k]) == 0.0, k
+    # trainable stage + fpn + head get real updates
+    assert max_abs(body["layer4.0"]) > 0
+    assert max_abs(upd["backbone"]["fpn"]) > 0
+    assert max_abs(upd["head"]) > 0
+    # and the full train step accepts the masked tx (structure smoke)
+    step, extra = engine.make_detection_train_step(
+        m.module, tx, one_stage=True, variables=m.variables
+    )
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32),
+        "boxes": jnp.asarray([[[4, 4, 30, 30]]], jnp.float32),
+        "labels": jnp.ones((1, 1), jnp.int32),
+        "valid": jnp.ones((1, 1), bool),
+    }
+    opt_state = tx.init(params)
+    params2, extra, opt_state, total, losses = step(
+        params, extra, opt_state, batch, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(total))
