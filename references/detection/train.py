@@ -459,6 +459,8 @@ def main(args):
     model_kwargs = {"num_classes": args.num_classes}
     if args.weights:
         model_kwargs = {"weights": args.weights}
+    elif args.weights_backbone:
+        model_kwargs["weights_backbone"] = args.weights_backbone
     if args.rpn_score_thresh is not None:
         model_kwargs["rpn_score_thresh"] = args.rpn_score_thresh
     model = get_model(args.model, **model_kwargs)
@@ -582,6 +584,12 @@ def get_args_parser():
         "--weights", default=None, type=str,
         help="weights enum name to start from (downloads + converts the "
         "reference torch checkpoint)",
+    )
+    p.add_argument(
+        "--weights-backbone", default=None, type=str,
+        help="CLASSIFICATION weights enum for the trunk, e.g. "
+        "'ResNet50_Weights.IMAGENET1K_V1' — the standard from-ImageNet "
+        "detection recipe (reference builders' weights_backbone=)",
     )
     p.add_argument(
         "--dataset", default="coco", type=str, choices=("coco",),

@@ -282,3 +282,88 @@ def resnet_fpn_backbone_module(
         extra_blocks=extra_blocks,
         returned_layers=returned_layers,
     )
+
+
+def load_backbone_state_dict(
+    variables,
+    sd,
+    trunk_map=None,
+    body_key: str = "body",
+):
+    """Load a CLASSIFICATION torch ``state_dict`` into a detection model's
+    backbone trunk (the reference's ``weights_backbone`` path,
+    ``backbone_utils.py _resnet_fpn_extractor``: the trunk IS the torch
+    classification model, so its checkpoint keys transfer 1:1 once
+    remapped into the detection name space; the classifier head drops).
+
+    ``trunk_map(cls_key) -> detection_torch_key | None`` renames each
+    classification key; the default prefixes ``backbone.body.`` (resnet
+    FPN trunks). BatchNorm entries land wherever the detection model keeps
+    them (FrozenBatchNorm ``frozen`` buffers or live ``batch_stats``).
+    Asserts the trunk was substantially covered so a key-space drift can't
+    silently produce a random backbone. Returns new variables."""
+    from vision_tpu._torch_convert import (
+        _flatten,
+        _torch_key,
+        convert_torch_state_dict,
+    )
+
+    drop = ("fc.", "classifier.")  # classification heads
+    if trunk_map is None:
+        trunk_map = lambda k: f"backbone.body.{k}"  # noqa: E731
+    sd = {
+        trunk_map(k): v
+        for k, v in sd.items()
+        if not k.startswith(drop)
+        and not k.endswith("num_batches_tracked")
+        and trunk_map(k) is not None
+    }
+    # the torch keys the trunk leaves expect, via the converter's own map
+    expected = set()
+    for coll, tree in variables.items():
+        for path in _flatten(tree if isinstance(tree, dict) else dict(tree)):
+            if len(path) >= 2 and path[0] == "backbone" and (
+                path[1] == body_key or path[1].startswith(body_key + ".")
+            ):
+                expected.add(_torch_key(coll, path)[0])
+    missing = expected - set(sd)
+    if expected and len(missing) > 0.2 * len(expected):
+        raise ValueError(
+            f"weights_backbone covers only {len(expected) - len(missing)} of "
+            f"{len(expected)} trunk tensors (e.g. missing "
+            f"{sorted(missing)[:5]}) — checkpoint key space does not match "
+            "this backbone"
+        )
+    return convert_torch_state_dict(sd, dict(variables), strict=False)
+
+
+def apply_weights_backbone(variables, weights_backbone, backbone_type="resnet"):
+    """Resolve a ``weights_backbone`` spec (enum member or
+    ``"ResNet50_Weights.IMAGENET1K_V1"`` string) and load it into
+    ``variables``; reference builders' ``weights_backbone=`` parameter."""
+    if isinstance(weights_backbone, str):
+        from vision_tpu.models._api import get_weight
+
+        weights_backbone = get_weight(weights_backbone)
+    sd = weights_backbone.get_state_dict()
+    if backbone_type == "resnet":
+        return load_backbone_state_dict(variables, sd)
+    if backbone_type == "mobilenet_v3_large":
+        # classification "features.N.rest" -> detection "backbone.body.N.rest"
+        def mmap(k):
+            return (
+                "backbone.body." + k[len("features."):]
+                if k.startswith("features.")
+                else None
+            )
+
+        return load_backbone_state_dict(variables, sd, trunk_map=mmap)
+    if backbone_type == "vgg":
+        # ssd: classification "features.N.rest" -> "backbone.features.N.rest"
+        def vmap(k):
+            return "backbone." + k if k.startswith("features.") else None
+
+        return load_backbone_state_dict(
+            variables, sd, trunk_map=vmap, body_key="features"
+        )
+    raise ValueError(f"unknown backbone_type {backbone_type!r}")

@@ -322,11 +322,18 @@ class FasterRCNN_ResNet50_FPN_V2_Weights(WeightsEnum):
     DEFAULT = COCO_V1
 
 
-def _build_frcnn(weights, v2: bool, num_classes=91, **kwargs) -> VisionModel:
+def _build_frcnn(
+    weights,
+    v2: bool,
+    num_classes=91,
+    weights_backbone=None,
+    trainable_backbone_layers=None,
+    **kwargs,
+) -> VisionModel:
     module = FasterRCNN(num_classes=num_classes, v2=v2, **kwargs)
     # tiny init input: params are input-size independent, and init *runs*
     # the full path (incl. NMS loops) eagerly on host
-    variables = init_variables(module, 
+    variables = init_variables(module,
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
     )
     preprocess = None
@@ -338,7 +345,29 @@ def _build_frcnn(weights, v2: bool, num_classes=91, **kwargs) -> VisionModel:
             sd, dict(variables), hooks=_frcnn_hooks
         )
         preprocess = weights.transforms()
-    return VisionModel(module=module, variables=variables, preprocess=preprocess)
+    elif weights_backbone is not None:
+        # reference builders' weights_backbone= (ImageNet trunk init)
+        from vision_tpu.models.detection.backbone_utils import (
+            apply_weights_backbone,
+        )
+
+        variables = apply_weights_backbone(
+            variables,
+            weights_backbone,
+            backbone_type=(
+                "mobilenet_v3_large"
+                if kwargs.get("backbone_type", "").startswith("mobilenet")
+                else "resnet"
+            ),
+        )
+    meta = (
+        {"trainable_backbone_layers": trainable_backbone_layers}
+        if trainable_backbone_layers is not None
+        else None
+    )
+    return VisionModel(
+        module=module, variables=variables, preprocess=preprocess, meta=meta
+    )
 
 
 @register_model()

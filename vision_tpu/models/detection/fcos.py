@@ -298,7 +298,8 @@ def _fcos_hooks(sd):
 @register_model()
 def fcos_resnet50_fpn(
     *, weights: Optional[FCOS_ResNet50_FPN_Weights] = None,
-    num_classes: int = 91, **kwargs,
+    num_classes: int = 91, weights_backbone=None,
+    trainable_backbone_layers=None, **kwargs,
 ) -> VisionModel:
     weights = FCOS_ResNet50_FPN_Weights.verify(weights)
     module = FCOS(num_classes=num_classes, **kwargs)
@@ -312,4 +313,11 @@ def fcos_resnet50_fpn(
         sd = weights.get_state_dict()
         variables = convert_torch_state_dict(sd, dict(variables), hooks=_fcos_hooks)
         preprocess = weights.transforms()
-    return VisionModel(module=module, variables=variables, preprocess=preprocess)
+    elif weights_backbone is not None:
+        from vision_tpu.models.detection.backbone_utils import apply_weights_backbone
+
+        variables = apply_weights_backbone(variables, weights_backbone)
+    meta = ({"trainable_backbone_layers": trainable_backbone_layers}
+            if trainable_backbone_layers is not None else None)
+    return VisionModel(module=module, variables=variables, preprocess=preprocess,
+                       meta=meta)

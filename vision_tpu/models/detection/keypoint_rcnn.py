@@ -202,7 +202,8 @@ class KeypointRCNN_ResNet50_FPN_Weights(WeightsEnum):
 @register_model()
 def keypointrcnn_resnet50_fpn(
     *, weights: Optional[KeypointRCNN_ResNet50_FPN_Weights] = None,
-    num_classes: int = 2, num_keypoints: int = 17, **kwargs,
+    num_classes: int = 2, num_keypoints: int = 17, weights_backbone=None,
+    trainable_backbone_layers=None, **kwargs,
 ) -> VisionModel:
     weights = KeypointRCNN_ResNet50_FPN_Weights.verify(weights)
     module = KeypointRCNN(
@@ -218,4 +219,11 @@ def keypointrcnn_resnet50_fpn(
         sd = weights.get_state_dict()
         variables = convert_torch_state_dict(sd, dict(variables), hooks=_frcnn_hooks)
         preprocess = weights.transforms()
-    return VisionModel(module=module, variables=variables, preprocess=preprocess)
+    elif weights_backbone is not None:
+        from vision_tpu.models.detection.backbone_utils import apply_weights_backbone
+
+        variables = apply_weights_backbone(variables, weights_backbone)
+    meta = ({"trainable_backbone_layers": trainable_backbone_layers}
+            if trainable_backbone_layers is not None else None)
+    return VisionModel(module=module, variables=variables, preprocess=preprocess,
+                       meta=meta)

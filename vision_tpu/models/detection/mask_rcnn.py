@@ -156,7 +156,8 @@ class MaskRCNN_ResNet50_FPN_V2_Weights(WeightsEnum):
     DEFAULT = COCO_V1
 
 
-def _build_maskrcnn(weights, v2: bool, num_classes=91, **kwargs) -> VisionModel:
+def _build_maskrcnn(weights, v2: bool, num_classes=91, weights_backbone=None,
+                    trainable_backbone_layers=None, **kwargs) -> VisionModel:
     module = MaskRCNN(num_classes=num_classes, v2=v2, **kwargs)
     variables = init_variables(module, 
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -168,7 +169,14 @@ def _build_maskrcnn(weights, v2: bool, num_classes=91, **kwargs) -> VisionModel:
         sd = weights.get_state_dict()
         variables = convert_torch_state_dict(sd, dict(variables), hooks=_frcnn_hooks)
         preprocess = weights.transforms()
-    return VisionModel(module=module, variables=variables, preprocess=preprocess)
+    elif weights_backbone is not None:
+        from vision_tpu.models.detection.backbone_utils import apply_weights_backbone
+
+        variables = apply_weights_backbone(variables, weights_backbone)
+    meta = ({"trainable_backbone_layers": trainable_backbone_layers}
+            if trainable_backbone_layers is not None else None)
+    return VisionModel(module=module, variables=variables, preprocess=preprocess,
+                       meta=meta)
 
 
 @register_model()

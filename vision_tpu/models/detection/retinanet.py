@@ -360,7 +360,8 @@ def _retinanet_hooks(sd):
     return out
 
 
-def _build_retinanet(weights, v2: bool, num_classes=91, **kwargs) -> VisionModel:
+def _build_retinanet(weights, v2: bool, num_classes=91, weights_backbone=None,
+                     trainable_backbone_layers=None, **kwargs) -> VisionModel:
     module = RetinaNet(
         num_classes=num_classes,
         use_head_norm=v2,
@@ -382,7 +383,14 @@ def _build_retinanet(weights, v2: bool, num_classes=91, **kwargs) -> VisionModel
             sd, dict(variables), hooks=_retinanet_hooks
         )
         preprocess = weights.transforms()
-    return VisionModel(module=module, variables=variables, preprocess=preprocess)
+    elif weights_backbone is not None:
+        from vision_tpu.models.detection.backbone_utils import apply_weights_backbone
+
+        variables = apply_weights_backbone(variables, weights_backbone)
+    meta = ({"trainable_backbone_layers": trainable_backbone_layers}
+            if trainable_backbone_layers is not None else None)
+    return VisionModel(module=module, variables=variables, preprocess=preprocess,
+                       meta=meta)
 
 
 @register_model()

@@ -254,7 +254,7 @@ class SSD300_VGG16_Weights(WeightsEnum):
 @register_model()
 def ssd300_vgg16(
     *, weights: Optional[SSD300_VGG16_Weights] = None, num_classes: int = 91,
-    **kwargs,
+    weights_backbone=None, trainable_backbone_layers=None, **kwargs,
 ) -> VisionModel:
     weights = SSD300_VGG16_Weights.verify(weights)
     module = SSD(num_classes=num_classes, **kwargs)
@@ -268,4 +268,13 @@ def ssd300_vgg16(
         sd = weights.get_state_dict()
         variables = convert_torch_state_dict(sd, dict(variables))
         preprocess = weights.transforms()
-    return VisionModel(module=module, variables=variables, preprocess=preprocess)
+    elif weights_backbone is not None:
+        from vision_tpu.models.detection.backbone_utils import apply_weights_backbone
+
+        variables = apply_weights_backbone(
+            variables, weights_backbone, backbone_type="vgg"
+        )
+    meta = ({"trainable_backbone_layers": trainable_backbone_layers}
+            if trainable_backbone_layers is not None else None)
+    return VisionModel(module=module, variables=variables, preprocess=preprocess,
+                       meta=meta)

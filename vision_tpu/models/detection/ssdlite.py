@@ -282,8 +282,19 @@ def _ssdlite_hooks(sd):
 @register_model()
 def ssdlite320_mobilenet_v3_large(
     *, weights: Optional[SSDLite320_MobileNet_V3_Large_Weights] = None,
-    num_classes: int = 91, **kwargs,
+    num_classes: int = 91, weights_backbone=None,
+    trainable_backbone_layers=None, **kwargs,
 ) -> VisionModel:
+    """``weights_backbone`` is not supported for ssdlite: the torch
+    extractor splits the C4 block across two Sequentials
+    (reference ``ssdlite.py _mobilenet_extractor``), so the classification
+    key space does not transfer mechanically; start from ``weights=``
+    (full COCO checkpoint) instead."""
+    if weights_backbone is not None:
+        raise ValueError(
+            "ssdlite320 does not support weights_backbone (the trunk is "
+            "re-split across Sequentials); use weights= instead"
+        )
     weights = SSDLite320_MobileNet_V3_Large_Weights.verify(weights)
     kwargs.setdefault("score_thresh", 0.001)
     kwargs.setdefault("nms_thresh", 0.55)
@@ -302,4 +313,7 @@ def ssdlite320_mobilenet_v3_large(
             sd, dict(variables), hooks=_ssdlite_hooks
         )
         preprocess = weights.transforms()
-    return VisionModel(module=module, variables=variables, preprocess=preprocess)
+    meta = ({"trainable_backbone_layers": trainable_backbone_layers}
+            if trainable_backbone_layers is not None else None)
+    return VisionModel(module=module, variables=variables, preprocess=preprocess,
+                       meta=meta)
