@@ -44,3 +44,24 @@ def test_v1_pipeline_end_to_end():
     img = np.random.RandomState(0).randint(0, 255, (16, 12, 3), np.uint8)
     out = tf(img, key=jax.random.PRNGKey(0))
     assert out.shape == (8, 6, 3) or out.shape == (6, 6, 3)
+
+
+def test_v1_functional_module_import_path():
+    """``import vision_tpu.transforms.functional as F`` — the reference's
+    most common import form (``torchvision/transforms/functional.py``) —
+    must resolve as a real module path and carry the v1 names."""
+    import importlib
+
+    F = importlib.import_module("vision_tpu.transforms.functional")
+    from vision_tpu.transforms import functional as F2
+
+    assert F is F2
+    for name in (
+        "hflip", "vflip", "to_tensor", "to_pil_image", "pil_to_tensor",
+        "get_image_size", "get_dimensions", "convert_image_dtype",
+        "rgb_to_grayscale", "adjust_brightness", "rotate", "resize",
+    ):
+        assert hasattr(F, name), name
+    img = np.zeros((4, 6, 3), np.uint8)
+    assert F.hflip(img).shape == (4, 6, 3)
+    assert tuple(F.get_image_size(img)) == (6, 4)  # (w, h) like v1

@@ -20,6 +20,14 @@ from vision_tpu.transforms._presets import (  # noqa: F401
 )
 from vision_tpu.transforms.v2 import functional  # noqa: F401
 
+# Make the v1 module path importable (``import
+# vision_tpu.transforms.functional as F`` — the reference's most common
+# import form). The v2 module carries every v1 functional name (hflip,
+# to_tensor, get_image_size, ...), so one module serves both paths.
+import sys as _sys
+
+_sys.modules[__name__ + ".functional"] = functional
+
 # v1 class names alias the v2 implementations (reference
 # ``torchvision/transforms/transforms.py`` public classes)
 from vision_tpu.transforms.v2 import (  # noqa: F401
