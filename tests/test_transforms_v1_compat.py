@@ -65,3 +65,18 @@ def test_v1_functional_module_import_path():
     img = np.zeros((4, 6, 3), np.uint8)
     assert F.hflip(img).shape == (4, 6, 3)
     assert tuple(F.get_image_size(img)) == (6, 4)  # (w, h) like v1
+
+
+def test_v1_module_paths():
+    """v1 module layout importable: transforms.transforms / .autoaugment."""
+    from vision_tpu.transforms.autoaugment import (
+        AutoAugmentPolicy,
+        RandAugment,  # noqa: F401
+    )
+    from vision_tpu.transforms.transforms import (  # noqa: F401
+        Compose,
+        Resize,
+        ToTensor,
+    )
+
+    assert AutoAugmentPolicy.IMAGENET.value == "imagenet"
