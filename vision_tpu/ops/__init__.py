@@ -46,6 +46,7 @@ from vision_tpu.ops.misc import (
 from vision_tpu.ops.nms import batched_nms_mask, nms_mask
 from vision_tpu.ops.poolers import LevelMapper, MultiScaleRoIAlign
 from vision_tpu.ops.ps_roi_align import ps_roi_align
+from vision_tpu.ops.quantized import qnms, qroi_align
 from vision_tpu.ops.ps_roi_pool import ps_roi_pool
 from vision_tpu.ops.roi_align import roi_align
 from vision_tpu.ops.roi_pool import roi_pool
@@ -80,6 +81,8 @@ __all__ = [
     "drop_block3d",
     "generalized_box_iou_loss",
     "ps_roi_align",
+    "qnms",
+    "qroi_align",
     "ps_roi_pool",
     "roi_pool",
     "sigmoid_focal_loss",
