@@ -58,6 +58,21 @@ resize_bounding_boxes pad_video rgb_to_grayscale_image
 """.split()
 
 
+REF_IO = """
+ImageReadMode decode_avif decode_gif decode_heic decode_image decode_jpeg
+decode_png decode_webp encode_jpeg encode_png read_file read_image
+write_file write_jpeg write_png read_video write_video
+read_video_timestamps VideoReader
+""".split()
+
+
+def test_io_surface():
+    import vision_tpu.io as io
+
+    missing = [n for n in REF_IO if not hasattr(io, n)]
+    assert not missing, missing
+
+
 def test_ops_surface():
     import vision_tpu.ops as O
 
