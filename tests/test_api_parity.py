@@ -66,6 +66,36 @@ read_video_timestamps VideoReader
 """.split()
 
 
+REF_UTILS = """
+make_grid save_image draw_bounding_boxes draw_segmentation_masks
+draw_keypoints flow_to_image
+""".split()
+
+REF_V1_CLASSES = """
+Compose ToTensor PILToTensor ConvertImageDtype ToPILImage Normalize Resize
+CenterCrop Pad Lambda RandomApply RandomChoice RandomOrder RandomCrop
+RandomHorizontalFlip RandomVerticalFlip RandomResizedCrop FiveCrop TenCrop
+LinearTransformation ColorJitter RandomRotation RandomAffine Grayscale
+RandomGrayscale RandomPerspective RandomErasing GaussianBlur
+InterpolationMode RandomInvert RandomPosterize RandomSolarize
+RandomAdjustSharpness RandomAutocontrast RandomEqualize ElasticTransform
+""".split()
+
+
+def test_utils_surface():
+    import vision_tpu.utils as U
+
+    missing = [n for n in REF_UTILS if not hasattr(U, n)]
+    assert not missing, missing
+
+
+def test_v1_surface():
+    import vision_tpu.transforms as T
+
+    missing = [n for n in REF_V1_CLASSES if not hasattr(T, n)]
+    assert not missing, missing
+
+
 def test_io_surface():
     import vision_tpu.io as io
 
