@@ -17,6 +17,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite compiles the same tiny model
+# graphs every run; caching them on disk cuts repeat-run wall time
+# substantially on the 1-vCPU CI host.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("VTPU_TEST_CACHE", "/tmp/vtpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.7)
+
 import numpy as np
 import pytest
 

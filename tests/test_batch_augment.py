@@ -178,6 +178,7 @@ def test_trivial_augment_batched_matches_vmap():
             np.testing.assert_array_equal(got[i], want[i], err_msg=f"i={i}")
 
 
+@pytest.mark.slow
 def test_augmix_batched_matches_vmap():
     from vision_tpu.transforms.v2 import AugMix
 

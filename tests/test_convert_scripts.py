@@ -9,6 +9,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
@@ -24,6 +25,7 @@ def _run(args, **kw):
     )
 
 
+@pytest.mark.slow
 def test_convert_weights_roundtrip(tmp_path):
     """torch.save a live torch resnet18 -> convert CLI -> msgpack ->
     load -> logits match the torch model."""

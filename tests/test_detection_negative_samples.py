@@ -16,6 +16,7 @@ def _empty_gt(n=1, g=4, canvas=64):
     return boxes, labels, valid
 
 
+@pytest.mark.slow
 def test_faster_rcnn_negative_sample():
     from vision_tpu.models.detection.faster_rcnn import FasterRCNN
 
@@ -50,6 +51,7 @@ def test_retinanet_negative_sample():
     assert float(losses["bbox_regression"]) == 0.0
 
 
+@pytest.mark.slow
 def test_ssd_negative_sample():
     from vision_tpu.models.detection.ssd import SSD
 
@@ -66,6 +68,7 @@ def test_ssd_negative_sample():
 
 
 @pytest.mark.filterwarnings("ignore")
+@pytest.mark.slow
 def test_fcos_negative_sample():
     from vision_tpu.models.detection.fcos import FCOS
 

@@ -40,6 +40,7 @@ def test_roundtrip_identity(tmp_path):
     np.testing.assert_allclose(np.asarray(loaded2(x)), want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_symbolic_batch():
     vm = _model("mobilenet_v3_small", num_classes=10)
     exp = export_model(vm, input_shape=(1, 64, 64, 3), batch_dim="b")
@@ -82,6 +83,7 @@ def test_apply_kwargs_forwarded():
         )
 
 
+@pytest.mark.slow
 def test_segmentation_model_exports():
     vm = _model("lraspp_mobilenet_v3_large", num_classes=5)
     exp = export_model(vm, input_shape=(1, 64, 64, 3))

@@ -42,6 +42,7 @@ def test_detection_param_count_matches_meta(name):
     assert n == enum.DEFAULT.meta["num_params"], name
 
 
+@pytest.mark.slow
 def test_fasterrcnn_mobilenet_forward():
     from vision_tpu.models import get_model
     from vision_tpu.models._utils import fast_init

@@ -9,9 +9,15 @@ source: random-init the torch model, convert its state dict, compare logits.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from tests.torch_refs import randomize_bn_stats
+
+# Transcription oracles: superseded in the default lane by the
+# reference-import harness (test_reference_parity.py pins builders against
+# the actual reference); keep the transcription checks in the full run.
+pytestmark = pytest.mark.slow
 from vision_tpu._torch_convert import convert_torch_state_dict
 
 

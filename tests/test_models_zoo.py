@@ -204,7 +204,17 @@ FEATURE_FAMILIES = [
 ]
 
 
-@pytest.mark.parametrize("name,shape", FEATURE_FAMILIES)
+# fast-lane reps; the full family sweep runs with the slow lane
+_FE_FAST = {"resnet18", "mobilenet_v3_small", "vit_b_32", "r3d_18"}
+
+
+@pytest.mark.parametrize(
+    "name,shape",
+    [
+        pytest.param(n, s, marks=() if n in _FE_FAST else pytest.mark.slow)
+        for n, s in FEATURE_FAMILIES
+    ],
+)
 def test_feature_extraction_all_families(name, shape):
     from vision_tpu.models import get_model
     from vision_tpu.models._utils import fast_init
@@ -231,7 +241,11 @@ def test_feature_extraction_all_families(name, shape):
 @pytest.mark.parametrize(
     "name,shape",
     [
-        ("fasterrcnn_mobilenet_v3_large_fpn", (1, 128, 128, 3)),
+        pytest.param(
+            "fasterrcnn_mobilenet_v3_large_fpn",
+            (1, 128, 128, 3),
+            marks=pytest.mark.slow,
+        ),
         ("ssdlite320_mobilenet_v3_large", (1, 128, 128, 3)),
     ],
 )

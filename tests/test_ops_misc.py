@@ -173,6 +173,7 @@ def test_box_iou_rotated_identity():
     np.testing.assert_allclose(iou, 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_box_iou_rotated_axis_aligned_matches_box_iou():
     r = jnp.asarray([[10.0, 10.0, 8.0, 6.0, 0.0], [13.0, 11.0, 8.0, 6.0, 0.0]])
     xyxy = ops.box_convert(r[:, :4], "cxcywh", "xyxy")

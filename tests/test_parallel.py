@@ -59,6 +59,7 @@ def test_dp_train_step_runs():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
@@ -126,6 +127,7 @@ def test_fsdp_sharding_trains_on_8dev_mesh():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_amp_train_step_bf16_compute_f32_master():
     """compute_dtype=bf16 (the --amp path): forward/backward run in bf16
     but master params / opt state / batch_stats stay f32, the update is

@@ -73,6 +73,7 @@ def test_activation_fake_quant_close_and_quantized(rng):
     assert (np.argmax(out, -1) == np.argmax(ref, -1)).all()
 
 
+@pytest.mark.slow
 def test_activation_quant_dynamic_fallback(rng):
     from vision_tpu.models.quantization import quantize_model
 
@@ -92,6 +93,7 @@ def test_fake_quant_ste_gradients():
     assert np.abs(np.asarray(g)).sum() > 0
 
 
+@pytest.mark.slow
 def test_qat_apply_trains(rng):
     """One QAT SGD step reduces the (fake-quantized) loss; grads flow
     through both weight and activation fake-quant."""

@@ -113,7 +113,7 @@ FAST = {
     "shufflenet_v2_x0_5", "squeezenet1_1", "densenet121", "convnext_tiny",
     "swin_t", "vit_b_32", "regnet_y_400mf", "mnasnet0_5", "googlenet",
     "vgg11", "alexnet",
-    "fasterrcnn_mobilenet_v3_large_fpn", "ssdlite320_mobilenet_v3_large",
+    "ssdlite320_mobilenet_v3_large",
     "fcn_resnet50", "lraspp_mobilenet_v3_large", "r3d_18", "raft_small",
 }
 

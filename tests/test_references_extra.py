@@ -9,6 +9,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 _REFS = os.path.join(os.path.dirname(__file__), "..", "references")
 sys.path.insert(0, os.path.join(_REFS, "classification"))
@@ -104,6 +105,7 @@ def test_triplet_loss_and_pk_sampler():
     assert all(c == 4 for c in counts.values())
 
 
+@pytest.mark.slow
 def test_segmentation_train_smoke():
     args = seg.get_args_parser().parse_args([
         "--model", "lraspp_mobilenet_v3_large", "--fake-data",
@@ -113,6 +115,7 @@ def test_segmentation_train_smoke():
     seg.main(args)
 
 
+@pytest.mark.slow
 def test_optical_flow_train_smoke():
     args = flow.get_args_parser().parse_args([
         "--model", "raft_small", "--fake-data", "--epochs", "1",
@@ -122,6 +125,7 @@ def test_optical_flow_train_smoke():
     flow.main(args)
 
 
+@pytest.mark.slow
 def test_stereo_depth_losses_and_smoke():
     depth = _load("depth_train", os.path.join("depth", "stereo"))
     gt = jnp.full((1, 4, 4, 1), 2.0)
@@ -143,6 +147,7 @@ def test_stereo_depth_losses_and_smoke():
     depth.main(args)
 
 
+@pytest.mark.slow
 def test_detection_train_cli_smoke():
     det = _load("det_train", "detection")
     args = det.get_args_parser().parse_args([
@@ -391,6 +396,7 @@ def test_detection_coco_batches_grouped(tmp_path):
         assert (b["boxes"][..., 3] <= h + 1e-3).all()
 
 
+@pytest.mark.slow
 def test_detection_test_only_coco_eval(tmp_path):
     """--test-only: synthetic COCO val tree -> engine.evaluate_detection ->
     mAP dict (plumbing + metric protocol, random weights)."""
@@ -502,6 +508,7 @@ def test_detection_coco_batches_with_masks(tmp_path):
             assert ys.min() >= y1 - 1 and ys.max() <= y2 + 1
 
 
+@pytest.mark.slow
 def test_detection_trainable_backbone_layers_freeze():
     """--trainable-backbone-layers N freezes body stages outside the last
     N (the reference's requires_grad_(False), backbone_utils.py) while FPN

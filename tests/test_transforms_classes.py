@@ -344,6 +344,7 @@ def test_jitted_uint8_pipeline_dtype_flow(rng):
         assert -4.0 < arr.min() and arr.max() < 4.0
 
 
+@pytest.mark.slow
 def test_augmix_jits(rng):
     """AugMix compiles under jit. With a STATIC chain depth the traced
     path consumes keys identically to the eager path, so outputs match
