@@ -37,6 +37,15 @@ def rng():
 
 @pytest.fixture(autouse=True)
 def _seed_prng():
-    # RNG isolation (reference test/conftest.py:101 prevent_leaking_rng)
+    # RNG isolation (reference test/conftest.py:101 prevent_leaking_rng).
+    # torch's global RNG is seeded too (when torch is loaded): oracle
+    # tests draw torch-initialized weights, and without this their values
+    # depend on which torch-using tests ran earlier — tolerance-margin
+    # tests then pass or fail based on test *selection*.
+    import sys
+
     np.random.seed(0)
+    torch = sys.modules.get("torch")
+    if torch is not None:
+        torch.manual_seed(0)
     yield
