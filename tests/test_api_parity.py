@@ -82,6 +82,65 @@ RandomAdjustSharpness RandomAutocontrast RandomEqualize ElasticTransform
 """.split()
 
 
+REF_MODELS_SUBMODULES = {
+    "detection": """
+FCOS FCOS_ResNet50_FPN_Weights FasterRCNN
+FasterRCNN_MobileNet_V3_Large_320_FPN_Weights
+FasterRCNN_MobileNet_V3_Large_FPN_Weights FasterRCNN_ResNet50_FPN_V2_Weights
+FasterRCNN_ResNet50_FPN_Weights KeypointRCNN
+KeypointRCNN_ResNet50_FPN_Weights MaskRCNN MaskRCNN_ResNet50_FPN_V2_Weights
+MaskRCNN_ResNet50_FPN_Weights RetinaNet RetinaNet_ResNet50_FPN_V2_Weights
+RetinaNet_ResNet50_FPN_Weights SSD300_VGG16_Weights
+SSDLite320_MobileNet_V3_Large_Weights fasterrcnn_mobilenet_v3_large_320_fpn
+fasterrcnn_mobilenet_v3_large_fpn fasterrcnn_resnet50_fpn
+fasterrcnn_resnet50_fpn_v2 fcos_resnet50_fpn keypointrcnn_resnet50_fpn
+maskrcnn_resnet50_fpn maskrcnn_resnet50_fpn_v2 retinanet_resnet50_fpn
+retinanet_resnet50_fpn_v2 ssd300_vgg16 ssdlite320_mobilenet_v3_large
+""",
+    "segmentation": """
+DeepLabV3 DeepLabV3_MobileNet_V3_Large_Weights DeepLabV3_ResNet101_Weights
+DeepLabV3_ResNet50_Weights FCN FCN_ResNet101_Weights FCN_ResNet50_Weights
+LRASPP LRASPP_MobileNet_V3_Large_Weights deeplabv3_mobilenet_v3_large
+deeplabv3_resnet101 deeplabv3_resnet50 fcn_resnet101 fcn_resnet50
+lraspp_mobilenet_v3_large
+""",
+    "video": """
+MC3_18_Weights MViT MViT_V1_B_Weights MViT_V2_S_Weights R2Plus1D_18_Weights
+R3D_18_Weights S3D S3D_Weights Swin3D_B_Weights Swin3D_S_Weights
+Swin3D_T_Weights SwinTransformer3d VideoResNet mc3_18 mvit_v1_b mvit_v2_s
+r2plus1d_18 r3d_18 s3d swin3d_b swin3d_s swin3d_t
+""",
+    "optical_flow": """
+RAFT Raft_Large_Weights Raft_Small_Weights raft_large raft_small
+""",
+    "quantization": """
+GoogLeNet_QuantizedWeights Inception_V3_QuantizedWeights
+MobileNet_V2_QuantizedWeights MobileNet_V3_Large_QuantizedWeights
+ResNeXt101_32X8D_QuantizedWeights ResNeXt101_64X4D_QuantizedWeights
+ResNet18_QuantizedWeights ResNet50_QuantizedWeights
+ShuffleNet_V2_X0_5_QuantizedWeights ShuffleNet_V2_X1_0_QuantizedWeights
+ShuffleNet_V2_X1_5_QuantizedWeights ShuffleNet_V2_X2_0_QuantizedWeights
+quantized_googlenet quantized_inception_v3 quantized_mobilenet_v2
+quantized_mobilenet_v3_large quantized_resnet18 quantized_resnet50
+quantized_resnext101_32x8d quantized_resnext101_64x4d
+quantized_shufflenet_v2_x0_5 quantized_shufflenet_v2_x1_0
+quantized_shufflenet_v2_x1_5 quantized_shufflenet_v2_x2_0
+""",
+}
+
+
+def test_models_submodule_surfaces():
+    import importlib
+
+    missing = []
+    for sub, names in REF_MODELS_SUBMODULES.items():
+        mod = importlib.import_module(f"vision_tpu.models.{sub}")
+        missing += [
+            f"{sub}.{n}" for n in names.split() if not hasattr(mod, n)
+        ]
+    assert not missing, missing
+
+
 def test_utils_surface():
     import vision_tpu.utils as U
 
