@@ -549,7 +549,9 @@ def main(args):
     def eval_step(params, batch_stats, batch):
         variables = {"params": _amp_cast(params)}
         if batch_stats:
-            variables["batch_stats"] = _amp_cast(batch_stats)
+            # eval normalizes with the running averages — use them at
+            # full f32 precision (torch AMP runs BN in f32 too)
+            variables["batch_stats"] = batch_stats
         logits = model.module.apply(
             variables, _amp_cast(batch["image"]), train=False
         )

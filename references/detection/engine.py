@@ -72,7 +72,13 @@ def make_detection_train_step(module, tx, loss_weights: Optional[Dict] = None,
         def loss_fn(p):
             mut = {}
             p = cast(p)
-            ex = cast(extra)
+            # batch_stats stay f32: casting the carried running averages
+            # would re-quantize them to bf16 every step (torch AMP keeps
+            # BN state in f32); train-mode normalization uses the batch
+            # statistics, so compute speed is unaffected
+            ex = cast({k: v for k, v in extra.items() if k != "batch_stats"})
+            if has_bs:
+                ex["batch_stats"] = extra["batch_stats"]
             img = cast(batch["image"])
             if one_stage:
                 if has_bs:

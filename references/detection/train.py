@@ -479,12 +479,19 @@ def main(args):
 
     start_epoch = args.start_epoch
     if args.resume:
-        restored = utils.load_checkpoint(
-            args.resume,
-            {"params": params, "extra": extra, "epoch": 0},
-        )
+        # optimizer state (momentum buffers + step count driving the
+        # warmup schedule) resumes too — the reference checkpoints
+        # optimizer + lr_scheduler state (train.py:341-351); older
+        # checkpoints without it fall back to fresh opt_state.
+        template = {"params": params, "extra": extra, "epoch": 0}
+        has_opt = "opt_state" in utils.checkpoint_keys(args.resume)
+        if has_opt:
+            template["opt_state"] = opt_state
+        restored = utils.load_checkpoint(args.resume, template)
         params = restored["params"]
         extra = restored["extra"]
+        if has_opt:
+            opt_state = restored["opt_state"]
         start_epoch = int(restored["epoch"]) + 1
         if args.test_only:
             model.variables = {"params": params, **extra}
@@ -517,6 +524,7 @@ def main(args):
                 {
                     "params": jax.device_get(params),
                     "extra": jax.device_get(extra),
+                    "opt_state": jax.device_get(opt_state),
                     "epoch": epoch,
                 },
             )

@@ -83,20 +83,25 @@ class ConfusionMatrix:
 def poly_lr_schedule(base_lr: float, total_steps: int, power: float = 0.9,
                      warmup_iters: int = 0, warmup_decay: float = 0.01,
                      warmup_method: str = "linear"):
-    """reference ``train.py``: PolynomialLR over total iterations, with an
-    optional LinearLR/ConstantLR warmup prefix (--lr-warmup-*)."""
+    """reference ``train.py``: SequentialLR(warmup, PolynomialLR) — the
+    LinearLR/ConstantLR warmup runs FIRST (pure ramp, no decay applied),
+    then PolynomialLR decays over the remaining
+    ``total_steps - warmup_iters`` iterations (the reference builds the
+    main scheduler with ``iters_per_epoch * (epochs - lr_warmup_epochs)``
+    total iters and switches at the warmup milestone)."""
 
     def schedule(step):
-        frac = jnp.minimum(step / max(total_steps, 1), 1.0)
+        decay_steps = max(total_steps - warmup_iters, 1)
+        frac = jnp.clip((step - warmup_iters) / decay_steps, 0.0, 1.0)
         lr = base_lr * (1.0 - frac) ** power
         if warmup_iters > 0:
             if warmup_method == "constant":
-                wf = jnp.where(step < warmup_iters, warmup_decay, 1.0)
+                wf = jnp.asarray(warmup_decay, jnp.float32)
             else:
                 wf = warmup_decay + (1.0 - warmup_decay) * jnp.minimum(
                     step / max(warmup_iters, 1), 1.0
                 )
-            lr = lr * wf
+            lr = jnp.where(step < warmup_iters, base_lr * wf, lr)
         return lr
 
     return schedule
@@ -250,7 +255,9 @@ def main(args):
             outputs, mutated = module.apply(
                 {
                     "params": amp_cast(p),
-                    "batch_stats": amp_cast(state.batch_stats),
+                    # f32 carry: casting would re-quantize the running
+                    # averages every step (torch AMP keeps BN state f32)
+                    "batch_stats": state.batch_stats,
                 },
                 amp_cast(batch["image"]), train=True,
                 mutable=["batch_stats"],
@@ -291,19 +298,24 @@ def main(args):
 
     start_epoch = args.start_epoch
     if args.resume:
-        restored = utils.load_checkpoint(
-            args.resume,
-            {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "epoch": 0,
-            },
-        )
+        # optimizer state (momentum + the step count the warmup/poly
+        # schedule reads) resumes too; older checkpoints without it fall
+        # back to fresh opt_state (reference train.py:341-351 semantics).
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "epoch": 0,
+        }
+        has_opt = "opt_state" in utils.checkpoint_keys(args.resume)
+        if has_opt:
+            template["opt_state"] = state.opt_state
+            template["step"] = state.step
+        restored = utils.load_checkpoint(args.resume, template)
         state = TrainState(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
-            opt_state=state.opt_state,
-            step=state.step,
+            opt_state=restored["opt_state"] if has_opt else state.opt_state,
+            step=restored["step"] if has_opt else state.step,
         )
         start_epoch = int(restored["epoch"]) + 1
 
@@ -352,6 +364,8 @@ def main(args):
                 {
                     "params": jax.device_get(state.params),
                     "batch_stats": jax.device_get(state.batch_stats),
+                    "opt_state": jax.device_get(state.opt_state),
+                    "step": jax.device_get(state.step),
                     "epoch": epoch,
                 },
             )

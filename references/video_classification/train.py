@@ -173,7 +173,9 @@ def main(args):
             varz = {"params": amp_cast(p)}
             video = amp_cast(batch["video"])
             if state.batch_stats:
-                varz["batch_stats"] = amp_cast(state.batch_stats)
+                # f32 carry: casting would re-quantize the running
+                # averages every step (torch AMP keeps BN state f32)
+                varz["batch_stats"] = state.batch_stats
                 logits, mutated = module.apply(
                     varz, video, train=True, mutable=["batch_stats"],
                     rngs={"dropout": step_key},
@@ -218,17 +220,22 @@ def main(args):
 
     start_epoch = args.start_epoch
     if args.resume:
-        restored = utils.load_checkpoint(
-            args.resume,
-            {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "epoch": 0,
-            },
-        )
+        # optimizer state (momentum + warmup step count) resumes too;
+        # older checkpoints without it fall back to fresh opt_state.
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "epoch": 0,
+        }
+        has_opt = "opt_state" in utils.checkpoint_keys(args.resume)
+        if has_opt:
+            template["opt_state"] = state.opt_state
+            template["step"] = state.step
+        restored = utils.load_checkpoint(args.resume, template)
         state = TrainState(
             params=restored["params"], batch_stats=restored["batch_stats"],
-            opt_state=state.opt_state, step=state.step,
+            opt_state=restored["opt_state"] if has_opt else state.opt_state,
+            step=restored["step"] if has_opt else state.step,
         )
         start_epoch = int(restored["epoch"]) + 1
 
@@ -280,6 +287,8 @@ def main(args):
                 {
                     "params": jax.device_get(state.params),
                     "batch_stats": jax.device_get(state.batch_stats),
+                    "opt_state": jax.device_get(state.opt_state),
+                    "step": jax.device_get(state.step),
                     "epoch": epoch,
                 },
             )

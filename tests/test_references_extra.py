@@ -57,6 +57,25 @@ def test_poly_lr():
     assert float(sched(100)) == 0.0
 
 
+def test_poly_lr_warmup_is_sequential():
+    """Reference SequentialLR semantics: pure linear ramp during warmup
+    (no poly decay mixed in), then poly decay over the REMAINING steps."""
+    sched = seg.poly_lr_schedule(
+        0.1, total_steps=100, power=0.9, warmup_iters=20, warmup_decay=0.5
+    )
+    # mid-warmup: exactly the linear ramp, undecayed
+    np.testing.assert_allclose(
+        float(sched(10)), 0.1 * (0.5 + 0.5 * 0.5), rtol=1e-6
+    )
+    # warmup end: full base lr (continuous handoff)
+    np.testing.assert_allclose(float(sched(20)), 0.1, rtol=1e-6)
+    # poly decays over the remaining 80 steps and reaches 0 at the end
+    np.testing.assert_allclose(
+        float(sched(60)), 0.1 * 0.5**0.9, rtol=1e-6
+    )
+    assert float(sched(100)) == 0.0
+
+
 def test_video_accuracy_averages_clips():
     va = vid.VideoAccuracy(3)
     # video 0: two clips, averaged softmax favors class 1

@@ -194,3 +194,39 @@ def test_multihost_sharding_disjoint_and_complete():
         seen.append(set(labels))
     assert seen[0] | seen[1] == set(range(8))
     assert not (seen[0] & seen[1])
+
+
+def test_multihost_lockstep_equal_batch_counts():
+    """SPMD lockstep: hosts must emit EXACTLY the same number of full
+    batches even when content-dependent bucketing and odd shard sizes
+    would naturally give them different counts — otherwise one host
+    issues an extra collective step and the program deadlocks."""
+    # 9 samples, heterogeneous sizes -> uneven bucket fill per host
+    samples = []
+    for i in range(9):
+        data, _ = _jpeg(40 + 8 * (i % 3), 64, seed=10 + i)
+        samples.append((data, i))
+    counts = []
+    for pi in range(2):
+        loader = TpuJpegLoader(
+            samples, batch_size=2, crop_size=32, train=True, seed=3,
+            process_index=pi, process_count=2,
+        )
+        batches = list(loader)
+        # every batch is FULL (top-up duplicates, never ragged)
+        assert all(b["image"].shape[0] == 2 for b in batches)
+        assert len(batches) == len(loader)
+        counts.append(len(batches))
+    assert counts[0] == counts[1]
+
+
+def test_stats_reset_per_epoch():
+    """offload_hit_rate reflects the CURRENT epoch (lifetime totals move
+    to stats_total) so a mid-training degradation is visible."""
+    data, _ = _jpeg(48, 64, seed=0)
+    loader = TpuJpegLoader([(data, 0)] * 2, batch_size=2, crop_size=32)
+    list(loader)
+    assert loader.stats["offload"] == 2
+    list(loader)
+    assert loader.stats["offload"] == 2  # this epoch, not 4
+    assert loader.stats_total["offload"] == 2  # prior epochs

@@ -102,11 +102,52 @@ def test_coverage_guard_rejects_wrong_keyspace():
         load_backbone_state_dict(dict(m.variables), sd)
 
 
-def test_ssdlite_weights_backbone_rejected():
-    with pytest.raises(ValueError, match="weights_backbone"):
-        with fast_init():
-            get_model(
-                "ssdlite320_mobilenet_v3_large",
-                num_classes=5,
-                weights_backbone="MobileNet_V3_Large_Weights.IMAGENET1K_V1",
-            )
+def test_ssdlite_weights_backbone_loads_full_tail():
+    """ImageNet MobileNetV3-Large (FULL tail — the reference builds
+    reduce_tail only when weights_backbone is None, ssdlite.py:282) loads
+    into the split extractor: classification features.13.block.* keys
+    remap across the C4 split."""
+    tv = load_reference()
+    import torch
+
+    import jax.numpy as jnp
+
+    from vision_tpu.models._utils import init_variables
+    from vision_tpu.models.detection.backbone_utils import (
+        _ssdlite_trunk_map,
+    )
+    from vision_tpu.models.detection.ssdlite import SSDLite
+
+    torch.manual_seed(0)
+    sd = _np_sd(tv.models.mobilenet_v3_large())  # full-tail checkpoint
+    module = SSDLite(num_classes=5, reduced_tail=False)
+    with fast_init():
+        variables = init_variables(
+            module, jax.random.PRNGKey(0),
+            jnp.zeros((1, 320, 320, 3), jnp.float32),
+        )
+    new = load_backbone_state_dict(
+        dict(variables), sd, trunk_map=_ssdlite_trunk_map,
+        body_key="features",
+    )
+    p = new["params"]["backbone"]
+    # stem conv
+    np.testing.assert_allclose(
+        np.asarray(p["features.0.0"]["0"]["kernel"]),
+        sd["features.0.0.weight"].transpose(2, 3, 1, 0), rtol=1e-6,
+    )
+    # C4 expansion landed on the features.0 side of the split
+    np.testing.assert_allclose(
+        np.asarray(p["features.0.13.0"]["kernel"]),
+        sd["features.13.block.0.0.weight"].transpose(2, 3, 1, 0), rtol=1e-6,
+    )
+    # C4 depthwise landed on the features.1 side (re-indexed block.1 -> 0)
+    np.testing.assert_allclose(
+        np.asarray(p["features.1.0.0.0"]["kernel"]),
+        sd["features.13.block.1.0.weight"].transpose(2, 3, 1, 0), rtol=1e-6,
+    )
+    # a post-C4 block shifted to features.1.(K-13)
+    np.testing.assert_allclose(
+        np.asarray(p["features.1.1"]["block.0.0"]["kernel"]),
+        sd["features.14.block.0.0.weight"].transpose(2, 3, 1, 0), rtol=1e-6,
+    )

@@ -202,14 +202,18 @@ class TpuJpegLoader:
         self._m = coef_limit if 0 < coef_limit < 8 else 8
         # offload observability (VERDICT r2 weak #9: degradations must be
         # visible): per-epoch counts of direct offload decodes, host
-        # re-encode fallbacks, and dropped (undecodable) samples.
+        # re-encode fallbacks, and dropped (undecodable) samples; reset
+        # each __iter__, lifetime totals accumulate in stats_total.
         self.stats = {"offload": 0, "reencode_fallback": 0, "dropped": 0}
+        self.stats_total: Dict[str, int] = {}
         # multi-host input sharding (SURVEY §2.10: per-host file lists;
         # the reference's DistributedSampler rank split,
         # references/classification/train.py:192-196): every host sees the
-        # same seeded global permutation and takes its strided slice, so
-        # shards are disjoint, equal-sized (+-1), and deterministic per
-        # epoch without any cross-host coordination.
+        # same seeded global permutation, pads it with wrap-around
+        # duplicates to a multiple of process_count, and takes its strided
+        # slice — shards are exactly equal-sized and deterministic per
+        # epoch without any cross-host coordination, and __iter__ emits
+        # exactly len(self) batches per host (lockstep; see __iter__).
         self.process_index = (
             jax.process_index() if process_index is None else process_index
         )
@@ -250,9 +254,14 @@ class TpuJpegLoader:
             self.stats["dropped"] += 1
         return r
 
+    def _shard_len(self) -> int:
+        # padded shard length (reference DistributedSampler semantics:
+        # wrap-around duplicates make every host's shard exactly equal)
+        p = max(self.process_count, 1)
+        return -(-len(self.samples) // p)
+
     def __len__(self):
-        n_local = len(self.samples) // max(self.process_count, 1)
-        return max(n_local // self.batch_size, 1)
+        return max(self._shard_len() // self.batch_size, 1)
 
     def set_epoch(self, epoch: int):
         """Reseed shuffling + augmentation per epoch (DataLoader-sampler
@@ -271,14 +280,35 @@ class TpuJpegLoader:
         )
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        # per-epoch observability (lifetime totals kept in stats_total)
+        for k, v in self.stats.items():
+            self.stats_total[k] = self.stats_total.get(k, 0) + v
+        self.stats = {"offload": 0, "reencode_fallback": 0, "dropped": 0}
         rng = np.random.RandomState(self.seed)
         order = (
             rng.permutation(len(self.samples))
             if self.train
             else np.arange(len(self.samples))
         )
-        if self.process_count > 1:
+        lockstep = self.process_count > 1
+        if lockstep:
+            # pad with wrap-around duplicates so every host's shard is
+            # exactly equal (reference DistributedSampler), then take the
+            # strided slice
+            total = self._shard_len() * self.process_count
+            if total > len(order):
+                order = np.concatenate([order, order[: total - len(order)]])
             order = order[self.process_index :: self.process_count]
+        # SPMD lockstep: content-dependent bucketing (and dropped
+        # undecodable samples) would otherwise give hosts different batch
+        # counts, desyncing the per-step collectives — so under multi-host
+        # every host emits EXACTLY len(self) full batches per epoch,
+        # topping up end-of-epoch partial buckets with within-bucket
+        # duplicates (the DistributedSampler padding convention applied at
+        # the batch level). Single-host keeps the exact-remainder
+        # semantics controlled by drop_remainder.
+        steps = len(self) if lockstep else None
+        emitted = 0
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.seed), self.process_index
         )
@@ -296,11 +326,37 @@ class TpuJpegLoader:
             if len(buckets[bk]) == self.batch_size:
                 key, sub = jax.random.split(key)
                 yield self._emit(bk, buckets.pop(bk), sub)
-        if not self.drop_remainder:
-            for bk, items in buckets.items():
-                if items:
-                    key, sub = jax.random.split(key)
-                    yield self._emit(bk, items, sub)
+                emitted += 1
+                if steps is not None and emitted >= steps:
+                    return
+        if steps is None:
+            if not self.drop_remainder:
+                for bk, items in buckets.items():
+                    if items:
+                        key, sub = jax.random.split(key)
+                        yield self._emit(bk, items, sub)
+            return
+        # lockstep top-up: fill the largest partial buckets to full
+        # batches with within-bucket duplicates until the step budget is
+        # met. Unreachable only if (nearly) the whole shard failed to
+        # decode — that corpus-level failure is surfaced by stats.
+        partial = sorted(buckets.items(), key=lambda kv: -len(kv[1]))
+        for bk, items in partial:
+            if emitted >= steps:
+                break
+            if not items:
+                continue
+            reps = -(-self.batch_size // len(items))
+            full = (items * reps)[: self.batch_size]
+            key, sub = jax.random.split(key)
+            yield self._emit(bk, full, sub)
+            emitted += 1
+        if emitted < steps:
+            raise RuntimeError(
+                f"multi-host lockstep underrun: emitted {emitted} of "
+                f"{steps} batches (dropped={self.stats['dropped']}); the "
+                "shard lost too many samples to undecodable streams"
+            )
 
     def _emit(self, bk, items, key):
         cbh, cbw, samp, ncomp = bk

@@ -337,6 +337,31 @@ def load_backbone_state_dict(
     return convert_torch_state_dict(sd, dict(variables), strict=False)
 
 
+def _ssdlite_trunk_map(k):
+    """Full-tail MobileNetV3-Large classification keys into the ssdlite
+    split extractor (reference ssdlite.py:131-135): the C4 block
+    (classification features.13) is split at its expansion layer —
+    block.0 joins features.0, block.1.. become the re-indexed children of
+    features.1.0; later blocks shift to features.1.(K-13)."""
+    if not k.startswith("features."):
+        return None
+    parts = k.split(".")
+    ki = int(parts[1])
+    rest = ".".join(parts[2:])
+    c4 = 13
+    if ki < c4:
+        return f"backbone.features.0.{ki}.{rest}"
+    if ki == c4:
+        if parts[2] != "block":
+            return None
+        b = int(parts[3])
+        tail = ".".join(parts[4:])
+        if b == 0:
+            return f"backbone.features.0.{c4}.{tail}"
+        return f"backbone.features.1.0.{b - 1}.{tail}"
+    return f"backbone.features.1.{ki - c4}.{rest}"
+
+
 def apply_weights_backbone(variables, weights_backbone, backbone_type="resnet"):
     """Resolve a ``weights_backbone`` spec (enum member or
     ``"ResNet50_Weights.IMAGENET1K_V1"`` string) and load it into
@@ -358,6 +383,10 @@ def apply_weights_backbone(variables, weights_backbone, backbone_type="resnet"):
             )
 
         return load_backbone_state_dict(variables, sd, trunk_map=mmap)
+    if backbone_type == "ssdlite":
+        return load_backbone_state_dict(
+            variables, sd, trunk_map=_ssdlite_trunk_map, body_key="features"
+        )
     if backbone_type == "vgg":
         # ssd: classification "features.N.rest" -> "backbone.features.N.rest"
         def vmap(k):

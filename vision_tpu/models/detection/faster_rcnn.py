@@ -185,7 +185,9 @@ class FasterRCNN(nn.Module):
 
         n, p = proposals.boxes.shape[:2]
         rois = self._make_rois(proposals.boxes)
-        class_logits, box_regression = self._box_branch(feats, rois, image_size)
+        class_logits, box_regression = self._box_branch(
+            feats, rois, image_size, train=train
+        )
         class_logits = class_logits.reshape(n, p, -1)
         box_regression = box_regression.reshape(n, p, -1)
         dets = self.roi_heads.postprocess_detections(

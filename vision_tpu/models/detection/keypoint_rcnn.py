@@ -154,9 +154,12 @@ class KeypointRCNN(FasterRCNN):
         train: bool = False,
         return_features: bool = False,
     ):
-        dets = super().__call__(images, train=train)
+        # return_features hands back the FPN dict already computed inside
+        # the box path — no second backbone pass
+        dets, feats = super().__call__(
+            images, train=train, return_features=True
+        )
         image_size = (images.shape[1], images.shape[2])
-        feats = self.backbone(images, train=train)
 
         n, d = dets.boxes.shape[:2]
         rois = self._make_rois(dets.boxes)

@@ -101,9 +101,12 @@ class MaskRCNN(FasterRCNN):
         """Eval path: box detections + per-detection mask probabilities
         (28x28 in box frame; use
         ``roi_heads.paste_masks_in_image`` for full-resolution masks)."""
-        dets = super().__call__(images, train=train)
+        # return_features hands back the FPN dict already computed inside
+        # the box path — no second backbone pass
+        dets, feats = super().__call__(
+            images, train=train, return_features=True
+        )
         image_size = (images.shape[1], images.shape[2])
-        feats = self.backbone(images, train=train)
 
         n, d = dets.boxes.shape[:2]
         rois = self._make_rois(dets.boxes)

@@ -108,12 +108,17 @@ class _LiteIR(nn.Module):
 
 
 class SSDLiteFeatureExtractor(nn.Module):
-    """reference ``ssdlite.py:117``: mobilenet v3 large (reduced tail)
-    split at the C4 expansion, + 4 extra blocks."""
+    """reference ``ssdlite.py:117``: mobilenet v3 large split at the C4
+    expansion, + 4 extra blocks. ``reduced_tail=True`` (MobileNetV3 paper
+    §6.3) is the from-scratch / COCO-checkpoint configuration; the
+    reference builds the FULL tail when an ImageNet ``weights_backbone``
+    is given (``ssdlite.py:282`` reduce_tail = weights_backbone is None)."""
+
+    reduced_tail: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jax.Array]:
-        setting, _ = _large_setting(reduced_tail=True)
+        setting, _ = _large_setting(reduced_tail=self.reduced_tail)
         c4_idx = 12  # bneck index of the C4 block (features index 13)
 
         # features.0: stem + bnecks 0..11 + C4 expansion CNA
@@ -213,8 +218,12 @@ class SSDLiteHead(nn.Module):
 class SSDLite(SSD):
     """SSD with the mobilenet extractor + lite head."""
 
+    reduced_tail: bool = True
+
     def setup(self):
-        self.backbone = SSDLiteFeatureExtractor(name="backbone")
+        self.backbone = SSDLiteFeatureExtractor(
+            reduced_tail=self.reduced_tail, name="backbone"
+        )
         self.anchor_generator = DefaultBoxGenerator(
             [[2, 3] for _ in range(6)], min_ratio=0.2, max_ratio=0.95
         )
@@ -285,22 +294,25 @@ def ssdlite320_mobilenet_v3_large(
     num_classes: int = 91, weights_backbone=None,
     trainable_backbone_layers=None, **kwargs,
 ) -> VisionModel:
-    """``weights_backbone`` is not supported for ssdlite: the torch
-    extractor splits the C4 block across two Sequentials
-    (reference ``ssdlite.py _mobilenet_extractor``), so the classification
-    key space does not transfer mechanically; start from ``weights=``
-    (full COCO checkpoint) instead."""
-    if weights_backbone is not None:
-        raise ValueError(
-            "ssdlite320 does not support weights_backbone (the trunk is "
-            "re-split across Sequentials); use weights= instead"
-        )
+    """Reference ``ssdlite.py:214``. With ``weights_backbone`` the trunk
+    is built with the FULL MobileNetV3 tail and the ImageNet classification
+    checkpoint loads into the split extractor (the classification
+    ``features.13.block.*`` keys remap across the C4 split); without it
+    the tail is reduced (MobileNetV3 paper §6.3), matching the COCO
+    ``weights=`` checkpoint — the reference's
+    ``reduce_tail = weights_backbone is None`` behavior."""
     weights = SSDLite320_MobileNet_V3_Large_Weights.verify(weights)
+    if weights is not None:
+        weights_backbone = None  # full checkpoint overrides trunk init
     kwargs.setdefault("score_thresh", 0.001)
     kwargs.setdefault("nms_thresh", 0.55)
     kwargs.setdefault("detections_per_img", 300)
     kwargs.setdefault("topk_candidates", 300)
-    module = SSDLite(num_classes=num_classes, **kwargs)
+    module = SSDLite(
+        num_classes=num_classes,
+        reduced_tail=weights_backbone is None,
+        **kwargs,
+    )
     variables = init_variables(module, 
         jax.random.PRNGKey(0), jnp.zeros((1, 320, 320, 3), jnp.float32)
     )
@@ -313,6 +325,14 @@ def ssdlite320_mobilenet_v3_large(
             sd, dict(variables), hooks=_ssdlite_hooks
         )
         preprocess = weights.transforms()
+    elif weights_backbone is not None:
+        from vision_tpu.models.detection.backbone_utils import (
+            apply_weights_backbone,
+        )
+
+        variables = apply_weights_backbone(
+            dict(variables), weights_backbone, backbone_type="ssdlite"
+        )
     meta = ({"trainable_backbone_layers": trainable_backbone_layers}
             if trainable_backbone_layers is not None else None)
     return VisionModel(module=module, variables=variables, preprocess=preprocess,

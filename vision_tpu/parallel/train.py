@@ -97,7 +97,11 @@ def make_train_step(
             variables = {"params": cast(params)}
             mutable = []
             if has_batch_stats:
-                variables["batch_stats"] = cast(state.batch_stats)
+                # batch_stats stay f32: train-mode normalization uses the
+                # batch statistics (not these), and casting the carry would
+                # re-quantize the running averages to bf16 every step —
+                # torch AMP likewise keeps BN state in f32
+                variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
             out = apply_fn(
                 variables,
