@@ -180,6 +180,31 @@ def test_detection_train_cli_smoke():
     assert float(sched(0)) < 0.001
 
 
+@pytest.mark.slow
+def test_detection_resume_restores_opt_state(tmp_path):
+    """Resume restores optimizer state (momentum + warmup step count):
+    the checkpoint carries opt_state and a resumed run loads it (the
+    reference checkpoints optimizer + lr_scheduler, train.py:341-351)."""
+    det = _load("det_train_resume", "detection")
+
+    def argv(epochs, extra):
+        return [
+            "--model", "retinanet_resnet50_fpn", "--fake-data",
+            "--epochs", str(epochs), "--batch-size", "2",
+            "--steps-per-epoch", "1", "--size", "64", "--max-boxes", "4",
+            "--num-classes", "5", *extra,
+        ]
+
+    out = str(tmp_path / "out")
+    det.main(det.get_args_parser().parse_args(argv(1, ["--output-dir", out])))
+
+    import utils as cls_utils
+
+    ckpt = os.path.join(out, "checkpoint_0")
+    assert "opt_state" in cls_utils.checkpoint_keys(ckpt)
+    det.main(det.get_args_parser().parse_args(argv(2, ["--resume", ckpt])))
+
+
 def test_phototour_layout(tmp_path):
     import os
 
