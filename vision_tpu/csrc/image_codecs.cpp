@@ -67,7 +67,10 @@ int vtpu_decode_jpeg_scaled(const uint8_t* buf, size_t len, int scale_num,
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, buf, len);
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
+  // keep 1-component streams grayscale (reference UNCHANGED semantics);
+  // expand everything else (YCbCr/CMYK/…) to RGB
+  cinfo.out_color_space =
+      cinfo.jpeg_color_space == JCS_GRAYSCALE ? JCS_GRAYSCALE : JCS_RGB;
   if (scale_num > 0 && scale_den > 0) {
     cinfo.scale_num = scale_num;
     cinfo.scale_denom = scale_den;
@@ -99,8 +102,9 @@ int vtpu_decode_jpeg(const uint8_t* buf, size_t len, VtpuImage* out) {
   return vtpu_decode_jpeg_scaled(buf, len, 0, 0, out);
 }
 
-int vtpu_encode_jpeg(const uint8_t* rgb, int h, int w, int quality,
-                     uint8_t** out_buf, size_t* out_len) {
+int vtpu_encode_jpeg(const uint8_t* rgb, int h, int w, int channels,
+                     int quality, uint8_t** out_buf, size_t* out_len) {
+  if (channels != 1 && channels != 3) return -3;  // permitted set only
   jpeg_compress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -116,13 +120,14 @@ int vtpu_encode_jpeg(const uint8_t* rgb, int h, int w, int quality,
   jpeg_mem_dest(&cinfo, &mem, &mem_size);
   cinfo.image_width = w;
   cinfo.image_height = h;
-  cinfo.input_components = 3;
-  cinfo.in_color_space = JCS_RGB;
+  cinfo.input_components = channels;
+  cinfo.in_color_space = channels == 1 ? JCS_GRAYSCALE : JCS_RGB;
   jpeg_set_defaults(&cinfo);
   jpeg_set_quality(&cinfo, quality, TRUE);
   jpeg_start_compress(&cinfo, TRUE);
   while (cinfo.next_scanline < cinfo.image_height) {
-    const uint8_t* row = rgb + (size_t)cinfo.next_scanline * w * 3;
+    const uint8_t* row =
+        rgb + (size_t)cinfo.next_scanline * w * channels;
     jpeg_write_scanlines(&cinfo, const_cast<uint8_t**>(&row), 1);
   }
   jpeg_finish_compress(&cinfo);
@@ -381,9 +386,10 @@ int vtpu_encode_png(const uint8_t* img, int h, int w, int channels,
     return -1;
   }
   png_set_write_fn(png, &state, png_write_fn, png_flush_fn);
-  int color =
-      channels == 1 ? PNG_COLOR_TYPE_GRAY
-                    : (channels == 3 ? PNG_COLOR_TYPE_RGB : PNG_COLOR_TYPE_RGBA);
+  int color = channels == 1   ? PNG_COLOR_TYPE_GRAY
+              : channels == 2 ? PNG_COLOR_TYPE_GRAY_ALPHA
+              : channels == 3 ? PNG_COLOR_TYPE_RGB
+                              : PNG_COLOR_TYPE_RGBA;
   png_set_IHDR(png, info, w, h, 8, color, PNG_INTERLACE_NONE,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_set_compression_level(png, compression);

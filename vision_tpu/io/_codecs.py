@@ -55,7 +55,13 @@ def _load() -> Optional[ctypes.CDLL]:
         pkg = pathlib.Path(__file__).resolve().parent.parent
         src = pkg / "csrc" / "image_codecs.cpp"
         so = pkg / "csrc" / "libvtpu_codecs.so"
-        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        # a prebuilt .so without the csrc source (installed wheel, cleaned
+        # tree) loads as-is; rebuild only when the source is present and
+        # newer
+        if not so.exists():
+            if not src.exists() or not _build_lib(src, so):
+                return None
+        elif src.exists() and so.stat().st_mtime < src.stat().st_mtime:
             if not _build_lib(src, so):
                 return None
         try:
@@ -76,6 +82,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.vtpu_encode_jpeg.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_size_t),
         ]
@@ -158,11 +165,17 @@ def encode_jpeg_native(img: np.ndarray, quality: int = 75) -> Optional[bytes]:
     if lib is None:
         return None
     img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
     h, w = img.shape[:2]
+    c = img.shape[2]
+    if img.ndim != 3 or c not in (1, 3):
+        return None  # PIL fallback handles/raises on other layouts
     buf = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_size_t()
     rc = lib.vtpu_encode_jpeg(
-        img.tobytes(), h, w, quality, ctypes.byref(buf), ctypes.byref(out_len)
+        img.tobytes(), h, w, c, quality,
+        ctypes.byref(buf), ctypes.byref(out_len),
     )
     if rc != 0:
         return None
@@ -178,6 +191,8 @@ def encode_png_native(img: np.ndarray, compression: int = 6) -> Optional[bytes]:
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     c = 1 if img.ndim == 2 else img.shape[2]
+    if c not in (1, 2, 3, 4):
+        return None
     buf = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_size_t()
     rc = lib.vtpu_encode_png(

@@ -67,6 +67,8 @@ def _apply_mode(arr: np.ndarray, mode: ImageReadMode) -> np.ndarray:
     if mode == ImageReadMode.GRAY:
         if c == 1:
             return arr
+        if c == 2:  # gray+alpha: channel 0 is the luma plane
+            return arr[:, :, :1]
         rgb = arr[:, :, :3].astype(np.float32)
         l = 0.2989 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
         return l.astype(np.uint8)[:, :, None]
@@ -75,16 +77,28 @@ def _apply_mode(arr: np.ndarray, mode: ImageReadMode) -> np.ndarray:
             return arr
         if c == 1:
             return np.repeat(arr, 3, axis=2)
+        if c == 2:  # gray+alpha -> replicate luma, drop alpha
+            return np.repeat(arr[:, :, :1], 3, axis=2)
         return arr[:, :, :3]
     if mode == ImageReadMode.RGB_ALPHA:
         if c == 4:
             return arr
         rgb = _apply_mode(arr, ImageReadMode.RGB)
-        alpha = np.full(rgb.shape[:2] + (1,), 255, np.uint8)
+        alpha = (
+            arr[:, :, 1:2]
+            if c == 2
+            else np.full(rgb.shape[:2] + (1,), 255, np.uint8)
+        )
         return np.concatenate([rgb, alpha], axis=2)
     if mode == ImageReadMode.GRAY_ALPHA:
+        if c == 2:
+            return arr
         g = _apply_mode(arr, ImageReadMode.GRAY)
-        alpha = np.full(g.shape[:2] + (1,), 255, np.uint8)
+        alpha = (
+            arr[:, :, 3:4]
+            if c == 4
+            else np.full(g.shape[:2] + (1,), 255, np.uint8)
+        )
         return np.concatenate([g, alpha], axis=2)
     raise ValueError(f"unsupported mode {mode}")
 
@@ -273,10 +287,17 @@ def decode_image(
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
-    """reference ``io/image.py`` encode_jpeg; img HWC uint8."""
+    """reference ``io/image.py`` encode_jpeg; img HWC uint8, 1 or 3
+    channels (the reference's permitted set — grayscale writes a real
+    1-component JPEG)."""
     img = np.asarray(img)
-    if img.ndim == 3 and img.shape[2] == 1:
-        img = np.repeat(img, 3, axis=2)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in (1, 3):
+        raise ValueError(
+            "encode_jpeg: permitted channel values are 1 or 3, got shape "
+            f"{img.shape}"
+        )
     out = _codecs.encode_jpeg_native(img, quality)
     if out is not None:
         return out

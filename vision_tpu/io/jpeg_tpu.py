@@ -144,10 +144,18 @@ def decode_coefs(
         samp = [(2, 2), (1, 1), (1, 1)]
     max_h = max(s[0] for s in samp)
     max_v = max(s[1] for s in samp)
-    factors = (max_v // samp[1][1], max_h // samp[1][0])
-    return planes_to_rgb(
-        planes[0], planes[1], planes[2], h, w, chroma_factors=factors
-    )
+    # upsample each chroma plane by ITS OWN sampling factors — Cb and Cr
+    # may legally differ (e.g. samp = [(2,2),(1,1),(2,2)])
+    y, cb, cr = planes
+    if cb.shape != y.shape:
+        cb = _upsample_chroma(
+            cb, y.shape, (max_v // samp[1][1], max_h // samp[1][0])
+        )
+    if cr.shape != y.shape:
+        cr = _upsample_chroma(
+            cr, y.shape, (max_v // samp[2][1], max_h // samp[2][0])
+        )
+    return planes_to_rgb(y, cb, cr, h, w)
 
 
 def host_entropy_decode(data: bytes, coef_limit: int = 0):

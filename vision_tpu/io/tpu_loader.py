@@ -371,9 +371,22 @@ class TpuJpegLoader:
             per = []
             for it in items:
                 c = it[0][ci]
-                pad = np.zeros((tbh, tbw, c.shape[-1]), c.dtype)
-                pad[: c.shape[0], : c.shape[1]] = c
-                per.append(pad)
+                # edge-replicate the boundary coefficient blocks into the
+                # canvas padding: zero blocks decode to neutral gray and
+                # the bilinear chroma upsample would blend that gray into
+                # the image's last row/column whenever the true plane
+                # exactly fills its blocks (host libjpeg edge-replicates)
+                per.append(
+                    np.pad(
+                        c,
+                        (
+                            (0, tbh - c.shape[0]),
+                            (0, tbw - c.shape[1]),
+                            (0, 0),
+                        ),
+                        mode="edge",
+                    )
+                )
             coefs.append(jnp.asarray(np.stack(per)))
             qtabs.append(
                 jnp.asarray(

@@ -36,10 +36,13 @@ def read_video(
     path: str,
     start_pts: float = 0.0,
     end_pts: Optional[float] = None,
-    pts_unit: str = "sec",
+    pts_unit: str = "pts",
 ):
     """reference ``io/video.py`` read_video -> (video [T,H,W,C] uint8,
-    audio, info)."""
+    audio, info). ``pts_unit="pts"`` (the reference's default) bounds in
+    raw stream timestamps; ``"sec"`` in seconds."""
+    if pts_unit not in ("sec", "pts"):
+        raise ValueError(f"pts_unit must be 'sec' or 'pts', got {pts_unit!r}")
     if _has_av():
         import av
 
@@ -48,6 +51,10 @@ def read_video(
         with av.open(path) as container:
             stream = container.streams.video[0]
             rate = float(stream.average_rate)
+            if pts_unit == "pts":
+                tb = float(stream.time_base)
+                start_pts = start_pts * tb
+                end_pts = None if end_pts is None else end_pts * tb
             for frame in container.decode(video=0):
                 t = float(frame.pts * stream.time_base) if frame.pts else 0.0
                 if t < start_pts:
@@ -161,9 +168,14 @@ class VideoReader:
         return next(self._gen)
 
     def seek(self, time_s: float, keyframes_only: bool = False):
-        import av
-
-        stream = self._container.streams.video[0]
+        # seek on the stream being read (an audio reader must not index
+        # streams.video — audio-only files have none, and a muxed file
+        # would get the wrong timebase)
+        stream = (
+            self._container.streams.video[0]
+            if self._stream_kind == "video"
+            else self._container.streams.audio[0]
+        )
         self._container.seek(
             int(time_s / stream.time_base), stream=stream,
             any_frame=not keyframes_only,

@@ -24,6 +24,7 @@ from typing import Any, Callable, Dict, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "fake_quant_ste",
@@ -48,11 +49,19 @@ def fake_quant_ste(x: jax.Array, scale: jax.Array) -> jax.Array:
 
 
 def _fq_fwd(x, scale):
-    return _fq(x, scale), None
+    s = jnp.maximum(scale, 1e-8)
+    q = jnp.round(x / s)
+    return jnp.clip(q, -127, 127) * s, (q,)
 
 
-def _fq_bwd(_, g):
-    return g, jnp.zeros(())  # STE: gradient passes straight to x
+def _fq_bwd(res, g):
+    # STE with range gating (torch FakeQuantize backward): gradients pass
+    # straight through INSIDE the quant range and are zeroed where the
+    # forward clipped — otherwise saturated outliers keep receiving
+    # identity gradients and QAT drifts.
+    (q,) = res
+    in_range = (q >= -127) & (q <= 127)
+    return jnp.where(in_range, g, jnp.zeros_like(g)), jnp.zeros(())
 
 
 fake_quant_ste.defvjp(_fq_fwd, _fq_bwd)
@@ -95,9 +104,12 @@ def _interceptor(
             context.method_name == "__call__"
             and isinstance(context.module, _QUANT_LAYERS)
             and args
-            and isinstance(args[0], jax.Array)
+            # numpy too: eager calibration feeds the FIRST layer the raw
+            # host batch, and skipping it would leave that layer with no
+            # calibrated scale while jitted eval quantizes it dynamically
+            and isinstance(args[0], (jax.Array, np.ndarray))
         ):
-            x = args[0]
+            x = jnp.asarray(args[0])
             path = _module_path(context)
             if collect is not None:
                 absmax = jnp.max(jnp.abs(x))
