@@ -610,3 +610,159 @@ def test_mask_kernels_match_reference(RF):
         np.testing.assert_array_equal(
             np.asarray(out.data), want.as_subclass(torch.Tensor).numpy()
         )
+
+
+# ---------------------------------------------------- sweep tail (r3 #9) ---
+
+
+def test_elastic_matches_reference(RF):
+    """elastic with a FIXED displacement grid (reference
+    ``_geometry.py:elastic_image``): both sides get the same [1,H,W,2]
+    normalized displacement, so the warp is deterministic."""
+    img = _img_u8()
+    h, w = img.shape[:2]
+    rng = np.random.RandomState(3)
+    disp = (rng.rand(1, h, w, 2).astype(np.float32) - 0.5) * 0.12
+    out = F.elastic(jnp.asarray(img), jnp.asarray(disp))
+    want = RF.elastic(_to_torch(img), torch.from_numpy(disp))
+    # bilinear resample of a warped grid: allow small u8 rounding skew
+    got = np.asarray(out).astype(np.int32)
+    ref = _from_torch(want).astype(np.int32)
+    assert got.shape == ref.shape
+    diff = np.abs(got - ref)
+    assert np.mean(diff) < 1.0 and np.percentile(diff, 99) <= 2, (
+        np.mean(diff), np.percentile(diff, 99)
+    )
+    # float path: tighter
+    imgf = img.astype(np.float32) / 255.0
+    outf = F.elastic(jnp.asarray(imgf), jnp.asarray(disp))
+    wantf = RF.elastic(_to_torch(imgf), torch.from_numpy(disp))
+    np.testing.assert_allclose(
+        np.asarray(outf), _from_torch(wantf), atol=2e-5, rtol=0
+    )
+
+
+def test_elastic_boxes_match_reference(RF):
+    tv = load_reference()
+    h, w = 64, 96
+    rng = np.random.RandomState(4)
+    disp = (rng.rand(1, h, w, 2).astype(np.float32) - 0.5) * 0.1
+    arr = _boxes(seed=5)
+    out = F.elastic(_repo_bb(arr), jnp.asarray(disp))
+    want = RF.elastic(_ref_bb(tv, arr), torch.from_numpy(disp))
+    np.testing.assert_allclose(
+        np.asarray(out.data),
+        want.as_subclass(torch.Tensor).numpy(),
+        atol=1.0,  # both sides truncate the displacement lookup per corner
+        rtol=0.02,
+    )
+
+
+def test_gaussian_noise_matches_reference_semantics(RF):
+    """gaussian_noise draws from different RNGs (torch vs JAX), so parity
+    is on the CONTRACT (reference ``_misc.py:gaussian_noise_image``):
+    float -> clip(x + mean + sigma*N, 0, 1); uint8 -> x + int16(255*(mean
+    + sigma*N)) clamped to [0,255]; other dtypes raise; negative sigma
+    raises. Statistics must match the parameters on BOTH sides."""
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    img = np.full((64, 96, 3), 0.5, np.float32)
+    t = _to_torch(img)
+    # both sides reject non-(uint8|float) dtypes and negative sigma
+    with pytest.raises((TypeError, ValueError, RuntimeError)):
+        RF.gaussian_noise(torch.zeros(3, 8, 8, dtype=torch.int32))
+    with pytest.raises((TypeError, ValueError)):
+        F.gaussian_noise(jnp.zeros((8, 8, 3), jnp.int32), key=key)
+    with pytest.raises(ValueError):
+        RF.gaussian_noise(t, sigma=-1.0)
+    with pytest.raises(ValueError):
+        F.gaussian_noise(jnp.asarray(img), sigma=-1.0, key=key)
+    # float path, unclipped: noise stats match (mean, sigma)
+    torch.manual_seed(0)
+    want = _from_torch(RF.gaussian_noise(t, mean=0.1, sigma=0.2, clip=False))
+    out = np.asarray(
+        F.gaussian_noise(jnp.asarray(img), mean=0.1, sigma=0.2, clip=False, key=key)
+    )
+    for a in (out, want):
+        noise = a - img
+        assert abs(np.mean(noise) - 0.1) < 0.01
+        assert abs(np.std(noise) - 0.2) < 0.01
+    # float path, clipped
+    out = np.asarray(
+        F.gaussian_noise(jnp.asarray(img), mean=0.1, sigma=0.2, clip=True, key=key)
+    )
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # uint8 path (reference _misc.py:208-216): int16 noise at 255 scale
+    img_u8 = np.full((64, 96, 3), 128, np.uint8)
+    torch.manual_seed(0)
+    want_u8 = _from_torch(
+        RF.gaussian_noise(_to_torch(img_u8), mean=0.0, sigma=0.1, clip=True)
+    )
+    out_u8 = np.asarray(
+        F.gaussian_noise(jnp.asarray(img_u8), mean=0.0, sigma=0.1, clip=True, key=key)
+    )
+    assert out_u8.dtype == np.uint8 == want_u8.dtype
+    for a in (out_u8, want_u8):
+        noise = a.astype(np.int32) - 128
+        assert abs(np.mean(noise)) < 2.0
+        assert abs(np.std(noise) - 25.5) < 2.0  # sigma*255, int16-truncated
+
+
+def test_jpeg_roundtrip_close_to_reference(RF):
+    """F.jpeg encode+decode. The reference's own codec needs its native
+    extension (unavailable here), so the oracle is PIL's libjpeg
+    round-trip at the same quality — the exact backend the reference
+    links against (``csrc/io/image/cpu/encode_jpeg.cpp``)."""
+    import io as _io
+
+    import PIL.Image
+
+    img = _img_u8()
+    for quality in (35, 80):
+        out = np.asarray(F.jpeg(jnp.asarray(img), quality=quality))
+        buf = _io.BytesIO()
+        PIL.Image.fromarray(img).save(buf, "JPEG", quality=quality)
+        want = np.asarray(PIL.Image.open(_io.BytesIO(buf.getvalue())))
+        assert out.shape == want.shape and out.dtype == np.uint8
+        diff = np.abs(out.astype(np.int32) - want.astype(np.int32))
+        # both are q-quality libjpeg reconstructions of the same source
+        assert np.mean(diff) < 2.0, np.mean(diff)
+        assert np.percentile(diff, 99) <= 12, np.percentile(diff, 99)
+
+
+def test_sanitize_bounding_boxes_matches_reference(RF):
+    """Ours returns (boxes, valid_mask) with static shapes; the reference
+    removes rows (``_misc.py:sanitize_bounding_boxes``). Parity: the
+    reference's surviving set == our mask's True rows, over degenerate /
+    out-of-canvas / small-area fixtures."""
+    tv = load_reference()
+    canvas = (64, 96)
+    arr = np.array(
+        [
+            [10, 10, 30, 30],      # good
+            [5, 5, 5, 25],         # zero width
+            [40, 40, 39, 50],      # inverted x
+            [200, 10, 220, 30],    # fully right of canvas
+            [-30, -30, -10, -10],  # fully outside top-left
+            [0, 0, 1.2, 1.2],      # tiny area
+            [90, 60, 120, 80],     # partially inside
+        ],
+        np.float32,
+    )
+    ref_boxes = tv.tv_tensors.BoundingBoxes(
+        torch.from_numpy(arr.copy()), format="XYXY", canvas_size=canvas
+    )
+    ref_out = RF.sanitize_bounding_boxes(ref_boxes, min_size=2.0, min_area=4.0)
+    ref_kept = ref_out[0].as_subclass(torch.Tensor).numpy()
+    _, valid = F.sanitize_bounding_boxes(
+        _repo_bb(arr, canvas=canvas), min_size=2.0, min_area=4.0
+    )
+    ours_kept = arr[np.asarray(valid)]
+    np.testing.assert_allclose(ours_kept, ref_kept, atol=1e-5)
+    # pure-tensor input path (format/canvas_size kwargs)
+    _, valid2 = F.sanitize_bounding_boxes(
+        jnp.asarray(arr), format="XYXY", canvas_size=canvas,
+        min_size=2.0, min_area=4.0,
+    )
+    np.testing.assert_array_equal(np.asarray(valid2), np.asarray(valid))

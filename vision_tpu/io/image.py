@@ -118,8 +118,14 @@ def decode_jpeg(
     mode: ImageReadMode = ImageReadMode.UNCHANGED,
     scale=None,
     device: str = "cpu",
+    apply_exif_orientation: bool = False,
 ) -> np.ndarray:
     """reference ``io/image.py:173``; returns HWC uint8.
+
+    ``apply_exif_orientation`` applies the APP1 orientation tag
+    (reference ``io/image.py:177``, ``csrc/io/image/cpu/exif.h``) —
+    unlike the reference's CUDA batch path (which silently ignores the
+    flag, ``io/image.py:231``), the TPU offload path honors it too.
 
     ``scale=(num, den)`` decodes at num/den size via libjpeg DCT scaling
     (den=8, num=1..16) — ~(num/den)^2 of the full IDCT cost; the host-side
@@ -161,6 +167,18 @@ def decode_jpeg(
                 # truncate like _apply_mode / the reference rgb_to_gray
                 out = jnp.clip(g, 0, 255).astype(jnp.uint8)[..., None]
             decoded = list(out)
+            if apply_exif_orientation:
+                from vision_tpu.io._exif import (
+                    exif_orientation_transform,
+                    parse_jpeg_exif_orientation,
+                )
+
+                decoded = [
+                    exif_orientation_transform(
+                        img, parse_jpeg_exif_orientation(bytes(b))
+                    )
+                    for img, b in zip(decoded, buffers)
+                ]
         else:
             decoded = [
                 decode_jpeg(
@@ -169,16 +187,39 @@ def decode_jpeg(
                     if mode == ImageReadMode.UNCHANGED
                     else mode,
                     scale=scale,
+                    apply_exif_orientation=apply_exif_orientation,
                 )
                 for b in buffers
             ]
         return decoded if is_list else decoded[0]
     if isinstance(data, (list, tuple)):
-        return [decode_jpeg(b, mode=mode, scale=scale) for b in data]
+        return [
+            decode_jpeg(
+                b,
+                mode=mode,
+                scale=scale,
+                apply_exif_orientation=apply_exif_orientation,
+            )
+            for b in data
+        ]
+    def _orient(arr: np.ndarray) -> np.ndarray:
+        if not apply_exif_orientation:
+            return arr
+        from vision_tpu.io._exif import (
+            exif_orientation_transform,
+            parse_jpeg_exif_orientation,
+        )
+
+        return np.ascontiguousarray(
+            exif_orientation_transform(
+                arr, parse_jpeg_exif_orientation(bytes(data))
+            )
+        )
+
     if scale is not None:
         arr = _codecs.decode_jpeg_scaled_native(data, scale[0], scale[1])
         if arr is not None:
-            return _apply_mode(arr, mode)
+            return _orient(_apply_mode(arr, mode))
         # native scaled decode unavailable: decode full size and resample
         # to the scaled dims rather than silently returning full size
         full = _codecs.decode_jpeg_native(data)
@@ -196,21 +237,36 @@ def decode_jpeg(
         arr = np.asarray(pil.resize((nw, nh), PIL.Image.BILINEAR))
         if squeeze:
             arr = arr[..., None]
-        return _apply_mode(arr, mode)
+        return _orient(_apply_mode(arr, mode))
     arr = _codecs.decode_jpeg_native(data)
     if arr is None:
         arr = _pil_decode(data)
-    return _apply_mode(arr, mode)
+    return _orient(_apply_mode(arr, mode))
 
 
 def decode_png(
-    data: bytes, mode: ImageReadMode = ImageReadMode.UNCHANGED
+    data: bytes,
+    mode: ImageReadMode = ImageReadMode.UNCHANGED,
+    apply_exif_orientation: bool = False,
 ) -> np.ndarray:
-    """reference ``io/image.py:93``."""
+    """reference ``io/image.py:93`` (``apply_exif_orientation`` at
+    :96; PNG stores the TIFF block in an eXIf chunk)."""
     arr = _codecs.decode_png_native(data)
     if arr is None:
         arr = _pil_decode(data)
-    return _apply_mode(arr, mode)
+    arr = _apply_mode(arr, mode)
+    if apply_exif_orientation:
+        from vision_tpu.io._exif import (
+            exif_orientation_transform,
+            parse_png_exif_orientation,
+        )
+
+        arr = np.ascontiguousarray(
+            exif_orientation_transform(
+                arr, parse_png_exif_orientation(bytes(data))
+            )
+        )
+    return arr
 
 
 def decode_png16(data: bytes) -> np.ndarray:
@@ -268,14 +324,22 @@ _WEBP_RIFF = b"RIFF"
 def decode_image(
     data: Union[bytes, np.ndarray],
     mode: ImageReadMode = ImageReadMode.UNCHANGED,
+    apply_exif_orientation: bool = False,
 ) -> np.ndarray:
-    """Magic-byte dispatch (reference ``csrc/io/image/cpu/decode_image.cpp:80``)."""
+    """Magic-byte dispatch (reference ``csrc/io/image/cpu/decode_image.cpp:80``).
+
+    ``apply_exif_orientation`` routes to the JPEG/PNG decoders only —
+    the reference's GIF/WebP decoders take no such flag either."""
     if isinstance(data, np.ndarray):
         data = data.tobytes()
     if data[:3] == _JPEG_MAGIC:
-        return decode_jpeg(data, mode)
+        return decode_jpeg(
+            data, mode, apply_exif_orientation=apply_exif_orientation
+        )
     if data[:4] == _PNG_MAGIC:
-        return decode_png(data, mode)
+        return decode_png(
+            data, mode, apply_exif_orientation=apply_exif_orientation
+        )
     if data[:3] == _GIF_MAGIC:
         out = decode_gif(data)
         return _apply_mode(out, mode) if out.ndim == 3 else out
@@ -322,20 +386,23 @@ def encode_png(img: np.ndarray, compression_level: int = 6) -> bytes:
     return buf.getvalue()
 
 
-def write_jpeg(img: np.ndarray, path, quality: int = 75) -> None:
-    write_file(path, encode_jpeg(img, quality))
+def write_jpeg(img: np.ndarray, filename, quality: int = 75) -> None:
+    write_file(filename, encode_jpeg(img, quality))
 
 
-def write_png(img: np.ndarray, path, compression_level: int = 6) -> None:
-    write_file(path, encode_png(img, compression_level))
+def write_png(img: np.ndarray, filename, compression_level: int = 6) -> None:
+    write_file(filename, encode_png(img, compression_level))
 
 
 def read_image(
     path: Union[str, pathlib.Path],
     mode: ImageReadMode = ImageReadMode.UNCHANGED,
+    apply_exif_orientation: bool = False,
 ) -> np.ndarray:
     """reference ``io/image.py:350``: read + decode."""
-    return decode_image(read_file(path), mode)
+    return decode_image(
+        read_file(path), mode, apply_exif_orientation=apply_exif_orientation
+    )
 
 
 def _pil_decode_optional(data: bytes, what: str) -> np.ndarray:

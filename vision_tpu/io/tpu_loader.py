@@ -184,6 +184,7 @@ class TpuJpegLoader:
         drop_remainder: bool = False,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        apply_exif_orientation: bool = False,
     ):
         self.samples = samples
         self.batch_size = batch_size
@@ -199,12 +200,17 @@ class TpuJpegLoader:
         self.seed = seed
         self._base_seed = seed
         self.drop_remainder = drop_remainder
+        # EXIF orientation (reference decode_jpeg flag, io/image.py:177):
+        # tagged images can't ride the coefficient path (orientations 5-8
+        # transpose the block grid), so they take the host re-encode lane
+        # with upright pixels — observable via stats["exif_reorient"].
+        self.apply_exif_orientation = apply_exif_orientation
         self._m = coef_limit if 0 < coef_limit < 8 else 8
         # offload observability (VERDICT r2 weak #9: degradations must be
         # visible): per-epoch counts of direct offload decodes, host
         # re-encode fallbacks, and dropped (undecodable) samples; reset
         # each __iter__, lifetime totals accumulate in stats_total.
-        self.stats = {"offload": 0, "reencode_fallback": 0, "dropped": 0}
+        self.stats = {"offload": 0, "reencode_fallback": 0, "exif_reorient": 0, "dropped": 0}
         self.stats_total: Dict[str, int] = {}
         # multi-host input sharding (SURVEY §2.10: per-host file lists;
         # the reference's DistributedSampler rank split,
@@ -235,21 +241,29 @@ class TpuJpegLoader:
         baseline JPEG so they still ride the single compiled per-bucket
         device program (the reference's nvJPEG -> CPU chain keeps such
         samples too, ``decode_jpegs_cuda.cpp`` fallback)."""
-        r = jpeg_coefficients_native(data, self.coef_limit)
-        if r is not None:
-            self.stats["offload"] += 1
-            return r
+        reorient = False
+        if self.apply_exif_orientation:
+            from vision_tpu.io._exif import parse_jpeg_exif_orientation
+
+            reorient = parse_jpeg_exif_orientation(data) > 1
+        if not reorient:
+            r = jpeg_coefficients_native(data, self.coef_limit)
+            if r is not None:
+                self.stats["offload"] += 1
+                return r
         try:
             from vision_tpu.io.image import decode_jpeg, encode_jpeg
 
-            rgb = np.asarray(decode_jpeg(data))
+            rgb = np.asarray(
+                decode_jpeg(data, apply_exif_orientation=reorient)
+            )
             r = jpeg_coefficients_native(
                 bytes(encode_jpeg(rgb, quality=97)), self.coef_limit
             )
         except Exception:
             r = None
         if r is not None:
-            self.stats["reencode_fallback"] += 1
+            self.stats["exif_reorient" if reorient else "reencode_fallback"] += 1
         else:
             self.stats["dropped"] += 1
         return r
@@ -283,7 +297,7 @@ class TpuJpegLoader:
         # per-epoch observability (lifetime totals kept in stats_total)
         for k, v in self.stats.items():
             self.stats_total[k] = self.stats_total.get(k, 0) + v
-        self.stats = {"offload": 0, "reencode_fallback": 0, "dropped": 0}
+        self.stats = {"offload": 0, "reencode_fallback": 0, "exif_reorient": 0, "dropped": 0}
         rng = np.random.RandomState(self.seed)
         order = (
             rng.permutation(len(self.samples))

@@ -59,7 +59,7 @@ def _bilinear_sample(feat, y, x):
 
 def ps_roi_align(
     inp: jax.Array,
-    rois: jax.Array,
+    boxes: jax.Array,
     output_size: Tuple[int, int],
     spatial_scale: float = 1.0,
     sampling_ratio: int = -1,
@@ -69,6 +69,7 @@ def ps_roi_align(
     inp: ``[N, H, W, C]`` with ``C = C_out * PH * PW``; rois ``[K, 5]``.
     Returns ``[K, PH, PW, C_out]``.
     """
+    rois = boxes  # reference kwarg name is `boxes`; `rois` internally
     if isinstance(output_size, int):
         output_size = (output_size, output_size)
     ph_n, pw_n = output_size

@@ -18,7 +18,7 @@ __all__ = ["ps_roi_pool"]
 
 def ps_roi_pool(
     inp: jax.Array,
-    rois: jax.Array,
+    boxes: jax.Array,
     output_size: Tuple[int, int],
     spatial_scale: float = 1.0,
 ) -> jax.Array:
@@ -27,6 +27,7 @@ def ps_roi_pool(
     inp: ``[N, H, W, C]`` with ``C = C_out * PH * PW``; rois ``[K, 5]``.
     Returns ``[K, PH, PW, C_out]``.
     """
+    rois = boxes  # reference kwarg name is `boxes`; `rois` internally
     if isinstance(output_size, int):
         output_size = (output_size, output_size)
     ph_n, pw_n = output_size

@@ -113,7 +113,7 @@ def _bilinear_gather(inp, batch_ind, y, x, yvalid, xvalid):
 
 def roi_align(
     inp: jax.Array,
-    rois: jax.Array,
+    boxes: jax.Array,
     output_size: Tuple[int, int],
     spatial_scale: float = 1.0,
     sampling_ratio: int = -1,
@@ -133,6 +133,7 @@ def roi_align(
         output_size: ``(PH, PW)``.
     Returns ``[K, PH, PW, C]``.
     """
+    rois = boxes  # reference kwarg name is `boxes`; `rois` internally
     if _use_mxu(sampling_ratio):
         return roi_align_mxu(
             inp, rois, output_size, spatial_scale, sampling_ratio, aligned

@@ -22,7 +22,7 @@ __all__ = ["roi_pool"]
 
 def roi_pool(
     inp: jax.Array,
-    rois: jax.Array,
+    boxes: jax.Array,
     output_size: Tuple[int, int],
     spatial_scale: float = 1.0,
 ) -> jax.Array:
@@ -31,6 +31,7 @@ def roi_pool(
     inp: ``[N, H, W, C]``; rois: ``[K, 5]`` (batch_idx, x1, y1, x2, y2).
     Returns ``[K, PH, PW, C]``.
     """
+    rois = boxes  # reference kwarg name is `boxes`; `rois` internally
     if isinstance(output_size, int):
         output_size = (output_size, output_size)
     ph_n, pw_n = output_size

@@ -193,7 +193,9 @@ class SanitizeBoundingBoxes(Transform):
                 break
         if boxes is None:
             return sample
-        _, valid = F.sanitize_bounding_boxes(boxes, self.min_size, self.min_area)
+        _, valid = F.sanitize_bounding_boxes(
+            boxes, min_size=self.min_size, min_area=self.min_area
+        )
         valid = np.asarray(valid)
 
         def fixup(x):

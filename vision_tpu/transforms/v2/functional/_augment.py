@@ -20,8 +20,14 @@ def erase(
     h: int,
     w: int,
     v: jax.Array,
+    inplace: bool = False,
 ):
-    """Set region [i:i+h, j:j+w] to v (reference ``_augment.py`` erase)."""
+    """Set region [i:i+h, j:j+w] to v (reference ``_augment.py`` erase).
+
+    ``inplace`` is accepted for reference signature parity and ignored:
+    JAX arrays are immutable, and the reference returns the tensor
+    either way."""
+    del inplace
     if isinstance(inpt, tv_tensors.TVTensor):
         img = inpt.data
         out = img.at[..., i : i + h, j : j + w, :].set(

@@ -1320,32 +1320,47 @@ def elastic_image(
     return out.astype(orig_dtype)
 
 
-def elastic_keypoints(kp, canvas_size, displacement):
-    """reference elastic_keypoints: the inverse warp is approximated by
-    looking up the displacement at each point's (truncated, clamped)
-    pixel location — dst = src - d * size/2, matching
-    :func:`elastic_image`'s dst->src convention. Trailing channels
-    beyond (x, y) pass through."""
+def _elastic_inverse_points(xy, canvas_size, displacement, ceil_points):
+    """The reference's approximate inverse warp for points
+    (``_geometry.py:2403-2413`` keypoints, ``:2456-2474`` boxes): the
+    identity grid at integer pixel ``i`` maps to ``i`` itself, so
+    ``(inv_grid[i] + 1) * size/2 - 0.5 == i - d[i] * size/2``. Keypoints
+    truncate the lookup index (``.to(long)``); box corners ceil first
+    (``points.ceil_()``). The INDEX (not the original float coordinate)
+    is what gets displaced — matching the reference exactly."""
     h, w = canvas_size
     d = jnp.asarray(displacement, jnp.float32).reshape(h, w, 2)
+    pts = jnp.ceil(xy) if ceil_points else xy
+    xi = jnp.clip(pts[..., 0].astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(pts[..., 1].astype(jnp.int32), 0, h - 1)
+    ox = xi.astype(jnp.float32) - d[yi, xi, 0] * (w * 0.5)
+    oy = yi.astype(jnp.float32) - d[yi, xi, 1] * (h * 0.5)
+    return jnp.stack([ox, oy], axis=-1)
+
+
+def elastic_keypoints(kp, canvas_size, displacement):
+    """reference elastic_keypoints (``_geometry.py:2382-2415``).
+    Trailing channels beyond (x, y) pass through."""
     dtype = kp.dtype
     xy = kp[..., :2].astype(jnp.float32)
     extra = kp[..., 2:]
-    xi = jnp.clip(xy[..., 0].astype(jnp.int32), 0, w - 1)
-    yi = jnp.clip(xy[..., 1].astype(jnp.int32), 0, h - 1)
-    dx = d[yi, xi, 0] * (w * 0.5)
-    dy = d[yi, xi, 1] * (h * 0.5)
-    out = jnp.stack([xy[..., 0] - dx, xy[..., 1] - dy], axis=-1)
+    out = _elastic_inverse_points(
+        xy, canvas_size, displacement, ceil_points=False
+    )
     return jnp.concatenate([out.astype(dtype), extra], axis=-1)
 
 
-def elastic_bounding_boxes(boxes, format, canvas_size, displacement):
-    """reference elastic_bounding_boxes: transform the 4 corners with the
-    approximate inverse warp, envelope bbox."""
+def elastic_bounding_boxes(
+    boxes, format, canvas_size, displacement, clamping_mode="soft"
+):
+    """reference elastic_bounding_boxes (``_geometry.py:2424-2490``):
+    ceil the 4 corners, displace the integer lookup, envelope bbox,
+    clamp to canvas."""
     dtype = boxes.dtype
     fmt_name = format.value.lower()
     xyxy = box_convert(boxes.astype(jnp.float32), fmt_name, "xyxy")
     x1, y1, x2, y2 = (xyxy[..., i] for i in range(4))
+    # reference corner order: [[0,1],[2,1],[2,3],[0,3]]
     corners = jnp.stack(
         [
             jnp.stack([x1, y1], -1),
@@ -1355,7 +1370,9 @@ def elastic_bounding_boxes(boxes, format, canvas_size, displacement):
         ],
         axis=-2,
     )
-    tp = elastic_keypoints(corners, canvas_size, displacement)
+    tp = _elastic_inverse_points(
+        corners, canvas_size, displacement, ceil_points=True
+    )
     out = jnp.stack(
         [
             jnp.min(tp[..., 0], axis=-1),
@@ -1365,6 +1382,17 @@ def elastic_bounding_boxes(boxes, format, canvas_size, displacement):
         ],
         axis=-1,
     )
+    if clamping_mode is not None:
+        h, w = canvas_size
+        out = jnp.stack(
+            [
+                jnp.clip(out[..., 0], 0.0, w),
+                jnp.clip(out[..., 1], 0.0, h),
+                jnp.clip(out[..., 2], 0.0, w),
+                jnp.clip(out[..., 3], 0.0, h),
+            ],
+            axis=-1,
+        )  # non-rotated: hard == soft clamping (reference _meta.py:418)
     return box_convert(out, "xyxy", fmt_name).astype(dtype)
 
 
@@ -1378,9 +1406,10 @@ def elastic(inpt, displacement, interpolation: str = "bilinear", fill=None):
         return Mask(out[..., 0])
     if isinstance(inpt, BoundingBoxes):
         out = elastic_bounding_boxes(
-            inpt.data, inpt.format, inpt.canvas_size, displacement
+            inpt.data, inpt.format, inpt.canvas_size, displacement,
+            clamping_mode=inpt.clamping_mode,
         )
-        return clamp_bounding_boxes(tv_tensors.wrap(out, like=inpt))
+        return tv_tensors.wrap(out, like=inpt)
     if isinstance(inpt, KeyPoints):
         out = elastic_keypoints(inpt.data, inpt.canvas_size, displacement)
         return KeyPoints(out, canvas_size=inpt.canvas_size)

@@ -61,8 +61,13 @@ def convert_bounding_box_format(
     inpt,
     old_format: Optional[Union[str, BoundingBoxFormat]] = None,
     new_format: Optional[Union[str, BoundingBoxFormat]] = None,
+    inplace: bool = False,
 ):
-    """reference ``_meta.py`` ``convert_bounding_box_format``."""
+    """reference ``_meta.py`` ``convert_bounding_box_format``.
+
+    ``inplace`` is accepted for signature parity and ignored (JAX is
+    functional; the reference returns the boxes either way)."""
+    del inplace
     if new_format is None:
         raise TypeError("new_format is required")
     if isinstance(inpt, BoundingBoxes):

@@ -44,7 +44,15 @@ def normalize_image(
     return (image - mean) / std
 
 
-def normalize(inpt, mean: Sequence[float], std: Sequence[float]):
+def normalize(
+    inpt,
+    mean: Sequence[float],
+    std: Sequence[float],
+    inplace: bool = False,
+):
+    # inplace accepted for reference signature parity, ignored (JAX is
+    # functional; the reference returns the tensor either way)
+    del inplace
     img, rewrap = _unwrap(inpt)
     return rewrap(normalize_image(img, mean, std))
 
@@ -133,15 +141,33 @@ def gaussian_noise(
     *,
     key: jax.Array,
 ):
-    """reference gaussian_noise (float images only)."""
+    """reference gaussian_noise (``_misc.py:gaussian_noise_image``):
+    float images get ``clip(x + mean + sigma*N, 0, 1)``; uint8 images add
+    int16-cast noise scaled by 255 and clamp to [0, 255] (reference
+    ``_misc.py:208-216``); other dtypes raise."""
     img, rewrap = _unwrap(inpt)
-    if not jnp.issubdtype(img.dtype, jnp.floating):
-        raise ValueError("gaussian_noise expects float input")
-    noise = mean + jax.random.normal(key, img.shape, dtype=img.dtype) * sigma
-    out = img + noise
-    if clip:
-        out = jnp.clip(out, 0.0, 1.0)
-    return rewrap(out)
+    if sigma < 0:
+        raise ValueError(f"sigma shouldn't be negative. Got {sigma}")
+    if jnp.issubdtype(img.dtype, jnp.floating):
+        noise = (
+            mean + jax.random.normal(key, img.shape, dtype=img.dtype) * sigma
+        )
+        out = img + noise
+        if clip:
+            out = jnp.clip(out, 0.0, 1.0)
+        return rewrap(out)
+    if img.dtype == jnp.uint8:
+        noise = (
+            mean * 255.0
+            + jax.random.normal(key, img.shape, jnp.float32) * (sigma * 255.0)
+        ).astype(jnp.int16)
+        out = img.astype(jnp.int16) + noise
+        if clip:
+            out = jnp.clip(out, 0, 255)
+        return rewrap(out.astype(jnp.uint8))
+    raise ValueError(
+        f"Input is expected to be uint8 or float, got dtype={img.dtype}"
+    )
 
 
 def _num_value_bits(dtype) -> int:
@@ -197,20 +223,50 @@ def to_dtype(inpt, dtype=jnp.float32, scale: bool = False):
 
 
 def sanitize_bounding_boxes(
-    boxes: BoundingBoxes,
+    boxes,
+    format=None,
+    canvas_size=None,
     min_size: float = 1.0,
     min_area: float = 1.0,
 ) -> Tuple[BoundingBoxes, jax.Array]:
     """Return (boxes, valid_mask) of boxes that are non-degenerate and
     inside the canvas (reference ``_misc.py`` sanitize_bounding_boxes —
     which *removes* rows; the TPU version returns a mask, keeping shapes
-    static; combine with boolean indexing outside jit)."""
+    static; combine with boolean indexing outside jit).
+
+    ``format``/``canvas_size`` follow the reference contract
+    (``_misc.py:sanitize_bounding_boxes``): required for (and only
+    accepted with) plain-array input; BoundingBoxes carry their own."""
+    if isinstance(boxes, BoundingBoxes):
+        if format is not None or canvas_size is not None:
+            raise ValueError(
+                "format and canvas_size must not be passed with a "
+                "BoundingBoxes input (reference contract)"
+            )
+    else:
+        if format is None or canvas_size is None:
+            raise ValueError(
+                "format and canvas_size are required for plain-array "
+                "input (reference contract)"
+            )
+        fmt_enum = (
+            format
+            if isinstance(format, tv_tensors.BoundingBoxFormat)
+            else tv_tensors.BoundingBoxFormat(str(format).upper())
+        )
+        boxes = BoundingBoxes(
+            jnp.asarray(boxes), format=fmt_enum, canvas_size=tuple(canvas_size)
+        )
     h, w = boxes.canvas_size
     fmt = boxes.format.value.lower()
     xyxy = box_convert(boxes.data.astype(jnp.float32), fmt, "xyxy")
     ws = xyxy[..., 2] - xyxy[..., 0]
     hs = xyxy[..., 3] - xyxy[..., 1]
+    # reference _get_sanitize_bounding_boxes_mask (_misc.py:435-440):
+    # size/area floors AND every coordinate inside [0, w]x[0, h] — a box
+    # sticking out of the canvas at all is removed (clamp first to keep it)
     valid = (ws >= min_size) & (hs >= min_size) & (ws * hs >= min_area)
-    valid &= (xyxy[..., 0] < w) & (xyxy[..., 1] < h)
-    valid &= (xyxy[..., 2] > 0) & (xyxy[..., 3] > 0)
+    valid &= jnp.all(xyxy >= 0, axis=-1)
+    valid &= (xyxy[..., 0] <= w) & (xyxy[..., 2] <= w)
+    valid &= (xyxy[..., 1] <= h) & (xyxy[..., 3] <= h)
     return boxes, valid
