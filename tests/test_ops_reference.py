@@ -228,16 +228,27 @@ def test_clip_boxes_to_image():
 # (ops/nms.py:_pallas_nms_enabled). Parity is pinned two ways: the kernel
 # body in interpreter mode here (CPU), and the compiled kernel on real TPU
 # in a tpu-marked test.
+def _pallas_nms_kernels():
+    from vision_tpu.ops._pallas.nms import (
+        nms_pallas_bitmask_sorted,
+        nms_pallas_sorted,
+    )
+
+    # bitmask = the r4 block-parallel default; rowscan = the r2 kernel
+    # kept behind VISION_TPU_NMS_KERNEL=rowscan
+    return {"bitmask": nms_pallas_bitmask_sorted, "rowscan": nms_pallas_sorted}
+
+
+@pytest.mark.parametrize("kernel", ["bitmask", "rowscan"])
 @pytest.mark.parametrize("n", [1, 64, 130, 300])
 @pytest.mark.parametrize("thr", [0.3, 0.5, 0.7])
-def test_nms_pallas_interpret_matches_greedy_reference(rng, n, thr):
-    from vision_tpu.ops._pallas.nms import nms_pallas_sorted
-
+def test_nms_pallas_interpret_matches_greedy_reference(rng, kernel, n, thr):
+    fn = _pallas_nms_kernels()[kernel]
     boxes = _random_boxes(rng, n)
     scores = rng.rand(n).astype(np.float32)
     order = np.argsort(-scores, kind="stable")
     keep = np.asarray(
-        nms_pallas_sorted(
+        fn(
             jnp.asarray(boxes[order]),
             jnp.ones((n,), bool),
             thr,
@@ -248,9 +259,9 @@ def test_nms_pallas_interpret_matches_greedy_reference(rng, n, thr):
     np.testing.assert_array_equal(order[keep], ref)
 
 
-def test_nms_pallas_interpret_padding_rows_never_suppress(rng):
-    from vision_tpu.ops._pallas.nms import nms_pallas_sorted
-
+@pytest.mark.parametrize("kernel", ["bitmask", "rowscan"])
+def test_nms_pallas_interpret_padding_rows_never_suppress(rng, kernel):
+    fn = _pallas_nms_kernels()[kernel]
     boxes = _random_boxes(rng, 40)
     scores = rng.rand(40).astype(np.float32)
     # mark the last 10 (lowest-score after sort manipulation) invalid
@@ -259,9 +270,7 @@ def test_nms_pallas_interpret_padding_rows_never_suppress(rng):
     valid = np.zeros(40, bool)
     valid[:30] = True  # in sorted order: exactly the -1-score rows invalid
     keep = np.asarray(
-        nms_pallas_sorted(
-            jnp.asarray(boxes[order]), jnp.asarray(valid), 0.5, interpret=True
-        )
+        fn(jnp.asarray(boxes[order]), jnp.asarray(valid), 0.5, interpret=True)
     )
     assert not keep[30:].any()
     ref = _ref_nms(boxes[order[:30]], scores[order[:30]], 0.5)
@@ -269,17 +278,17 @@ def test_nms_pallas_interpret_padding_rows_never_suppress(rng):
 
 
 @pytest.mark.tpu
-def test_nms_pallas_compiled_matches_reference_on_tpu(rng):
+@pytest.mark.parametrize("kernel", ["bitmask", "rowscan"])
+def test_nms_pallas_compiled_matches_reference_on_tpu(rng, kernel):
     if jax.default_backend() != "tpu":
         pytest.skip("requires TPU")
-    from vision_tpu.ops._pallas.nms import nms_pallas_sorted
-
+    fn = _pallas_nms_kernels()[kernel]
     for n, thr in [(200, 0.5), (1000, 0.5), (1000, 0.7)]:
         boxes = _random_boxes(rng, n)
         scores = rng.rand(n).astype(np.float32)
         order = np.argsort(-scores, kind="stable")
         keep = np.asarray(
-            nms_pallas_sorted(jnp.asarray(boxes[order]), jnp.ones((n,), bool), thr)
+            fn(jnp.asarray(boxes[order]), jnp.ones((n,), bool), thr)
         )
         ref = _ref_nms(boxes, scores, thr)
         np.testing.assert_array_equal(order[keep], ref)

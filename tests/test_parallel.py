@@ -199,3 +199,61 @@ def test_amp_train_step_bf16_compute_f32_master():
     assert cos > 0.8, f"update direction diverged: cos={cos:.3f}"
     # and it optimizes
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_detection_dp_train_step_runs():
+    """RetinaNet DP train step on the 8-device mesh (VERDICT r3 item 6):
+    detection is the static-shape stress case (matcher + sampler inside
+    the loss); loss must be finite and params replica-consistent after
+    the step (a hidden per-device-shape assumption would desync them)."""
+    from vision_tpu.models._utils import fast_init
+    from vision_tpu.models.detection import retinanet_resnet50_fpn
+
+    mesh = make_mesh(8)
+    with fast_init():
+        det = retinanet_resnet50_fpn(num_classes=5)
+    mod = det.module
+    det_vars = dict(det.variables)
+    params = det_vars.pop("params")
+    tx = optax.sgd(0.01, momentum=0.9)
+    with mesh:
+        params = replicate(params, mesh)
+        rest = replicate(det_vars, mesh)
+        opt_state = tx.init(params)
+
+        def loss_fn(p, batch):
+            heads = mod.apply({"params": p, **rest}, batch["image"], train=True)
+            losses = mod.apply(
+                {"params": p, **rest},
+                *heads,
+                batch["boxes"], batch["labels"], batch["valid"],
+                method="compute_loss",
+            )
+            return sum(jnp.sum(v) for v in losses.values())
+
+        @jax.jit
+        def step(p, opt_state, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(p, batch)
+            updates, opt_state = tx.update(grads, opt_state, p)
+            return optax.apply_updates(p, updates), opt_state, loss
+
+        rng = np.random.RandomState(0)
+        batch = {
+            "image": rng.rand(8, 64, 64, 3).astype(np.float32),
+            "boxes": np.tile(
+                np.asarray([[[4.0, 4.0, 30.0, 30.0], [10.0, 12.0, 50.0, 44.0]]],
+                           np.float32), (8, 1, 1)),
+            "labels": np.tile(np.asarray([[1, 2]], np.int32), (8, 1)),
+            "valid": np.ones((8, 2), bool),
+        }
+        batch = shard_batch(batch, mesh)
+        params, opt_state, loss = step(params, opt_state, batch)
+        jax.block_until_ready(loss)
+    assert np.isfinite(float(loss))
+    # replica consistency: every per-device shard of a replicated param
+    # must be identical after the update
+    probe = jax.tree_util.tree_leaves(params)[0]
+    shards = [np.asarray(s.data) for s in probe.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)

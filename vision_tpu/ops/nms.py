@@ -31,11 +31,14 @@ __all__ = ["nms", "nms_mask", "batched_nms", "batched_nms_mask"]
 
 def _pallas_nms_enabled() -> bool:
     """Pallas kernel rides the hot path on TPU; env-gated for A/B and
-    debugging. Measured v5e boxes/s vs the XLA chunked path (BENCH_r03
-    sweep): 176k/168k @256, 623k/481k @1k (1.29x), 535k/426k @4k (1.26x),
-    776k/530k @20k (1.47x) — the win grows with box count because
-    suppressed rows skip their IoU work entirely (``pl.when``), while the
-    chunked path always materializes every 128x128 tile."""
+    debugging. Default = the block-parallel bitmask kernel
+    (``_pallas/nms.py:nms_pallas_bitmask_sorted``, the CUDA tile shape);
+    ``VISION_TPU_NMS_KERNEL=rowscan`` selects the r2 row-serial kernel.
+    Measured v5e boxes/s, best-of-3 amortized (r4 methodology — earlier
+    rounds' numbers were ~5x understated by per-call dispatch overhead):
+    bitmask/rowscan/XLA-chunked = 3.6M/3.6M/3.1M @4k and
+    3.1M/2.4M/1.9M @20k; all three converge at <=1k boxes where the
+    ~0.3 ms kernel-dispatch floor dominates."""
     if os.environ.get("VISION_TPU_DISABLE_PALLAS_NMS", "0") == "1":
         return False
     try:
@@ -80,14 +83,23 @@ def nms_mask(
     order = jnp.argsort(-scores, stable=True)
     sboxes = boxes[order]
     if _pallas_nms_enabled():
-        from vision_tpu.ops._pallas.nms import nms_pallas_sorted
-
         valid_sorted = (
             (scores[order] > -jnp.inf)
             if valid is not None
             else jnp.ones((n,), dtype=bool)
         )
-        keep_sorted = nms_pallas_sorted(sboxes, valid_sorted, iou_threshold)
+        if os.environ.get("VISION_TPU_NMS_KERNEL", "bitmask") == "rowscan":
+            from vision_tpu.ops._pallas.nms import nms_pallas_sorted
+
+            keep_sorted = nms_pallas_sorted(
+                sboxes, valid_sorted, iou_threshold
+            )
+        else:
+            from vision_tpu.ops._pallas.nms import nms_pallas_bitmask_sorted
+
+            keep_sorted = nms_pallas_bitmask_sorted(
+                sboxes, valid_sorted, iou_threshold
+            )
     else:
         keep_sorted = _nms_sorted_chunked(sboxes, iou_threshold)
     if valid is not None:
