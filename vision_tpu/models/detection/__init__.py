@@ -25,6 +25,7 @@ from vision_tpu.models.detection.mask_rcnn import (
     MaskRCNN_ResNet50_FPN_V2_Weights,
     MaskRCNN_ResNet50_FPN_Weights,
     maskrcnn_resnet50_fpn,
+    maskrcnn_resnet50_fpn_deform,
     maskrcnn_resnet50_fpn_v2,
 )
 from vision_tpu.models.detection.retinanet import (

@@ -91,16 +91,93 @@ class _FrozenBottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class _ConvKernel(nn.Module):
+    """HWIO kernel param with nn.Conv's param naming (checkpoint-mapped
+    identically to a ``conv2`` nn.Conv, bias-free)."""
+
+    features: int
+    ksize: int = 3
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (self.ksize, self.ksize, in_features, self.features),
+        )
+
+
+class _DeformFrozenBottleneck(nn.Module):
+    """Bottleneck with the 3x3 conv2 replaced by ``deform_conv2d``
+    (detectron2's DeformBottleneckBlock shape over the reference op,
+    ``torchvision/ops/deform_conv.py:14-110``): a zero-initialized 3x3
+    conv predicts per-tap (dy, dx) offsets (and, when ``modulated``,
+    sigmoid modulation masks — DCNv2). Zero init means the block equals
+    a plain ``_FrozenBottleneck`` at construction, so ImageNet trunk
+    weights convert losslessly (``maskrcnn_resnet50_fpn_deform``'s
+    shared-trunk parity)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    modulated: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        from vision_tpu.ops.deform_conv import deform_conv2d
+
+        identity = x
+        out = _conv(self.planes, 1, name="conv1")(x)
+        out = _FrozenBN(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        # offset/mask predictor: zero-init kernel AND bias (detectron2
+        # zero-fills both so the deform conv starts as a plain conv)
+        k2 = 9
+        off_ch = (3 if self.modulated else 2) * k2
+        pred = nn.Conv(
+            off_ch, (3, 3), (self.stride, self.stride),
+            padding=[(1, 1), (1, 1)],
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="conv2_offset",
+        )(out)
+        if self.modulated:
+            offset, m = pred[..., : 2 * k2], pred[..., 2 * k2 :]
+            mask = jax.nn.sigmoid(m)
+        else:
+            offset, mask = pred, None
+        # param path layer*.*/conv2/kernel — identical to nn.Conv's, so
+        # ImageNet trunk checkpoints convert without a special case
+        kernel = _ConvKernel(self.planes, name="conv2")(out.shape[-1])
+        out = deform_conv2d(
+            out, offset, kernel,
+            stride=(self.stride, self.stride), padding=(1, 1), mask=mask,
+        )
+        out = _FrozenBN(self.planes, name="bn2")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes * 4, 1, name="conv3")(out)
+        out = _FrozenBN(self.planes * 4, name="bn3")(out)
+        if self.downsample:
+            identity = _conv(self.planes * 4, 1, self.stride, name="downsample.0")(x)
+            identity = _FrozenBN(self.planes * 4, name="downsample.1")(identity)
+        return nn.relu(out + identity)
+
+
 class _ResNetTrunk(nn.Module):
     """ResNet body without the classification head, emitting {c2..c5};
     module names match ``ResNet`` so reference backbone weights map
     (``backbone.body.*`` in detection checkpoints). ``frozen_bn=True``
     (the v1 recipes' FrozenBatchNorm2d) keeps BN affine out of params;
-    v2 recipes train BN normally."""
+    v2 recipes train BN normally. ``deform_stages`` lists 1-based stage
+    indices (2..4 = C3..C5) whose bottlenecks use deformable 3x3s
+    (frozen-BN path only)."""
 
     block: type
     layers: Tuple[int, int, int, int]
     frozen_bn: bool = True
+    deform_stages: Tuple[int, ...] = ()
+    deform_modulated: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jax.Array]:
@@ -121,19 +198,27 @@ class _ResNetTrunk(nn.Module):
                 _FrozenBottleneck if self.block is Bottleneck else _FrozenBasicBlock
             )
             expansion = block.expansion
+            if self.deform_stages and self.block is not Bottleneck:
+                raise ValueError("deform_stages requires a Bottleneck trunk")
             for i, (planes, blocks) in enumerate(
                 zip((64, 128, 256, 512), self.layers)
             ):
                 stride = 1 if i == 0 else 2
+                stage_block = block
+                extra = {}
+                if (i + 1) in self.deform_stages:
+                    stage_block = _DeformFrozenBottleneck
+                    extra = {"modulated": self.deform_modulated}
                 for j in range(blocks):
                     needs_ds = j == 0 and (
                         stride != 1 or in_planes != planes * expansion
                     )
-                    x = block(
+                    x = stage_block(
                         planes=planes,
                         stride=stride if j == 0 else 1,
                         downsample=needs_ds,
                         name=f"layer{i + 1}.{j}",
+                        **extra,
                     )(x, train=train)
                     in_planes = planes * expansion
                 feats[str(i)] = x  # reference returned_layers names "0".."3"
@@ -205,11 +290,15 @@ class BackboneWithFPN(nn.Module):
     returned_layers: Tuple[int, ...] = (1, 2, 3, 4)
     norm_layer: Optional[Callable] = None
     frozen_bn: bool = True
+    deform_stages: Tuple[int, ...] = ()
+    deform_modulated: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jax.Array]:
         feats = _ResNetTrunk(
-            self.block, self.layers, frozen_bn=self.frozen_bn, name="body"
+            self.block, self.layers, frozen_bn=self.frozen_bn,
+            deform_stages=self.deform_stages,
+            deform_modulated=self.deform_modulated, name="body"
         )(x, train)
         selected = {
             str(i): feats[str(layer - 1)]

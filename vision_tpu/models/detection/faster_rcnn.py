@@ -61,6 +61,10 @@ class FasterRCNN(nn.Module):
     backbone_type: str = "resnet"  # "resnet" | "mobilenet_v3_large"
     num_classes: int = 91
     v2: bool = False
+    # deformable 3x3s in the listed trunk stages (1-based; (2,3,4) =
+    # C3-C5, detectron2-style) — BASELINE config #5 backbone variant
+    deform_stages: tuple = ()
+    deform_modulated: bool = False
     # rpn
     rpn_pre_nms_top_n: int = 1000
     rpn_post_nms_top_n: int = 1000
@@ -87,6 +91,11 @@ class FasterRCNN(nn.Module):
                 18: (BasicBlock, (2, 2, 2, 2)),
                 50: (Bottleneck, (3, 4, 6, 3)),
             }[self.backbone_depth]
+            if self.deform_stages and self.v2:
+                raise ValueError(
+                    "deform_stages is only supported on the frozen-BN v1 "
+                    "trunk"
+                )
             self.backbone = BackboneWithFPN(
                 block=block,
                 layers=layers,
@@ -99,6 +108,8 @@ class FasterRCNN(nn.Module):
                     else None
                 ),
                 frozen_bn=not self.v2,
+                deform_stages=tuple(self.deform_stages),
+                deform_modulated=self.deform_modulated,
                 name="backbone",
             )
             self.anchor_generator = _rpn_anchorgen()

@@ -196,3 +196,28 @@ def maskrcnn_resnet50_fpn_v2(
 ) -> VisionModel:
     weights = MaskRCNN_ResNet50_FPN_V2_Weights.verify(weights)
     return _build_maskrcnn(weights, v2=True, **kwargs)
+
+
+@register_model()
+def maskrcnn_resnet50_fpn_deform(
+    *,
+    weights: Optional[MaskRCNN_ResNet50_FPN_Weights] = None,
+    deform_stages=(2, 3, 4),
+    deform_modulated: bool = False,
+    **kwargs,
+) -> VisionModel:
+    """Mask R-CNN with deformable 3x3s in the trunk's C3-C5 bottlenecks
+    (BASELINE config #5; detectron2's DCN backbone recipe over the
+    reference op, ``torchvision/ops/deform_conv.py:14``).
+
+    Not a reference builder — the reference ships the op but no consuming
+    model. The offset (and, with ``deform_modulated=True``, DCNv2 mask)
+    predictors are zero-initialized, so loading
+    ``MaskRCNN_ResNet50_FPN_Weights`` (or ``weights_backbone``) reproduces
+    the plain model's outputs exactly at init; the deformation is learned
+    during fine-tuning."""
+    weights = MaskRCNN_ResNet50_FPN_Weights.verify(weights)
+    return _build_maskrcnn(
+        weights, v2=False, deform_stages=tuple(deform_stages),
+        deform_modulated=deform_modulated, **kwargs,
+    )

@@ -99,6 +99,12 @@ class RegionProposalNetwork:
         top post_nms_top_n, all static."""
         n = objectness[0].shape[0]
         h, w = image_size
+        # reference rpn.py:253,368-370: Faster R-CNN does NOT backprop
+        # through the proposals — without this, second-stage losses leak
+        # gradient into the decode->clip chain, where clipped exp-decoded
+        # coords produce 0*inf = NaN backbone grads.
+        objectness = [jax.lax.stop_gradient(o) for o in objectness]
+        deltas = [jax.lax.stop_gradient(d) for d in deltas]
 
         def per_image(obj_per_lvl, dl_per_lvl):
             boxes_l, scores_l, lvl_l, valid_l = [], [], [], []
