@@ -554,10 +554,11 @@ def _bench_roi_align(n_rois=512, n_iters=20):
     feature (1, 200, 272, 256), 7x7 output, sampling_ratio=2 — the
     Faster R-CNN box-head configuration.
 
-    Three rows: the gather path (round-2 baseline), the MXU separable-
-    matmul path at f32/"highest" (training-grade parity), and MXU at
-    bf16/"default" (the inference hot path `roi_align` now dispatches to
-    on TPU).
+    Four rows: the gather path (round-2 baseline), the MXU separable-
+    matmul path at f32 with the r4 default precision="high" (bf16x3 —
+    the training path, parity ~1e-6), MXU f32/"highest" (bf16x6, exact-
+    parity opt-in), and MXU at bf16/"default" (the inference hot path
+    `roi_align` dispatches to on TPU).
 
     Methodology (changed r4): best-of-3 — the earlier single-timing rows
     (72.3k f32) were dominated by per-call dispatch through the TPU
@@ -600,8 +601,12 @@ def _bench_roi_align(n_rois=512, n_iters=20):
         lambda f, r: _roi_align_gather(f, r, (7, 7), **kw), feat32
     )
     mxu_f32 = timed(lambda f, r: roi_align_mxu(f, r, (7, 7), **kw), feat32)
+    mxu_f32_exact = timed(
+        lambda f, r: roi_align_mxu(f, r, (7, 7), precision="highest", **kw),
+        feat32,
+    )
     mxu_bf16 = timed(lambda f, r: roi_align_mxu(f, r, (7, 7), **kw), feat16)
-    return gather, mxu_f32, mxu_bf16
+    return gather, mxu_f32, mxu_f32_exact, mxu_bf16
 
 
 def _bench_detection_e2e(size=832, n_iters=10):
@@ -746,7 +751,9 @@ def main():
     nms_1k = nms_sweep.get("1024", {})
     nms_boxes_s = nms_1k.get("pallas", 0.0)
     nms_xla_boxes_s = nms_1k.get("xla", 0.0)
-    roi_gather_s, roi_mxu_f32_s, roi_mxu_bf16_s = _bench_roi_align()
+    roi_gather_s, roi_mxu_f32_s, roi_mxu_f32_exact_s, roi_mxu_bf16_s = (
+        _bench_roi_align()
+    )
     try:
         detection_e2e = _bench_detection_e2e()
     except Exception as e:  # noqa: BLE001 — record, don't kill the bench
@@ -818,6 +825,9 @@ def main():
                     "nms_sweep_boxes_per_sec": nms_sweep,
                     "roi_align_rois_per_sec": round(roi_mxu_f32_s, 0),
                     "roi_align_gather_rois_per_sec": round(roi_gather_s, 0),
+                    "roi_align_mxu_f32_highest_rois_per_sec": round(
+                        roi_mxu_f32_exact_s, 0
+                    ),
                     "roi_align_mxu_bf16_rois_per_sec": round(
                         roi_mxu_bf16_s, 0
                     ),
@@ -832,8 +842,10 @@ def main():
                     "v5e host (~14 vCPU/chip). train_true = fused "
                     "device-augment + live-BN train step; train_step = "
                     "frozen-stats compute-only variant kept for r2 "
-                    "continuity. roi_align_rois_per_sec = MXU f32/highest "
-                    "(the TPU dispatch default for f32). NMS/roi_align "
+                    "continuity. roi_align_rois_per_sec = MXU f32/high "
+                    "(bf16x3, the r4 TPU dispatch default for f32; "
+                    "_highest row = bf16x6 exact-parity opt-in). "
+                    "NMS/roi_align "
                     "rows use best-of-3 amortized timing from r4 on — "
                     "r2/r3 component rows were ~5x understated by the "
                     "~0.3-0.5ms per-call dispatch through the TPU tunnel "
