@@ -293,16 +293,14 @@ def make_device_augment(args):
     augment) + normalize, then batch MixUp/CutMix — the fused-augmentation
     pipeline (BASELINE config #2; benchmarks/augmentation.py).
 
+    RandomResizedCrop + flip run as ONE batched two-matmul MXU resample
+    (``RandomResizedCrop.batched`` — ~7x the vmapped gather path);
     RandAugment/TrivialAugmentWide/AugMix run through the batched TPU
-    engine (``v2/_batch_augment.py`` — shear passes + fused color
-    branches, no per-pixel gathers) between the vmapped crop/flip stage
-    and the normalize stage: ~17x faster than vmapping their
-    ``lax.switch`` op selection, with bit-identical outputs for every
-    non-Rotate op."""
-    pre_stages = [
-        T.RandomResizedCrop(args.train_crop_size, antialias=True),
-        T.RandomHorizontalFlip(p=0.5),
-    ]
+    engine (``v2/_batch_augment.py`` — shear passes + bucketed color
+    branches, no per-pixel gathers) between the crop/flip stage and the
+    normalize stage: ~17x faster than vmapping their ``lax.switch`` op
+    selection, matching the per-sample path within 1 uint8 count."""
+    rrc = T.RandomResizedCrop(args.train_crop_size, antialias=True)
     interp = getattr(args, "interpolation", "bilinear")
     batched_aa = None
     if args.auto_augment == "ra":
@@ -320,7 +318,6 @@ def make_device_augment(args):
     if args.random_erase > 0:
         # after Normalize, like the reference preset (presets.py)
         post_stages.append(T.RandomErasing(p=args.random_erase))
-    pre = T.Compose(pre_stages)
     post = T.Compose(post_stages)
     mixers = []
     if args.mixup_alpha > 0:
@@ -332,8 +329,7 @@ def make_device_augment(args):
     def augment(batch, key):
         k1, k2, k3, kaa, kpost = jax.random.split(key, 5)
         n = batch["image"].shape[0]
-        keys = jax.random.split(k1, n)
-        imgs = jax.vmap(lambda im, k: pre(im, key=k))(batch["image"], keys)
+        imgs = rrc.batched(batch["image"], k1, flip_p=0.5)
         if batched_aa is not None:
             imgs = batched_aa.batched(imgs, kaa)
         pkeys = jax.random.split(kpost, n)

@@ -197,3 +197,145 @@ def test_augmix_batched_matches_vmap():
     diff = np.abs(got - want)
     assert (diff == 0).mean() > 0.55, f"only {(diff == 0).mean()} exact"
     assert np.median(diff) == 0
+
+
+def test_bucketed_color_stage_matches_batchwide():
+    """N=64 activates color bucketing (capacity < N). Integer-exact ops
+    (Posterize/Solarize/Invert/Equalize + all geometric) must match the
+    batch-wide path (color_bucket=0) bitwise; float-blend ops may differ
+    by <=1 uint8 count at a vanishing fraction of pixels (XLA contracts
+    the blend with FMA differently in the gathered program — documented
+    in the module docstring)."""
+    from vision_tpu.transforms.v2._batch_augment import (
+        _color_bucket_capacity,
+    )
+
+    n = 64
+    assert 0 < _color_bucket_capacity(n, len(NAMES)) < n
+    rng = np.random.RandomState(7)
+    imgs = jnp.asarray(rng.randint(0, 256, (n, 24, 24, 3)), jnp.uint8)
+    op_idx_np = rng.randint(0, len(NAMES), (n,))
+    op_idx = jnp.asarray(op_idx_np, jnp.int32)
+    mags = {}
+    for nm, (tab, signed) in SPACE.items():
+        mag = float(tab[9]) if tab.ndim > 0 else 0.0
+        sign = rng.choice([-1.0, 1.0], n).astype(np.float32)
+        mags[nm] = jnp.asarray(mag * sign if signed else np.full(n, mag, np.float32))
+    bound = max_shift_bound(SPACE, 9, (24, 24))
+    got = np.asarray(
+        apply_ops_batched(imgs, op_idx, mags, NAMES, bound)
+    ).astype(np.int32)
+    want = np.asarray(
+        apply_ops_batched(imgs, op_idx, mags, NAMES, bound, color_bucket=0)
+    ).astype(np.int32)
+    blend = {"Brightness", "Color", "Contrast", "Sharpness", "AutoContrast"}
+    d = np.abs(got - want)
+    assert d.max() <= 1, f"bucketed stage drifted {d.max()} counts"
+    assert (d > 0).mean() < 2e-3  # ulp flips only, not systematic
+    exact = np.array(
+        [NAMES[op_idx_np[b]] not in blend for b in range(n)]
+    )
+    np.testing.assert_array_equal(got[exact], want[exact])
+
+
+def test_bucketed_color_overflow_falls_back_exactly():
+    """Force every sample onto one bucketed op (count >> capacity): the
+    lax.cond overflow fallback must produce the exact batch-wide result."""
+    n = 64
+    rng = np.random.RandomState(11)
+    imgs = jnp.asarray(rng.randint(0, 256, (n, 24, 24, 3)), jnp.uint8)
+    bound = max_shift_bound(SPACE, 9, (24, 24))
+    for name, exact in (("Equalize", True), ("Sharpness", False)):
+        op_idx = jnp.full((n,), NAMES.index(name), jnp.int32)
+        mags = {
+            nm: jnp.full((n,), 0.27 if nm == name else 0.0, jnp.float32)
+            for nm in NAMES
+        }
+        got = np.asarray(
+            apply_ops_batched(imgs, op_idx, mags, NAMES, bound)
+        ).astype(np.int32)
+        want = np.asarray(
+            apply_ops_batched(imgs, op_idx, mags, NAMES, bound, color_bucket=0)
+        ).astype(np.int32)
+        if exact:  # integer pipeline: bitwise on every path
+            np.testing.assert_array_equal(got, want)
+        else:  # float blend inside lax.cond: <=1-count FMA flips allowed
+            d = np.abs(got - want)
+            assert d.max() <= 1 and (d > 0).mean() < 0.05
+
+
+def test_bucketed_color_stage_jits():
+    """The bucketed stage must trace cleanly under jit (lax.cond +
+    scatter-drop) and agree with eager."""
+    n = 32
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.randint(0, 256, (n, 16, 16, 3)), jnp.uint8)
+    op_idx = jnp.asarray(rng.randint(0, len(NAMES), (n,)), jnp.int32)
+    mags = {
+        nm: jnp.full((n,), float(tab[9]) if tab.ndim > 0 else 0.0, jnp.float32)
+        for nm, (tab, _s) in SPACE.items()
+    }
+    bound = max_shift_bound(SPACE, 9, (16, 16))
+    fn = lambda x: apply_ops_batched(x, op_idx, mags, NAMES, bound)  # noqa: E731
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(fn)(imgs)), np.asarray(fn(imgs))
+    )
+
+
+def test_rrc_batched_matches_vmapped_compose():
+    """RandomResizedCrop.batched(+fused flip) must reproduce the vmapped
+    Compose([RRC, RandomHorizontalFlip]) jit path — same RNG draw
+    structure, pixels within 1 uint8 count (two-matmul resample vs
+    four-gather lerp: f32 accumulation order only)."""
+    from vision_tpu.transforms.v2 import (
+        Compose,
+        RandomHorizontalFlip,
+        RandomResizedCrop,
+    )
+
+    n = 16
+    rng = np.random.RandomState(0)
+    raw = jnp.asarray(rng.randint(0, 256, (n, 48, 48, 3)), jnp.uint8)
+    rrc = RandomResizedCrop(32, antialias=True)
+    pre = Compose([rrc, RandomHorizontalFlip(p=0.5)])
+    key = jax.random.PRNGKey(21)
+
+    @jax.jit
+    def vmapped(x, k):
+        keys = jax.random.split(k, n)
+        return jax.vmap(lambda im, kk: pre(im, key=kk))(x, keys)
+
+    got = np.asarray(
+        jax.jit(lambda x, k: rrc.batched(x, k, flip_p=0.5))(raw, key)
+    ).astype(np.int32)
+    want = np.asarray(vmapped(raw, key)).astype(np.int32)
+    assert got.shape == want.shape == (n, 32, 32, 3)
+    d = np.abs(got - want)
+    assert d.max() <= 1, f"batched RRC drifted {d.max()} counts"
+    assert (d > 0).mean() < 0.02
+    # at least one sample must actually be flipped for the fused-flip
+    # path to be exercised (p=0.5 over 16 samples)
+    got_noflip = np.asarray(
+        jax.jit(lambda x, k: rrc.batched(x, k, flip_p=None))(raw, key)
+    )
+    assert not np.array_equal(got, got_noflip)
+
+
+def test_rrc_batched_no_flip_matches_vmapped_rrc():
+    from vision_tpu.transforms.v2 import RandomResizedCrop
+
+    n = 8
+    rng = np.random.RandomState(5)
+    raw = jnp.asarray(rng.randint(0, 256, (n, 40, 56, 3)), jnp.uint8)
+    rrc = RandomResizedCrop((24, 28), antialias=True)
+    key = jax.random.PRNGKey(9)
+
+    @jax.jit
+    def vmapped(x, k):
+        keys = jax.random.split(k, n)
+        return jax.vmap(lambda im, kk: rrc(im, key=kk))(x, keys)
+
+    got = np.asarray(jax.jit(rrc.batched)(raw, key)).astype(np.int32)
+    want = np.asarray(vmapped(raw, key)).astype(np.int32)
+    d = np.abs(got - want)
+    assert d.max() <= 1 and (d > 0).mean() < 0.02

@@ -19,15 +19,32 @@ gather — measured 84 img/s for the full RandAugment train pipeline on v5e
   (verified against ``F.rotate`` in ``tests/test_batch_augment.py``). All
   five ops share one three-pass pipeline with per-sample shift maps
   (identity shifts for samples whose op is non-geometric).
-* **Color ops batched + per-sample select.** Each color branch calls the
-  ordinary functional on the whole batch with a per-sample factor array
-  ``[N,1,1,1]`` (bit-identical to the per-sample path by construction);
-  XLA fuses the branch chain + selects into one traversal. Equalize uses
-  the MXU nibble-histogram formulation (``_color.py:equalize``).
+* **Color ops bucketed: compute only the samples that drew each op.**
+  With K ops and batch N, each color branch is drawn by ~N/K samples, so
+  running the functional batch-wide wastes (K-1)/K of its cost (measured
+  5.7 ms of the 8.8 ms RandAugment layer at N=128/224px on v5e). Each
+  non-trivial branch instead gathers its samples into a static-capacity
+  buffer (mean + 4 sigma of Binomial(N, 1/K), ~24 rows at N=128/K=14),
+  applies the ordinary functional there, and scatters back with
+  ``mode="drop"``. Every color functional is per-sample independent, so
+  the gathered compute is semantically identical to the batch-wide one;
+  numerically, XLA may contract the float blend chain with FMA
+  differently in the gathered program, which can flip a round()/floor()
+  boundary by one ulp — measured <=1 uint8 count at ~0.001% of pixels
+  for the blend ops (Brightness/Color/Contrast/Sharpness/AutoContrast;
+  integer-exact ops — Posterize/Solarize/Invert/Equalize — are bitwise
+  unaffected). ``color_bucket=0`` restores the exact batch-wide path.
+  In the astronomically rare overflow case (more draws than capacity,
+  ~1e-5 per op per batch) a ``lax.cond`` falls back to the batch-wide
+  compute. The geometric stage is bucketed the same way (its own
+  capacity at p = n_geo_ops/K): the three barrel passes usually run on
+  the ~5/14 of the batch that drew a geometric op. Equalize uses the
+  MXU nibble-histogram formulation (``_color.py:equalize``).
 
 The per-sample RNG draw structure mirrors the vmapped path exactly, so for
-every non-Rotate op the batched output is bit-identical to
-``vmap(transform)`` with the same key.
+every non-Rotate op the batched output matches ``vmap(transform)`` with
+the same key — bit-identical with ``color_bucket=0``, and up to the
+<=1-count FMA rounding note above when color bucketing is active.
 """
 
 from __future__ import annotations
@@ -117,6 +134,19 @@ def max_shift_bound(space: Dict, magnitude: int | None, size) -> int:
     return min(int(math.ceil(bound)) + 1, max(h, w))
 
 
+def _color_bucket_capacity(n: int, k: int) -> int:
+    """Static gather capacity for one color branch: mean + 4 sigma of
+    Binomial(n, 1/k) draws, rounded up to a multiple of 8 (TPU sublane).
+    Returns 0 (bucketing off) when the bound wouldn't save at least a
+    quarter of the batch."""
+    p = 1.0 / max(k, 1)
+    cap = n * p + 4.0 * math.sqrt(n * p * (1.0 - p))
+    cap = int(math.ceil(cap / 8.0)) * 8
+    if cap >= (3 * n) // 4:
+        return 0
+    return cap
+
+
 def apply_ops_batched(
     imgs: jax.Array,
     op_idx: jax.Array,
@@ -125,6 +155,7 @@ def apply_ops_batched(
     max_shift: int,
     rot90_needed: bool = False,
     interpolation: str = "nearest",
+    color_bucket: int | None = None,
 ) -> jax.Array:
     """Apply per-sample auto-augment ops to a uint8 batch.
 
@@ -137,6 +168,11 @@ def apply_ops_batched(
         max_shift: static bound from :func:`max_shift_bound`.
         rot90_needed: True when the space's Rotate range exceeds 45 deg
             (TrivialAugmentWide) — requires square images.
+        color_bucket: static per-branch gather capacity for the bucketed
+            color stage; ``None`` = auto from Binomial(N, 1/K) tail
+            (assumes the sampler draws ops uniformly — correctness never
+            depends on it, only the overflow-fallback rate), ``0`` =
+            disable bucketing (always batch-wide + select).
     """
     if imgs.dtype != jnp.uint8:
         raise NotImplementedError(
@@ -160,94 +196,197 @@ def apply_ops_batched(
     ci = iy - h / 2 + 0.5  # centered output coords (grid convention)
     cj = jx - w / 2 + 0.5
 
-    # ---- geometric stage: three shared shear passes -------------------
-    tx1 = jnp.zeros((n, h), f32)
-    ty = jnp.zeros((n, w), f32)
-    tx2 = jnp.zeros((n, h), f32)
-    base = imgs
+    # ---- geometric stage: three shared shear passes --------------------
+    def geo_stage(s_imgs, s_op, s_mags):
+        """Warp any sub-batch (per-sample independent): identity shifts
+        for samples whose op is non-geometric -> exact copy."""
+        m = s_imgs.shape[0]
 
-    msk = mask_of("ShearX")
-    if msk is not None:
-        # x_src = j + mag*(i + 0.5)  (shear about corner, center=[0,0])
-        tx1 = tx1 + (msk * mags["ShearX"])[:, None] * (iy + 0.5)[None, :]
-    msk = mask_of("ShearY")
-    if msk is not None:
-        ty = ty + (msk * mags["ShearY"])[:, None] * (jx + 0.5)[None, :]
-    msk = mask_of("TranslateX")
-    if msk is not None:
-        tx1 = tx1 + (msk * -jnp.trunc(mags["TranslateX"]))[:, None]
-    msk = mask_of("TranslateY")
-    if msk is not None:
-        ty = ty + (msk * -jnp.trunc(mags["TranslateY"]))[:, None]
-    rot = mask_of("Rotate")
-    if rot is not None:
-        ang = mags["Rotate"]
-        if rot90_needed:
-            if h != w:
-                raise ValueError(
-                    "Rotate > 45 deg in the space requires square images"
-                )
-            k90 = jnp.round(ang / 90.0)
-            resid = jnp.radians(ang - k90 * 90.0)
-            k90i = (k90.astype(jnp.int32) % 4 + 4) % 4
-            # F.rotate is counterclockwise; rot90(axes=(1,2)) after
-            # calibration (tests/test_batch_augment.py pins direction)
-            k4 = m4(k90i)
-            sel = imgs
-            for kk in (1, 2, 3):
-                sel = jnp.where(kk == k4, jnp.rot90(imgs, kk, axes=(1, 2)), sel)
-            base = jnp.where(m4(rot), sel, imgs)
-        else:
-            resid = jnp.radians(ang)
-        a = -jnp.tan(resid / 2.0)
-        b = jnp.sin(resid)
-        tx1 = tx1 + (rot * a)[:, None] * ci[None, :]
-        ty = ty + (rot * b)[:, None] * cj[None, :]
-        tx2 = tx2 + (rot * a)[:, None] * ci[None, :]
+        def s_mask(nm):
+            if nm not in idx:
+                return None
+            return s_op == idx[nm]
 
-    xw = jnp.moveaxis(base, -1, 1)  # [N, C, H, W]
-    if interpolation == "bilinear":
-        # f32 through the three passes, one round at stage exit — like the
-        # direct warp, which blends in f32 and rounds once per op
-        xw = xw.astype(jnp.float32)
-    xw = _barrel_pass(xw, tx1, max_shift, interpolation)
-    xw = jnp.swapaxes(xw, 2, 3)  # now [N, C, W, H]: shift along H
-    xw = _barrel_pass(xw, ty, max_shift, interpolation)
-    xw = jnp.swapaxes(xw, 2, 3)
-    xw = _barrel_pass(xw, tx2, max_shift, interpolation)
-    if interpolation == "bilinear":
-        xw = jnp.clip(jnp.round(xw), 0, 255).astype(imgs.dtype)
-    out = jnp.moveaxis(xw, 1, -1)
-    # non-geometric samples have all-zero shifts -> exact copy of `imgs`
-    # (bilinear: frac 0 -> lerp degenerates to the exact copy too)
+        tx1 = jnp.zeros((m, h), f32)
+        ty = jnp.zeros((m, w), f32)
+        tx2 = jnp.zeros((m, h), f32)
+        base = s_imgs
 
-    # ---- color stage: batched branches + per-sample select ------------
-    def put(nm, branch):
+        msk = s_mask("ShearX")
+        if msk is not None:
+            # x_src = j + mag*(i + 0.5)  (shear about corner, center=[0,0])
+            tx1 = tx1 + (msk * s_mags["ShearX"])[:, None] * (iy + 0.5)[None, :]
+        msk = s_mask("ShearY")
+        if msk is not None:
+            ty = ty + (msk * s_mags["ShearY"])[:, None] * (jx + 0.5)[None, :]
+        msk = s_mask("TranslateX")
+        if msk is not None:
+            tx1 = tx1 + (msk * -jnp.trunc(s_mags["TranslateX"]))[:, None]
+        msk = s_mask("TranslateY")
+        if msk is not None:
+            ty = ty + (msk * -jnp.trunc(s_mags["TranslateY"]))[:, None]
+        rot = s_mask("Rotate")
+        if rot is not None:
+            ang = s_mags["Rotate"]
+            if rot90_needed:
+                if h != w:
+                    raise ValueError(
+                        "Rotate > 45 deg in the space requires square images"
+                    )
+                k90 = jnp.round(ang / 90.0)
+                resid = jnp.radians(ang - k90 * 90.0)
+                k90i = (k90.astype(jnp.int32) % 4 + 4) % 4
+                # F.rotate is counterclockwise; rot90(axes=(1,2)) after
+                # calibration (tests/test_batch_augment.py pins direction)
+                k4 = m4(k90i)
+                sel = s_imgs
+                for kk in (1, 2, 3):
+                    sel = jnp.where(
+                        kk == k4, jnp.rot90(s_imgs, kk, axes=(1, 2)), sel
+                    )
+                base = jnp.where(m4(rot), sel, s_imgs)
+            else:
+                resid = jnp.radians(ang)
+            a = -jnp.tan(resid / 2.0)
+            b = jnp.sin(resid)
+            tx1 = tx1 + (rot * a)[:, None] * ci[None, :]
+            ty = ty + (rot * b)[:, None] * cj[None, :]
+            tx2 = tx2 + (rot * a)[:, None] * ci[None, :]
+
+        xw = jnp.moveaxis(base, -1, 1)  # [M, C, H, W]
+        if interpolation == "bilinear":
+            # f32 through the three passes, one round at stage exit — like
+            # the direct warp: blends in f32 and rounds once per op
+            xw = xw.astype(jnp.float32)
+        xw = _barrel_pass(xw, tx1, max_shift, interpolation)
+        xw = jnp.swapaxes(xw, 2, 3)  # now [M, C, W, H]: shift along H
+        xw = _barrel_pass(xw, ty, max_shift, interpolation)
+        xw = jnp.swapaxes(xw, 2, 3)
+        xw = _barrel_pass(xw, tx2, max_shift, interpolation)
+        if interpolation == "bilinear":
+            xw = jnp.clip(jnp.round(xw), 0, 255).astype(s_imgs.dtype)
+        return jnp.moveaxis(xw, 1, -1)
+
+    # bucket the geometric stage like the color branches: ~5/14 of the
+    # batch draws a geometric op, so the three barrel passes usually only
+    # need the gathered subset (the warp is per-sample independent; the
+    # non-geo rows of the full-batch stage are exact copies of `imgs`)
+    geo_names = [nm for nm in _GEOMETRIC if nm in idx]
+    geo_cap = 0
+    if geo_names and color_bucket != 0:
+        p_geo = len(geo_names) / len(names)
+        gc = n * p_geo + 4.0 * math.sqrt(n * p_geo * (1.0 - p_geo))
+        gc = int(math.ceil(gc / 8.0)) * 8
+        geo_cap = gc if gc < (7 * n) // 8 else 0
+    if geo_names and 0 < geo_cap < n:
+        gmsk = jnp.zeros((n,), bool)
+        for nm in geo_names:
+            gmsk = gmsk | (op_idx == idx[nm])
+        gcnt = jnp.sum(gmsk)
+
+        def geo_cheap(o):
+            sel = jnp.argsort(~gmsk)[:geo_cap]
+            rows = geo_stage(
+                jnp.take(imgs, sel, axis=0),
+                jnp.take(op_idx, sel),
+                {k: v[sel] for k, v in mags.items()},
+            )
+            tgt = jnp.where(jnp.arange(geo_cap) < gcnt, sel, n)
+            return o.at[tgt].set(rows, mode="drop")
+
+        out = jax.lax.cond(
+            gcnt <= geo_cap,
+            geo_cheap,
+            lambda o: geo_stage(imgs, op_idx, mags),
+            imgs,
+        )
+    elif geo_names:
+        out = geo_stage(imgs, op_idx, mags)
+    else:
+        out = imgs
+
+    # ---- color stage: bucketed branches (see module docstring) ---------
+    cap = (
+        _color_bucket_capacity(n, len(names))
+        if color_bucket is None
+        else color_bucket
+    )
+
+    def put_bucketed(nm, branch_fn):
+        """``branch_fn(rows, sel)``: apply the op to ``rows`` ([M,H,W,C],
+        the samples at batch indices ``sel``; ``sel=None`` = whole batch).
+        Every color functional is per-sample independent, so the gathered
+        compute is bit-identical to the batch-wide one."""
         nonlocal out
         msk = mask_of(nm)
-        if msk is not None:
-            out = jnp.where(m4(msk), branch, out)
+        if msk is None:
+            return
+        if not cap or cap >= n:
+            out = jnp.where(m4(msk), branch_fn(imgs, None), out)
+            return
+        cnt = jnp.sum(msk)
+
+        def cheap(o):
+            # stable argsort puts this op's samples first, in index order
+            sel = jnp.argsort(~msk)[:cap]
+            res = branch_fn(jnp.take(imgs, sel, axis=0), sel)
+            # rows past cnt belong to other samples: drop their scatter
+            tgt = jnp.where(jnp.arange(cap) < cnt, sel, n)
+            return o.at[tgt].set(res, mode="drop")
+
+        def full(o):
+            return jnp.where(m4(msk), branch_fn(imgs, None), o)
+
+        out = jax.lax.cond(cnt <= cap, cheap, full, out)
+
+    def _fac(v):
+        def pick(rows, sel):
+            f = v if sel is None else v[sel]
+            return f[:, None, None, None]
+
+        return pick
 
     if "Brightness" in idx:
-        put("Brightness", F.adjust_brightness(imgs, m4(1.0 + mags["Brightness"])))
+        fac = _fac(1.0 + mags["Brightness"])
+        put_bucketed(
+            "Brightness", lambda r, s, fac=fac: F.adjust_brightness(r, fac(r, s))
+        )
     if "Color" in idx:
-        put("Color", F.adjust_saturation(imgs, m4(1.0 + mags["Color"])))
+        fac = _fac(1.0 + mags["Color"])
+        put_bucketed(
+            "Color", lambda r, s, fac=fac: F.adjust_saturation(r, fac(r, s))
+        )
     if "Contrast" in idx:
-        put("Contrast", F.adjust_contrast(imgs, m4(1.0 + mags["Contrast"])))
+        fac = _fac(1.0 + mags["Contrast"])
+        put_bucketed(
+            "Contrast", lambda r, s, fac=fac: F.adjust_contrast(r, fac(r, s))
+        )
     if "Sharpness" in idx:
-        put("Sharpness", F.adjust_sharpness(imgs, m4(1.0 + mags["Sharpness"])))
+        fac = _fac(1.0 + mags["Sharpness"])
+        put_bucketed(
+            "Sharpness", lambda r, s, fac=fac: F.adjust_sharpness(r, fac(r, s))
+        )
     if "Posterize" in idx:
-        bits = mags["Posterize"].astype(jnp.int32)
-        mask = (256 - jnp.left_shift(1, jnp.clip(8 - bits, 0, 8))) & 0xFF
-        put("Posterize", imgs & m4(mask).astype(imgs.dtype))
+
+        def _posterize(r, s):
+            v = mags["Posterize"] if s is None else mags["Posterize"][s]
+            bits = v.astype(jnp.int32)
+            mask = (256 - jnp.left_shift(1, jnp.clip(8 - bits, 0, 8))) & 0xFF
+            return r & mask[:, None, None, None].astype(r.dtype)
+
+        put_bucketed("Posterize", _posterize)
     if "Solarize" in idx:
-        thr = m4(mags["Solarize"])
-        inverted = (255 - imgs.astype(jnp.int32)).astype(imgs.dtype)
-        put("Solarize", jnp.where(imgs >= thr, inverted, imgs))
+
+        def _solarize(r, s):
+            v = mags["Solarize"] if s is None else mags["Solarize"][s]
+            inverted = (255 - r.astype(jnp.int32)).astype(r.dtype)
+            return jnp.where(r >= v[:, None, None, None], inverted, r)
+
+        put_bucketed("Solarize", _solarize)
     if "AutoContrast" in idx:
-        put("AutoContrast", F.autocontrast(imgs))
+        put_bucketed("AutoContrast", lambda r, s: F.autocontrast(r))
     if "Equalize" in idx:
-        put("Equalize", F.equalize(imgs))
+        put_bucketed("Equalize", lambda r, s: F.equalize(r))
     if "Invert" in idx:
-        put("Invert", F.invert(imgs))
+        put_bucketed("Invert", lambda r, s: F.invert(r))
     return out

@@ -293,6 +293,44 @@ class RandomResizedCrop(Transform):
             self.antialias,
         )
 
+    def batched(self, imgs: jax.Array, key: jax.Array, flip_p=None):
+        """Whole-batch RandomResizedCrop (+ optional fused horizontal
+        flip) on the MXU — the production ``--device-augment`` form.
+
+        Mirrors the RNG draw structure of the vmapped per-sample path:
+        with ``flip_p=None`` each sample's key feeds
+        ``_make_params_traced`` directly (``vmap(self)(imgs, keys)``
+        parity); with ``flip_p`` set it reproduces
+        ``Compose([self, RandomHorizontalFlip(p=flip_p)])`` — the
+        Compose-level 2-way split, then the flip's gate/params split —
+        so draws are bit-identical to that pipeline. The resample runs
+        as two batched einsums (``F.resized_crop_flip_batch``), ~7x the
+        vmapped gather path at 128x256x256 on v5e; pixels match it to
+        f32 accumulation order (<=1 uint8 count at round boundaries).
+        Like the vmapped jit path this skips antialiasing (kernel widths
+        would be data-dependent)."""
+        n, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+
+        def draw(k):
+            if flip_p is None:
+                p = self._make_params_traced(h, w, k)
+                return p, jnp.bool_(False)
+            k_rrc, k_flip = jax.random.split(k)
+            p = self._make_params_traced(h, w, k_rrc)
+            gate, _params = jax.random.split(k_flip)
+            return p, jax.random.uniform(gate) < flip_p
+
+        params, flip = jax.vmap(draw)(jax.random.split(key, n))
+        return F.resized_crop_flip_batch(
+            imgs,
+            params["top"],
+            params["left"],
+            params["height"],
+            params["width"],
+            self.size,
+            flip=None if flip_p is None else flip,
+        )
+
 
 def _setup_range(value, name, center=0.0):
     if isinstance(value, (int, float)):

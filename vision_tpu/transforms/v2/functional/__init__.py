@@ -52,6 +52,7 @@ from vision_tpu.transforms.v2.functional._geometry import (
     resize_mask,
     resized_crop,
     resized_crop_dynamic,
+    resized_crop_flip_batch,
     resized_crop_image,
     rotate,
     rotate_bounding_boxes,

@@ -601,6 +601,72 @@ def resized_crop_dynamic(image, top, left, height, width, size):
     return jnp.clip(jnp.round(out), info.min, info.max).astype(image.dtype)
 
 
+def resized_crop_flip_batch(
+    images,
+    top,
+    left,
+    height,
+    width,
+    size,
+    flip=None,
+    precision: str = "high",
+):
+    """Batched MXU resized-crop (+ optional fused horizontal flip): the
+    TPU-first form of :func:`resized_crop_dynamic` for whole-batch input
+    pipelines.
+
+    ``resized_crop_dynamic`` under ``vmap`` lowers to four per-sample
+    coordinate gathers — scalar loads on TPU, measured 5.4 ms for a
+    128x256x256 batch on v5e. Here the bilinear sample is two separable
+    per-sample weight matmuls (the :func:`vision_tpu.ops.roi_align_mxu`
+    trick): ``out[n] = W_y[n] @ img[n] @ W_x[n]^T`` where
+    ``W_y[n, o, i] = relu(1 - |gy[n, o] - i|)`` is the tent-weight row
+    (exactly the two-point lerp, since ``gy`` is clamped inside the
+    image) built elementwise from the same source mapping as
+    ``resized_crop_dynamic`` — no gathers, all batched einsum on the MXU.
+    A per-sample ``flip`` flag reverses the ``gx`` rows, folding
+    RandomHorizontalFlip into the same two matmuls for free.
+
+    Matches ``vmap(resized_crop_dynamic)`` to f32 accumulation-order
+    (<=1 uint8 count at round boundaries; ``precision="highest"`` for
+    the exact-parity 6-pass MXU formulation, "high" = bf16x3 default).
+
+    Args:
+        images: [N, H, W, C].
+        top/left/height/width: [N] float32 crop rects (traced ok).
+        size: static output (h, w) or int.
+        flip: optional [N] bool — mirror the output horizontally.
+    """
+    out_h, out_w = (size, size) if isinstance(size, int) else tuple(size)
+    n, in_h, in_w, _ = images.shape
+    f32 = jnp.float32
+    top = jnp.asarray(top, f32)[:, None]
+    left = jnp.asarray(left, f32)[:, None]
+    height = jnp.asarray(height, f32)[:, None]
+    width = jnp.asarray(width, f32)[:, None]
+
+    ys = jnp.arange(out_h, dtype=f32)[None, :]
+    xs = jnp.arange(out_w, dtype=f32)[None, :]
+    gy = jnp.clip(top + (ys + 0.5) * height / out_h - 0.5, 0.0, in_h - 1.0)
+    gx = jnp.clip(left + (xs + 0.5) * width / out_w - 0.5, 0.0, in_w - 1.0)
+    if flip is not None:
+        gx = jnp.where(flip[:, None], gx[:, ::-1], gx)
+    # tent weights == the bilinear lerp: at most two adjacent nonzeros
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(gy[:, :, None] - jnp.arange(in_h, dtype=f32))
+    )  # [N, out_h, H]
+    wx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(gx[:, :, None] - jnp.arange(in_w, dtype=f32))
+    )  # [N, out_w, W]
+    x = images.astype(f32)
+    t = jnp.einsum("noi,niwc->nowc", wy, x, precision=precision)
+    out = jnp.einsum("npw,nowc->nopc", wx, t, precision=precision)
+    if jnp.issubdtype(images.dtype, jnp.floating):
+        return out.astype(images.dtype)
+    info = jnp.iinfo(images.dtype)
+    return jnp.clip(jnp.round(out), info.min, info.max).astype(images.dtype)
+
+
 # ======================================================================
 # affine family
 # ======================================================================
