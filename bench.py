@@ -773,6 +773,28 @@ def _bench_detection_e2e(size=832, n_iters=10):
     out["maskrcnn_resnet50_fpn_paste"] = {
         "e2e_images_per_sec": round(timed(mask_full), 2),
     }
+    del mask, mvars
+
+    # BASELINE config #5: the deform-conv backbone variant as a whole
+    # pipeline (deformable 3x3s in C3-C5 -> im2col gather + grouped
+    # einsum per block). Opt-in: its XLA compile alone takes ~12.5 min
+    # at 832x832 on a 1-vCPU host, which would risk the driver's bench
+    # budget for one row. Measured 2026-08-19 on v5e-1: 23.7 img/s
+    # (compile 747 s) — the im2col gathers at C3 resolution dominate;
+    # the plain variant's dense-conv trunk runs 221 img/s.
+    if os.environ.get("VISION_TPU_BENCH_DEFORM"):
+        with fast_init():
+            maskd = get_model("maskrcnn_resnet50_fpn_deform")
+        dmod, dvars = maskd.module, dict(maskd.variables)
+
+        def maskd_full(x):
+            d = dmod.apply(dvars, x, train=False)
+            pasted = paste_masks_in_image(d.masks[0], d.boxes[0], size, size)
+            return (d.boxes, d.scores, pasted)
+
+        out["maskrcnn_resnet50_fpn_deform_paste"] = {
+            "e2e_images_per_sec": round(timed(maskd_full), 2),
+        }
     return out
 
 

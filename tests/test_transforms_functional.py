@@ -368,16 +368,27 @@ def test_to_dtype_scale_roundtrip(rng):
 
 
 def test_sanitize_bounding_boxes():
+    # reference `_misc.py:_get_sanitize_bounding_boxes_mask`: degenerate
+    # (< min_size / min_area) boxes, negative coords, AND any coordinate
+    # beyond the canvas (inclusive bound: == canvas is valid) are removed
     bb = tv_tensors.BoundingBoxes(
         np.array(
-            [[1, 1, 5, 5], [2, 2, 2.5, 8], [-10, -10, -5, -5], [0, 0, 50, 50]],
+            [
+                [1, 1, 5, 5],        # valid
+                [2, 2, 2.5, 8],      # w < min_size
+                [-10, -10, -5, -5],  # negative coords
+                [0, 0, 50, 50],      # coords beyond the 20x20 canvas
+                [0, 0, 20, 20],      # == canvas: inclusive bound, valid
+            ],
             np.float32,
         ),
         format="XYXY",
         canvas_size=(20, 20),
     )
     _, valid = F.sanitize_bounding_boxes(bb)
-    np.testing.assert_array_equal(np.asarray(valid), [True, False, False, True])
+    np.testing.assert_array_equal(
+        np.asarray(valid), [True, False, False, False, True]
+    )
 
 
 def test_erase(rng):
