@@ -385,10 +385,19 @@ def test_sanitize_bounding_boxes():
         format="XYXY",
         canvas_size=(20, 20),
     )
-    _, valid = F.sanitize_bounding_boxes(bb)
+    out, valid = F.sanitize_bounding_boxes(bb)
     np.testing.assert_array_equal(
         np.asarray(valid), [True, False, False, False, True]
     )
+    # container kind follows the input (reference _misc.py:391): wrapper
+    # in -> wrapper out, pure array in -> pure array out
+    assert isinstance(out, tv_tensors.BoundingBoxes)
+    out_plain, valid_plain = F.sanitize_bounding_boxes(
+        bb.data, format="XYXY", canvas_size=(20, 20)
+    )
+    assert not isinstance(out_plain, tv_tensors.BoundingBoxes)
+    np.testing.assert_array_equal(np.asarray(valid_plain), np.asarray(valid))
+    np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(bb.data))
 
 
 def test_erase(rng):

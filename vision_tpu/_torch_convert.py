@@ -96,9 +96,16 @@ def convert_torch_state_dict(
     variables: Dict[str, Any],
     hooks: Optional[Callable[[Dict[str, np.ndarray]], Dict[str, np.ndarray]]] = None,
     strict: bool = True,
+    allow_missing: Optional[Callable[[str], bool]] = None,
 ) -> Dict[str, Any]:
     """Convert ``sd`` into the structure of ``variables`` (a flax variables
     dict with 'params' and optionally 'batch_stats'/'frozen' collections).
+
+    ``allow_missing``: predicate over torch keys; variables whose torch key
+    is absent from ``sd`` AND matches the predicate keep their init value
+    without tripping the strict check (e.g. the zero-init ``conv2_offset``
+    predictors a plain checkpoint cannot contain when loaded into a
+    deform-conv backbone variant).
     """
     if hooks is not None:
         sd = hooks(dict(sd))
@@ -113,7 +120,8 @@ def convert_torch_state_dict(
         for path, leaf in flat.items():
             tk, kind = _torch_key(collection, path)
             if tk not in sd:
-                missing.append(tk)
+                if allow_missing is None or not allow_missing(tk):
+                    missing.append(tk)
                 new_flat[path] = leaf
                 continue
             arr = _convert_tensor(sd[tk], kind, leaf.shape)

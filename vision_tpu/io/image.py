@@ -113,6 +113,26 @@ def _pil_decode(data: bytes) -> np.ndarray:
     return arr
 
 
+def _exif_orient(
+    arr: np.ndarray, data: bytes, container: str, apply: bool
+) -> np.ndarray:
+    """Apply the container's EXIF orientation tag to a decoded array (the
+    reference applies it post-decode, ``io/image.py:96,177``). No-op when
+    ``apply`` is False; always returns a contiguous array otherwise."""
+    if not apply:
+        return arr
+    from vision_tpu.io import _exif
+
+    parse = (
+        _exif.parse_jpeg_exif_orientation
+        if container == "jpeg"
+        else _exif.parse_png_exif_orientation
+    )
+    return np.ascontiguousarray(
+        _exif.exif_orientation_transform(arr, parse(bytes(data)))
+    )
+
+
 def decode_jpeg(
     data: bytes,
     mode: ImageReadMode = ImageReadMode.UNCHANGED,
@@ -203,18 +223,7 @@ def decode_jpeg(
             for b in data
         ]
     def _orient(arr: np.ndarray) -> np.ndarray:
-        if not apply_exif_orientation:
-            return arr
-        from vision_tpu.io._exif import (
-            exif_orientation_transform,
-            parse_jpeg_exif_orientation,
-        )
-
-        return np.ascontiguousarray(
-            exif_orientation_transform(
-                arr, parse_jpeg_exif_orientation(bytes(data))
-            )
-        )
+        return _exif_orient(arr, data, "jpeg", apply_exif_orientation)
 
     if scale is not None:
         arr = _codecs.decode_jpeg_scaled_native(data, scale[0], scale[1])
@@ -254,19 +263,7 @@ def decode_png(
     arr = _codecs.decode_png_native(data)
     if arr is None:
         arr = _pil_decode(data)
-    arr = _apply_mode(arr, mode)
-    if apply_exif_orientation:
-        from vision_tpu.io._exif import (
-            exif_orientation_transform,
-            parse_png_exif_orientation,
-        )
-
-        arr = np.ascontiguousarray(
-            exif_orientation_transform(
-                arr, parse_png_exif_orientation(bytes(data))
-            )
-        )
-    return arr
+    return _exif_orient(_apply_mode(arr, mode), data, "png", apply_exif_orientation)
 
 
 def decode_png16(data: bytes) -> np.ndarray:

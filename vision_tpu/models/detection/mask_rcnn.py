@@ -170,7 +170,17 @@ def _build_maskrcnn(weights, v2: bool, num_classes=91, weights_backbone=None,
         from vision_tpu._torch_convert import convert_torch_state_dict
 
         sd = weights.get_state_dict()
-        variables = convert_torch_state_dict(sd, dict(variables), hooks=_frcnn_hooks)
+        # deform-conv backbone variants: the plain checkpoint has no
+        # conv2_offset predictor params — those stay at their zero init,
+        # which reproduces the plain model exactly (backbone_utils
+        # _DeformFrozenBottleneck zero-init semantics).
+        allow_missing = (
+            (lambda tk: "conv2_offset" in tk)
+            if kwargs.get("deform_stages") else None
+        )
+        variables = convert_torch_state_dict(
+            sd, dict(variables), hooks=_frcnn_hooks, allow_missing=allow_missing
+        )
         preprocess = weights.transforms()
     elif weights_backbone is not None:
         from vision_tpu.models.detection.backbone_utils import apply_weights_backbone

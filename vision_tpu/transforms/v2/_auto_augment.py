@@ -375,8 +375,12 @@ class RandAugment(_AutoAugmentBase):
         """Per-sample RandAugment on a uint8 batch [N,H,W,C] via the
         batched TPU engine (``_batch_augment.py``) — the production
         ``--device-augment`` path, ~17x faster than ``vmap(__call__)``.
-        The RNG draw structure mirrors the vmapped path, so every
-        non-Rotate op is bit-identical to ``vmap`` with the same key;
+        The RNG draw structure mirrors the vmapped path: integer ops are
+        bit-identical to ``vmap`` with the same key; the float-blend
+        color ops (Brightness/Color/Contrast/Sharpness/AutoContrast) may
+        differ by <=1 uint8 count under the default color bucketing
+        (XLA FMA contraction differs across fusion contexts — pass
+        ``color_bucket=0`` through the engine for the exact path);
         Rotate samples within +-1 source pixel (three-shear)."""
         from vision_tpu.transforms.v2._batch_augment import (
             apply_ops_batched,
@@ -737,8 +741,11 @@ class AugMix(_AutoAugmentBase):
         TPU engine: each of the ``mixture_width x max_depth`` chain steps
         is one engine application; steps beyond a sample's traced depth
         pass ``op_idx = -1`` (no mask matches -> exact copy). RNG draw
-        structure mirrors the per-sample path, so non-Rotate chains are
-        bit-identical to ``vmap(__call__)`` with the same keys."""
+        structure mirrors the per-sample path: integer-op chains are
+        bit-identical to ``vmap(__call__)`` with the same keys; float-
+        blend color ops may differ by <=1 uint8 count under the default
+        color bucketing (``color_bucket=0`` restores the exact path);
+        Rotate samples within +-1 source pixel."""
         from vision_tpu.transforms.v2._batch_augment import (
             apply_ops_batched,
             max_shift_bound,

@@ -134,17 +134,22 @@ def max_shift_bound(space: Dict, magnitude: int | None, size) -> int:
     return min(int(math.ceil(bound)) + 1, max(h, w))
 
 
-def _color_bucket_capacity(n: int, k: int) -> int:
-    """Static gather capacity for one color branch: mean + 4 sigma of
-    Binomial(n, 1/k) draws, rounded up to a multiple of 8 (TPU sublane).
-    Returns 0 (bucketing off) when the bound wouldn't save at least a
-    quarter of the batch."""
-    p = 1.0 / max(k, 1)
+def _bucket_capacity(n: int, p: float, cut_num: int, cut_den: int) -> int:
+    """Static gather capacity for a bucketed stage: mean + 4 sigma of
+    Binomial(n, p) draws, rounded up to a multiple of 8 (TPU sublane).
+    Returns 0 (bucketing off) when the bound wouldn't beat
+    ``cut_num/cut_den`` of the batch (not worth the gather/scatter)."""
     cap = n * p + 4.0 * math.sqrt(n * p * (1.0 - p))
     cap = int(math.ceil(cap / 8.0)) * 8
-    if cap >= (3 * n) // 4:
+    if cap >= (cut_num * n) // cut_den:
         return 0
     return cap
+
+
+def _color_bucket_capacity(n: int, k: int) -> int:
+    """Capacity for one color branch (draw probability 1/k); off unless it
+    saves at least a quarter of the batch."""
+    return _bucket_capacity(n, 1.0 / max(k, 1), 3, 4)
 
 
 def apply_ops_batched(
@@ -274,10 +279,7 @@ def apply_ops_batched(
     geo_names = [nm for nm in _GEOMETRIC if nm in idx]
     geo_cap = 0
     if geo_names and color_bucket != 0:
-        p_geo = len(geo_names) / len(names)
-        gc = n * p_geo + 4.0 * math.sqrt(n * p_geo * (1.0 - p_geo))
-        gc = int(math.ceil(gc / 8.0)) * 8
-        geo_cap = gc if gc < (7 * n) // 8 else 0
+        geo_cap = _bucket_capacity(n, len(geo_names) / len(names), 7, 8)
     if geo_names and 0 < geo_cap < n:
         gmsk = jnp.zeros((n,), bool)
         for nm in geo_names:

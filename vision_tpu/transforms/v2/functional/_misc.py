@@ -237,7 +237,8 @@ def sanitize_bounding_boxes(
     ``format``/``canvas_size`` follow the reference contract
     (``_misc.py:sanitize_bounding_boxes``): required for (and only
     accepted with) plain-array input; BoundingBoxes carry their own."""
-    if isinstance(boxes, BoundingBoxes):
+    wrap_output = isinstance(boxes, BoundingBoxes)
+    if wrap_output:
         if format is not None or canvas_size is not None:
             raise ValueError(
                 "format and canvas_size must not be passed with a "
@@ -269,4 +270,7 @@ def sanitize_bounding_boxes(
     valid &= jnp.all(xyxy >= 0, axis=-1)
     valid &= (xyxy[..., 0] <= w) & (xyxy[..., 2] <= w)
     valid &= (xyxy[..., 1] <= h) & (xyxy[..., 3] <= h)
-    return boxes, valid
+    # reference returns the same container kind it was given: a pure
+    # tensor in -> a pure tensor out (_misc.py:391), BoundingBoxes in ->
+    # BoundingBoxes out
+    return (boxes if wrap_output else boxes.data), valid
