@@ -710,7 +710,10 @@ def _bench_detection_e2e(size=832, n_iters=10):
                 out = fn(x)
                 leaves = jax.tree_util.tree_leaves(out)
                 s = sum(jnp.sum(l.astype(jnp.float32)) * 1e-9 for l in leaves)
-                return x, acc + s
+                # feed acc back into the input: a loop-carried dependency so
+                # while-loop invariant code motion cannot hoist fn out of
+                # the loop (same guard as _bench_forward)
+                return x + acc * 1e-12, acc + s
             return jax.lax.fori_loop(0, n_iters, body, (x, 0.0))[1]
 
         float(loop(img))  # compile
