@@ -14,6 +14,7 @@ from vision_tpu.models._utils import VisionModel, init_variables
 from vision_tpu.models.detection import _utils as det_utils
 from vision_tpu.models.detection.anchor_utils import AnchorGenerator
 from vision_tpu.models.detection.backbone_utils import BackboneWithFPN
+from vision_tpu.ops._topk import top_k_2d
 from vision_tpu.models.resnet import BasicBlock, Bottleneck
 from vision_tpu.ops.feature_pyramid_network import LastLevelP6P7
 from vision_tpu.ops.losses import generalized_box_iou_loss, sigmoid_focal_loss
@@ -146,11 +147,13 @@ class FCOS(nn.Module):
             boxes_all, scores_all, labels_all, valid_all = [], [], [], []
             for lg, rg, ct, anch in zip(lg_list, rg_list, ct_list, anchors):
                 c = lg.shape[-1]
-                scores = jnp.sqrt(
+                # [HWA, C] exact two-stage top-k (ops/_topk.py) instead of
+                # a full variadic sort over HW*A*C (see retinanet.py)
+                scores2 = jnp.sqrt(
                     jax.nn.sigmoid(lg) * jax.nn.sigmoid(ct)
-                ).reshape(-1)
-                k = min(self.topk_candidates, scores.shape[0])
-                top_scores, top_idx = jax.lax.top_k(scores, k)
+                ).reshape(-1, c)
+                k = min(self.topk_candidates, scores2.size)
+                top_scores, top_idx = top_k_2d(scores2, k)
                 valid = top_scores > self.score_thresh
                 anchor_idx = top_idx // c
                 labels = top_idx % c

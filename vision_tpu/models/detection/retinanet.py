@@ -26,6 +26,7 @@ from vision_tpu.models.detection.backbone_utils import BackboneWithFPN
 from vision_tpu.models.detection.transform import GeneralizedRCNNTransform
 from vision_tpu.models.resnet import BasicBlock, Bottleneck
 from vision_tpu.ops.feature_pyramid_network import LastLevelP6P7
+from vision_tpu.ops._topk import top_k_2d
 from vision_tpu.ops.losses import sigmoid_focal_loss
 from vision_tpu.ops.nms import batched_nms_mask
 from vision_tpu.transforms._presets import ObjectDetection
@@ -210,9 +211,13 @@ class RetinaNet(nn.Module):
             boxes_all, scores_all, labels_all, valid_all = [], [], [], []
             for logits, reg, anch in zip(per_img_logits, per_img_reg, anchors):
                 num_classes = logits.shape[-1]
-                scores = jax.nn.sigmoid(logits).reshape(-1)  # [HW*A*K]
-                k = min(self.topk_candidates, scores.shape[0])
-                top_scores, top_idx = jax.lax.top_k(scores, k)
+                # [HWA, K] anchor-major scores; the exact two-stage top-k
+                # (ops/_topk.py) avoids lax.top_k's full variadic sort over
+                # HW*A*K elements (8.9M at P3/832px) — the dominant cost of
+                # this postprocess on TPU
+                scores2 = jax.nn.sigmoid(logits).reshape(-1, num_classes)
+                k = min(self.topk_candidates, scores2.size)
+                top_scores, top_idx = top_k_2d(scores2, k)
                 valid = top_scores > self.score_thresh
                 anchor_idx = top_idx // num_classes
                 labels = top_idx % num_classes

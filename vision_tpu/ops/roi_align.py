@@ -29,31 +29,35 @@ __all__ = ["roi_align", "roi_align_mxu", "set_roi_align_backend"]
 
 # process-wide default backend: "auto" picks the MXU matmul formulation on
 # TPU (where dense matmuls beat scattered gathers) and the gather path
-# elsewhere; tests/CPU keep bit-stable gather semantics.
+# elsewhere; tests/CPU keep bit-stable gather semantics. "pallas" selects
+# the fused-separable Pallas kernel (ops/_pallas/roi_align.py), also
+# reachable on TPU via VISION_TPU_ROI_ALIGN=pallas.
 _BACKEND = "auto"
 
 
 def set_roi_align_backend(backend: str) -> str:
     """Set the process-wide roi_align backend.
 
-    ``"auto"`` (MXU on TPU, gather elsewhere), ``"gather"``, or ``"mxu"``.
-    Returns the previous value.
+    ``"auto"`` (MXU on TPU, gather elsewhere), ``"gather"``, ``"mxu"``,
+    or ``"pallas"``. Returns the previous value.
     """
     global _BACKEND
-    if backend not in ("auto", "gather", "mxu"):
+    if backend not in ("auto", "gather", "mxu", "pallas"):
         raise ValueError(f"unknown roi_align backend: {backend!r}")
     prev, _BACKEND = _BACKEND, backend
     return prev
 
 
-def _use_mxu(sampling_ratio: int) -> bool:
+def _pick_backend(sampling_ratio: int) -> str:
     if sampling_ratio <= 0:
-        return False  # adaptive grid: dynamic per-roi weights; gather path
-    if _BACKEND == "mxu":
-        return True
-    if _BACKEND == "gather":
-        return False
-    return jax.default_backend() == "tpu"
+        return "gather"  # adaptive grid: dynamic per-roi weights
+    if _BACKEND != "auto":
+        return _BACKEND
+    if jax.default_backend() != "tpu":
+        return "gather"
+    import os
+
+    return os.environ.get("VISION_TPU_ROI_ALIGN", "mxu")
 
 
 def _bilinear_gather(inp, batch_ind, y, x, yvalid, xvalid):
@@ -134,7 +138,15 @@ def roi_align(
     Returns ``[K, PH, PW, C]``.
     """
     rois = boxes  # reference kwarg name is `boxes`; `rois` internally
-    if _use_mxu(sampling_ratio):
+    backend = _pick_backend(sampling_ratio)
+    if backend == "pallas":
+        return _roi_align_pallas_diff(
+            inp, rois,
+            tuple(output_size) if not isinstance(output_size, int)
+            else (output_size, output_size),
+            float(spatial_scale), int(sampling_ratio), bool(aligned),
+        )
+    if backend == "mxu":
         return roi_align_mxu(
             inp, rois, output_size, spatial_scale, sampling_ratio, aligned
         )
@@ -221,49 +233,28 @@ def _roi_align_gather(
     return out.astype(orig_dtype)
 
 
-def roi_align_mxu(
-    inp: jax.Array,
+def _separable_weights(
     rois: jax.Array,
     output_size: Tuple[int, int],
-    spatial_scale: float = 1.0,
-    sampling_ratio: int = 2,
-    aligned: bool = False,
-    precision: Optional[str] = None,
-) -> jax.Array:
-    """RoIAlign as two separable one-hot matmuls on the MXU.
+    spatial_scale: float,
+    sampling_ratio: int,
+    aligned: bool,
+    n: int,
+    height: int,
+    width: int,
+    width_ohsize: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-roi separable bilinear combination matrices.
 
-    The bilinear sample is separable: per roi, a row-combination matrix
-    W_y [PH, H] (four nonzeros per row from the 2 y-samples x 2 corners)
-    and a column matrix W_x [PW, W]. ``out = W_x @ (W_y @ feat)`` turns the
-    scattered VPU gather into dense MXU work. Batched inputs fold the
-    per-roi batch index into W_y (the one-hot row offset selects the roi's
-    image inside the flattened [N*H, W, C] feature stack), so a single
-    einsum serves the whole batch.
-
-    Measured on v5e (512 rois, P2 7x7 config): gather 7.4ms, mxu
-    precision="highest" 7.0ms (parity 2e-7), precision="high" (bf16x3
-    multiply passes) ~4.6ms (parity ~1e-6), precision="default" (single
-    bf16 pass) 3.0ms — ``precision=None`` picks "default" for bf16
-    inputs and "high" for f32: bf16x3 keeps f32-grade accuracy (the
-    error-compensated 3-pass split recovers ~f32 mantissa) at half the
-    MXU passes of "highest", so the f32 training path is no longer
-    pinned to the 6-pass formulation (VERDICT r3 item 8). Exact-parity
-    consumers can pass ``precision="highest"`` explicitly.
-
-    Requires ``sampling_ratio > 0``; falls back to the gather path
-    otherwise (dynamic per-roi grids have no static weight matrix).
-    """
-    if isinstance(output_size, int):
-        output_size = (output_size, output_size)
-    if sampling_ratio <= 0:
-        return _roi_align_gather(
-            inp, rois, output_size, spatial_scale, sampling_ratio, aligned
-        )
-    if precision is None:
-        precision = "default" if inp.dtype == jnp.bfloat16 else "high"
+    Returns ``(w_y [K, PH, H'], w_x [K, PW, Wo])`` f32 where ``H' = H``
+    for single-image inputs and ``N*H`` with the roi's batch index folded
+    into the row offset otherwise, and ``Wo = width_ohsize or W`` (a
+    wider one-hot lets callers pad W without touching the zero columns).
+    Shared by the XLA einsum path (:func:`roi_align_mxu`) and the Pallas
+    kernel (``ops/_pallas/roi_align.py``); CUDA edge semantics (samples
+    outside [-1, size] contribute zero) live in the weights, so the
+    contraction backends stay pure matmuls."""
     pooled_h, pooled_w = output_size
-    n, height, width, _ = inp.shape
-    orig_dtype = inp.dtype
     rois = rois.astype(jnp.float32)
     batch_ind = rois[:, 0].astype(jnp.int32)
 
@@ -317,14 +308,117 @@ def roi_align_mxu(
 
     if n == 1:
         w_y = combine(y, height)  # [K, PH, H]
-        feat = inp[0].astype(jnp.float32)
     else:
-        # fold the batch index into the row axis: feature stack [N*H, W, C]
         w_y = combine(
             y, height, index_offset=batch_ind * height, ohsize=n * height
         )  # [K, PH, N*H]
+    w_x = combine(x, width, ohsize=width_ohsize or width)  # [K, PW, Wo]
+    return w_y, w_x
+
+
+def roi_align_mxu(
+    inp: jax.Array,
+    rois: jax.Array,
+    output_size: Tuple[int, int],
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    aligned: bool = False,
+    precision: Optional[str] = None,
+) -> jax.Array:
+    """RoIAlign as two separable one-hot matmuls on the MXU.
+
+    The bilinear sample is separable: per roi, a row-combination matrix
+    W_y [PH, H] (four nonzeros per row from the 2 y-samples x 2 corners)
+    and a column matrix W_x [PW, W]. ``out = W_x @ (W_y @ feat)`` turns the
+    scattered VPU gather into dense MXU work. Batched inputs fold the
+    per-roi batch index into W_y (the one-hot row offset selects the roi's
+    image inside the flattened [N*H, W, C] feature stack), so a single
+    einsum serves the whole batch.
+
+    Measured on v5e (512 rois, P2 7x7 config): gather 7.4ms, mxu
+    precision="highest" 7.0ms (parity 2e-7), precision="high" (bf16x3
+    multiply passes) ~4.6ms (parity ~1e-6), precision="default" (single
+    bf16 pass) 3.0ms — ``precision=None`` picks "default" for bf16
+    inputs and "high" for f32: bf16x3 keeps f32-grade accuracy (the
+    error-compensated 3-pass split recovers ~f32 mantissa) at half the
+    MXU passes of "highest", so the f32 training path is no longer
+    pinned to the 6-pass formulation (VERDICT r3 item 8). Exact-parity
+    consumers can pass ``precision="highest"`` explicitly.
+
+    Requires ``sampling_ratio > 0``; falls back to the gather path
+    otherwise (dynamic per-roi grids have no static weight matrix).
+    """
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    if sampling_ratio <= 0:
+        return _roi_align_gather(
+            inp, rois, output_size, spatial_scale, sampling_ratio, aligned
+        )
+    if precision is None:
+        precision = "default" if inp.dtype == jnp.bfloat16 else "high"
+    pooled_h, pooled_w = output_size
+    n, height, width, _ = inp.shape
+    orig_dtype = inp.dtype
+    sr = sampling_ratio
+
+    w_y, w_x = _separable_weights(
+        rois, (pooled_h, pooled_w), spatial_scale, sr, aligned,
+        n, height, width,
+    )
+    if n == 1:
+        feat = inp[0].astype(jnp.float32)
+    else:
+        # batch index folded into the w_y row axis: stack [N*H, W, C]
         feat = inp.reshape(n * height, width, -1).astype(jnp.float32)
-    w_x = combine(x, width)  # [K, PW, W]
     rows = jnp.einsum("kph,hwc->kpwc", w_y, feat, precision=precision)
     out = jnp.einsum("kqw,kpwc->kpqc", w_x, rows, precision=precision)
     return (out / float(sr * sr)).astype(orig_dtype)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _roi_align_pallas_diff(
+    inp, rois, output_size, spatial_scale, sampling_ratio, aligned
+):
+    """Pallas forward with a deterministic XLA backward.
+
+    ``pallas_call`` has no automatic transpose rule, so the backward pass
+    reuses the einsum formulation's VJP (the same separable contractions,
+    transposed — deterministic, unlike the reference CUDA ``atomicAdd``
+    backward). Gradients w.r.t. ``rois`` are zero, matching the reference
+    op's contract (its autograd kernel computes ``grad_input`` only,
+    ``torchvision/csrc/ops/autograd/roi_align_kernel.cpp``)."""
+    from vision_tpu.ops._pallas.roi_align import roi_align_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    return roi_align_pallas(
+        inp, rois, output_size, spatial_scale, sampling_ratio, aligned,
+        interpret=interpret,
+    )
+
+
+def _roi_align_pallas_fwd(
+    inp, rois, output_size, spatial_scale, sampling_ratio, aligned
+):
+    out = _roi_align_pallas_diff(
+        inp, rois, output_size, spatial_scale, sampling_ratio, aligned
+    )
+    return out, (inp, rois)
+
+
+def _roi_align_pallas_bwd(
+    output_size, spatial_scale, sampling_ratio, aligned, res, g
+):
+    inp, rois = res
+    _, vjp = jax.vjp(
+        lambda f: roi_align_mxu(
+            f, rois, output_size, spatial_scale, sampling_ratio, aligned
+        ),
+        inp,
+    )
+    return vjp(g)[0], jnp.zeros_like(rois)
+
+
+_roi_align_pallas_diff.defvjp(_roi_align_pallas_fwd, _roi_align_pallas_bwd)
