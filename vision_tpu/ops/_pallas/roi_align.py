@@ -51,12 +51,14 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _make_kernel(n_passes: int, bk: int, ph: int, pw: int, bw: int, c: int):
+def _make_kernel(
+    n_passes: int, bk: int, ph: int, pw: int, bw: int, c: int, n_wt: int
+):
     def kernel(*refs):
         if n_passes == 3:
-            wy_hi, wy_lo, feat_hi, feat_lo, wx_ref, out_ref = refs
+            wy_hi, wy_lo, feat_hi, feat_lo, wx_ref, out_ref, acc_ref = refs
         else:
-            wy_hi, feat_hi, wx_ref, out_ref = refs
+            wy_hi, feat_hi, wx_ref, out_ref, acc_ref = refs
         j = pl.program_id(1)
 
         # stage 1 (MXU): [BK*PH, H'] @ [H', BW*C] -> f32 rows tile
@@ -78,13 +80,22 @@ def _make_kernel(n_passes: int, bk: int, ph: int, pw: int, bw: int, c: int):
 
         @pl.when(j == 0)
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        # stage 2 (VPU): contract the W tile into each pooled column
+        # stage 2 (VPU): contract the W tile into each pooled column.
+        # Accumulate in f32 scratch; the output block is only written on
+        # the last W step, so it can carry the input dtype (bf16 out
+        # halves the store traffic AND keeps the custom-call result small
+        # enough that XLA's scoped-vmem placement inside fori_loop bodies
+        # doesn't blow the 16 MB stack limit — observed with f32 out).
         for q in range(pw):
             wxq = wx3[:, q, :]  # [BK, BW]
             outq = jnp.sum(rows4 * wxq[:, None, :, None], axis=2)
-            out_ref[:, q * c : (q + 1) * c] += outq.reshape(bk * ph, c)
+            acc_ref[:, q * c : (q + 1) * c] += outq.reshape(bk * ph, c)
+
+        @pl.when(j == n_wt - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
     return kernel
 
@@ -122,7 +133,7 @@ def roi_align_pallas(
     orig_dtype = inp.dtype
     sr = sampling_ratio
 
-    bk = 32 if k >= 32 else _ceil_to(k, 8)
+    bk = 64 if k >= 64 else _ceil_to(k, 8)
     kp = _ceil_to(k, bk)
     bw = 16 if width >= 16 else _ceil_to(width, 8)
     wp = _ceil_to(width, bw)
@@ -183,14 +194,19 @@ def roi_align_pallas(
         )
     )
 
+    out_dtype = jnp.bfloat16 if orig_dtype == jnp.bfloat16 else jnp.float32
     out = pl.pallas_call(
-        _make_kernel(n_passes, bk, ph, pw, bw, cp),
+        _make_kernel(n_passes, bk, ph, pw, bw, cp, n_wt),
         grid=(kp // bk, wp // bw),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (bk * ph, pw * cp), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((kp * ph, pw * cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((kp * ph, pw * cp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bk * ph, pw * cp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_passes * kp * ph * ht * wp * cp
             + 2 * kp * ph * pw * wp * cp,
