@@ -782,9 +782,10 @@ def _bench_detection_e2e(size=832, n_iters=10):
     # pipeline (deformable 3x3s in C3-C5 -> im2col gather + grouped
     # einsum per block). Opt-in: its XLA compile alone takes ~12.5 min
     # at 832x832 on a 1-vCPU host, which would risk the driver's bench
-    # budget for one row. Measured 2026-08-19 on v5e-1: 23.7 img/s
-    # (compile 747 s) — the im2col gathers at C3 resolution dominate;
-    # the plain variant's dense-conv trunk runs 221 img/s.
+    # budget for one row. NOTE: the "23.7 img/s" figure previously
+    # recorded here was measured BEFORE the r4 loop-hoisting timing fix
+    # (commit 3e8b7a1) and is an artifact; treat the row as unmeasured
+    # until VISION_TPU_BENCH_DEFORM=1 is re-run post-fix.
     if os.environ.get("VISION_TPU_BENCH_DEFORM"):
         with fast_init():
             maskd = get_model("maskrcnn_resnet50_fpn_deform")
@@ -882,14 +883,15 @@ def main():
     host_capacity_14vcpu = 13.0 * 1000.0 / host_huff_ms if host_huff_ms else 0.0
     e2e_projected = min(e2e_dev_in, host_capacity_14vcpu)
 
+    # The long detail dict is printed FIRST and the compact parsed
+    # summary LAST: the driver keeps only a ~2000-char tail of stdout,
+    # and in round 4 the headline {metric, value, vs_baseline} fields —
+    # which led the single JSON line — were truncated away
+    # (BENCH_r04.json parsed: null). The last line must stay compact.
     print(
         json.dumps(
             {
-                "metric": "resnet50_e2e_images_per_sec_per_chip",
-                "value": round(best_e2e, 1),
-                "unit": "images/sec",
-                "vs_baseline": round(best_e2e / BASELINE_IMG_PER_SEC, 3),
-                "extra": {
+                "detail": {
                     "backend": backend_or_err,
                     "fwd_images_per_sec": round(fwd_img_s, 1),
                     "fwd_bf16_mfu_vs_v5e_peak": round(mfu, 4),
@@ -957,6 +959,30 @@ def main():
             }
         )
     )
+    summary = {
+        "metric": "resnet50_e2e_images_per_sec_per_chip",
+        "value": round(best_e2e, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(best_e2e / BASELINE_IMG_PER_SEC, 3),
+        "fwd_images_per_sec": round(fwd_img_s, 1),
+        "train_true_images_per_sec": round(train_true_img_s, 1),
+        "e2e_device_input_images_per_sec": round(e2e_dev_in, 1),
+        "nms_boxes_per_sec": nms_boxes_s,
+        "roi_align_rois_per_sec": round(roi_mxu_f32_s, 0),
+    }
+    if isinstance(detection_e2e, dict) and "error" not in detection_e2e:
+        summary["detection_e2e_images_per_sec"] = {
+            k: v.get("e2e_images_per_sec")
+            for k, v in detection_e2e.items()
+            if isinstance(v, dict)
+        }
+    line = json.dumps(summary)
+    if len(line) > 1800:  # never let the parsed line outgrow the tail
+        line = json.dumps(
+            {k: summary[k] for k in ("metric", "value", "unit", "vs_baseline")}
+        )
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":
