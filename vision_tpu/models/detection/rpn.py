@@ -138,15 +138,10 @@ class RegionProposalNetwork:
             top_scores, top_idx = jax.lax.top_k(kept_scores, p)
             return boxes[top_idx], top_scores, top_scores > -jnp.inf
 
-        outs = [
-            per_image([o[i] for o in objectness], [d[i] for d in deltas])
-            for i in range(n)
-        ]
-        return Proposals(
-            boxes=jnp.stack([o[0] for o in outs]),
-            scores=jnp.stack([o[1] for o in outs]),
-            valid=jnp.stack([o[2] for o in outs]),
-        )
+        # vmap over the batch (was a Python loop, which compiled N copies
+        # of the NMS + top-k chain and scaled compile time with batch size)
+        outs = jax.vmap(per_image)(tuple(objectness), tuple(deltas))
+        return Proposals(boxes=outs[0], scores=outs[1], valid=outs[2])
 
     def compute_loss(
         self,

@@ -11,9 +11,15 @@ kernel tiles the roi axis (BK) and the feature width (BW) and fuses both
 contractions per tile, so ``rows`` only ever exists as a
 ``[BK*PH, BW*C]`` VMEM block:
 
-* grid ``(K/BK, W/BW)``; the W axis is innermost, so the ``[BK, PH, PW,
-  C]`` output block stays resident in VMEM and accumulates across W tiles
-  (the revisits are consecutive — the standard Pallas accumulation shape).
+* grid ``(K/BK, W/BW)``; the W axis is innermost. Accumulation across W
+  tiles happens in an f32 VMEM scratch; the output block is written once,
+  on the last W step (an f32 out block inside ``fori_loop`` bodies was
+  observed to blow XLA's 16 MB scoped-vmem stack — the bf16 final store
+  halves both that and the store traffic). For f32 inputs the out block
+  is still f32; at large configs (e.g. the FRCNN P2 shape inside a
+  ``fori_loop``) the same scoped-vmem limit may bind — the f32 TPU
+  default dispatch is "mxu", so the exposure is the opt-in pallas path
+  only.
 * stage 1 (MXU): ``rows_tile = w_y_blk @ feat_blk`` — one large matmul
   per step ([BK*PH, H'] x [H', BW*C]). f32 inputs run as an
   error-compensated 3-pass bf16 split (hi@hi + hi@lo + lo@hi, f32
@@ -213,7 +219,7 @@ def roi_align_pallas(
             bytes_accessed=(
                 (kp // bk) * ht * wp * cp * (2 * n_passes if n_passes == 3 else 2)
                 + kp * ph * ht * 4
-                + kp * ph * pw * cp * 4
+                + kp * ph * pw * cp * jnp.dtype(out_dtype).itemsize
             ),
             transcendentals=0,
         ),
