@@ -257,3 +257,67 @@ def test_detection_dp_train_step_runs():
     shards = [np.asarray(s.data) for s in probe.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_two_stage_detection_dp_train_step_runs(monkeypatch):
+    """Faster R-CNN DP train step on the 8-device mesh (VERDICT r4 item
+    5): images/targets shard over 'data' through the RPN (NMS under
+    vmap), proposal sampling, and the RoI heads — with the windowed
+    MultiScaleRoIAlign (the TPU runtime path) forced on, so the mesh test
+    compiles the same program the chip would run. Loss finite + params
+    replica-identical after the step."""
+    from vision_tpu.models._utils import fast_init
+    from vision_tpu.models.detection import fasterrcnn_resnet50_fpn
+
+    monkeypatch.setenv("VISION_TPU_MSROI", "window")
+    mesh = make_mesh(8)
+    with fast_init():
+        det = fasterrcnn_resnet50_fpn(
+            num_classes=5, rpn_pre_nms_top_n=64, rpn_post_nms_top_n=64
+        )
+    mod = det.module
+    det_vars = dict(det.variables)
+    params = det_vars.pop("params")
+    tx = optax.sgd(0.01, momentum=0.9)
+    with mesh:
+        params = replicate(params, mesh)
+        rest = replicate(det_vars, mesh)
+        opt_state = tx.init(params)
+
+        def loss_fn(p, batch, key):
+            losses = mod.apply(
+                {"params": p, **rest},
+                batch["image"],
+                batch["boxes"], batch["labels"], batch["valid"],
+                key,
+                train=False,  # frozen-BN v1 trunk
+                method="compute_loss",
+            )
+            return sum(jnp.sum(v) for v in losses.values())
+
+        @jax.jit
+        def step(p, opt_state, batch, key):
+            loss, grads = jax.value_and_grad(loss_fn)(p, batch, key)
+            updates, opt_state = tx.update(grads, opt_state, p)
+            return optax.apply_updates(p, updates), opt_state, loss
+
+        rng = np.random.RandomState(0)
+        batch = {
+            "image": rng.rand(8, 64, 64, 3).astype(np.float32),
+            "boxes": np.tile(
+                np.asarray([[[4.0, 4.0, 30.0, 30.0], [10.0, 12.0, 50.0, 44.0]]],
+                           np.float32), (8, 1, 1)),
+            "labels": np.tile(np.asarray([[1, 2]], np.int32), (8, 1)),
+            "valid": np.ones((8, 2), bool),
+        }
+        batch = shard_batch(batch, mesh)
+        params, opt_state, loss = step(
+            params, opt_state, batch, jax.random.PRNGKey(7)
+        )
+        jax.block_until_ready(loss)
+    assert np.isfinite(float(loss))
+    probe = jax.tree_util.tree_leaves(params)[0]
+    shards = [np.asarray(s.data) for s in probe.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
