@@ -39,6 +39,12 @@ def main() -> int:
         "--gate", action="store_true",
         help="exit 1 unless |acc@1 - published| <= 0.05 (SURVEY §7 step 4)",
     )
+    p.add_argument(
+        "--published", type=float, default=None,
+        help="override the published acc@1 the gate compares against "
+        "(default: the weights meta _metrics entry; override exists for "
+        "offline fixtures, tests/test_convert_scripts.py)",
+    )
     args = p.parse_args()
 
     import jax
@@ -133,9 +139,10 @@ def main() -> int:
 
     acc1 = 100.0 * top1 / max(seen, 1)
     acc5 = 100.0 * top5 / max(seen, 1)
-    published = None
-    for metrics in (member.meta.get("_metrics") or {}).values():
-        published = metrics.get("acc@1", published)
+    published = args.published
+    if published is None:
+        for metrics in (member.meta.get("_metrics") or {}).values():
+            published = metrics.get("acc@1", published)
     print(
         f"{args.model} [{member}]: acc@1={acc1:.3f} acc@5={acc5:.3f} "
         f"(published acc@1={published})"
