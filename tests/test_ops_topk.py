@@ -60,3 +60,33 @@ def test_jit_and_grad_free():
     s = jnp.asarray(np.random.RandomState(1).rand(256, 8).astype(np.float32))
     v, i = jax.jit(lambda x: top_k_2d(x, 32))(s)
     assert v.shape == (32,) and i.shape == (32,)
+
+
+def test_top_k_flat_matches_lax_topk():
+    rng = np.random.RandomState(0)
+    from vision_tpu.ops._topk import top_k_flat
+
+    for n, k in [(129792, 1000), (90000, 1000), (2048, 100), (507, 100)]:
+        x = jnp.asarray(rng.randn(n).astype(np.float32))
+        want_v, want_i = jax.lax.top_k(x, k)
+        got_v, got_i = top_k_flat(x, k)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v))
+        # same set of indices (tie order may differ)
+        assert set(np.asarray(got_i).tolist()) == set(
+            np.asarray(want_i).tolist()
+        )
+
+
+def test_top_k_flat_with_duplicates_and_vmap():
+    from vision_tpu.ops._topk import top_k_flat
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(
+        np.repeat(rng.randn(2, 512).astype(np.float32), 8, axis=1)
+    )  # heavy exact ties, [2, 4096]
+    got_v, got_i = jax.vmap(lambda a: top_k_flat(a, 64))(x)
+    want_v, _ = jax.vmap(lambda a: jax.lax.top_k(a, 64))(x)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v))
+    # returned indices must actually hold the returned values
+    picked = jnp.take_along_axis(x, got_i, axis=1)
+    np.testing.assert_allclose(np.asarray(picked), np.asarray(got_v))

@@ -406,8 +406,10 @@ class RoIHeadsLogic:
             valid &= (ws >= 1e-2) & (hs >= 1e-2)
 
             # static candidate cap before the O(K^2) NMS
+            from vision_tpu.ops._topk import top_k_flat
+
             kcap = min(self.topk_candidates, fg_scores.shape[0])
-            cand_scores, cand_idx = jax.lax.top_k(
+            cand_scores, cand_idx = top_k_flat(
                 jnp.where(valid, fg_scores, -1.0), kcap
             )
             fg_boxes = fg_boxes[cand_idx]

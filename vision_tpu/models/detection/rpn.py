@@ -112,7 +112,9 @@ class RegionProposalNetwork:
                 zip(obj_per_lvl, dl_per_lvl, anchors)
             ):
                 k = min(self.pre_nms_top_n, obj.shape[0])
-                top_scores, top_idx = jax.lax.top_k(obj, k)
+                from vision_tpu.ops._topk import top_k_flat
+
+                top_scores, top_idx = top_k_flat(obj, k)
                 dec = self.box_coder.decode(dl[top_idx], anch[top_idx])[:, 0]
                 x = jnp.clip(dec[:, 0::2], 0, w)
                 y = jnp.clip(dec[:, 1::2], 0, h)

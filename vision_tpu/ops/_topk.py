@@ -31,7 +31,33 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["top_k_2d"]
+__all__ = ["top_k_2d", "top_k_flat"]
+
+
+def top_k_flat(x: jax.Array, k: int, row: int = 16) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k of a flat 1D array via row-max pre-selection.
+
+    ``lax.top_k`` on TPU sorts the whole array; for the RPN's per-level
+    pre-NMS selection (top-1000 of ~130k objectness logits at P2/832px,
+    reference ``rpn.py:242``) most of that sort is wasted. Reshape to
+    ``[N/row, row]``, keep the k rows with the largest max (every true
+    top-k element lives in such a row — its own row-max bounds it), and
+    sort only the ``k*row`` survivors: two sorts of ``N/row`` and
+    ``k*row`` elements instead of one of ``N``.
+
+    Same set as ``lax.top_k(x, k)``; order differs only inside exact-tie
+    classes. Returns ``(values [k], indices [k])``.
+    """
+    n = x.shape[0]
+    if k * row * 2 >= n or n % row:
+        return jax.lax.top_k(x, k)
+    xr = x.reshape(n // row, row)
+    row_max = jnp.max(xr, axis=1)  # [N/row]
+    _, rows = jax.lax.top_k(row_max, k)  # [k]
+    cand = xr[rows].reshape(-1)  # [k*row]
+    vals, flat = jax.lax.top_k(cand, k)
+    idx = rows[flat // row] * row + flat % row
+    return vals, idx
 
 
 def top_k_2d(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
@@ -44,7 +70,7 @@ def top_k_2d(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     """
     r, kk = scores.shape
     total = r * kk
-    if k >= total:
+    if k > total:
         raise ValueError(f"k={k} > elements={total}")
     if k >= r or kk == 1:
         return jax.lax.top_k(scores.reshape(-1), k)
