@@ -31,8 +31,8 @@ def _frames(n=6, h=48, w=64):
     out = []
     for i in range(n):
         f = np.zeros((h, w, 3), np.uint8)
-        f[:, :, 0] = 20 + i * 30
-        f[:, :, 1] = 200 - i * 25
+        f[:, :, 0] = (20 + i * 30) % 236
+        f[:, :, 1] = (200 - i * 25) % 200
         f[:, :, 2] = 64
         out.append(f)
     return np.stack(out)
@@ -209,3 +209,46 @@ def test_video_reader_decodes_same_as_decode_jpeg(tmp_path):
 def test_aviinfo_duration():
     info = AviInfo(0, 0, 30000, 1001, 90)
     assert abs(info.duration - 90 * 1001 / 30000) < 1e-9
+
+
+# ------------------------------------------------- datasets over the fallback
+
+
+def test_kinetics_dataset_on_mjpeg_avi(tmp_path):
+    """VideoClips + Kinetics work end-to-end without pyav: the dataset
+    scans timestamps, computes clips, and decodes real container files
+    through the MJPEG-AVI path (reference gates this whole stack on
+    pyav, torchvision/datasets/video_utils.py)."""
+    from vision_tpu.datasets import Kinetics
+
+    root = tmp_path / "kinetics" / "train"
+    for cls, n_clips, n_frames in [("juggling", 2, 8), ("surfing", 1, 10)]:
+        d = root / cls
+        d.mkdir(parents=True)
+        for c in range(n_clips):
+            write_video(
+                str(d / f"clip{c}.avi"), _frames(n_frames), fps=4, quality=95
+            )
+
+    ds = Kinetics(str(tmp_path / "kinetics"), frames_per_clip=4, split="train")
+    assert ds.classes == ["juggling", "surfing"]
+    # per video: frames - fpc + 1 clips at step 1
+    assert len(ds) == 2 * (8 - 4 + 1) + (10 - 4 + 1)
+    video, audio, label = ds[0]
+    assert video.shape == (4, 48, 64, 3) and video.dtype == np.uint8
+    assert label == 0
+    video_last, _, label_last = ds[len(ds) - 1]
+    assert label_last == 1 and video_last.shape[0] == 4
+
+
+def test_video_clips_frame_rate_resampling_avi(tmp_path):
+    from vision_tpu.datasets.video_utils import VideoClips
+
+    path = str(tmp_path / "c.avi")
+    write_video(path, _frames(12), fps=8, quality=95)
+    vc = VideoClips([path], clip_length_in_frames=3,
+                    frames_between_clips=3, frame_rate=4)
+    # 12 frames at 8 fps resampled to 4 fps -> 6 frames -> 2 clips of 3
+    assert vc.num_clips() == 2
+    clip, _, _, vidx = vc.get_clip(1)
+    assert clip.shape == (3, 48, 64, 3) and vidx == 0
