@@ -32,6 +32,15 @@ __all__ = ["roi_align", "roi_align_mxu", "set_roi_align_backend"]
 # elsewhere; tests/CPU keep bit-stable gather semantics. "pallas" selects
 # the fused-separable Pallas kernel (ops/_pallas/roi_align.py), also
 # reachable on TPU via VISION_TPU_ROI_ALIGN=pallas.
+#
+# Measured A/B (v5e-1, FRCNN P2 box-head config: 512 rois on 200x272x256,
+# 7x7/sr2, best-of-3 amortized, 2026-08-19): mxu bf16 180.3k rois/s vs
+# pallas bf16 108.8k; pallas f32 fails to lower inside fori_loop bodies
+# (scoped-vmem). The r4 hypothesis that the fused kernel would beat the
+# einsum ~2x was wrong: XLA already keeps the [K*PH, W*C] intermediate
+# blocked in VMEM well enough at this size. mxu therefore stays the TPU
+# default; the Pallas kernel remains opt-in for configs where the
+# intermediate genuinely spills (very large K x W x C).
 _BACKEND = "auto"
 
 
