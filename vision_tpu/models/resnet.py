@@ -51,6 +51,76 @@ def _bn(train: bool, name: str) -> nn.Module:
     )
 
 
+class _Kernel1x1(nn.Module):
+    """Parameter holder with ``nn.Conv``'s exact variable tree (path
+    ``<name>/kernel``, lecun-normal init, ``[1, 1, in, out]``) so the
+    fused-BN path below shares checkpoints bit-for-bit with the unfused
+    modules."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features),
+        )
+
+
+class _BNAffine(nn.Module):
+    """BatchNorm bookkeeping for externally computed batch statistics.
+
+    Identical variable tree to ``nn.BatchNorm`` (params ``scale``/``bias``,
+    batch_stats ``mean``/``var``); consumes (mean, var) produced by the
+    fused conv kernel's stats epilogue, applies the running-average
+    update with flax's exact expression, and returns the per-channel
+    affine ``(inv, shift)`` with ``y_norm = y * inv + shift``.
+    """
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, mean: jax.Array, var: jax.Array):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+        ra_mean = self.variable(
+            "batch_stats",
+            "mean",
+            lambda s: jnp.zeros(s, jnp.float32),
+            (self.features,),
+        )
+        ra_var = self.variable(
+            "batch_stats",
+            "var",
+            lambda s: jnp.ones(s, jnp.float32),
+            (self.features,),
+        )
+        if not self.is_initializing():
+            ra_mean.value = (
+                self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            )
+            ra_var.value = (
+                self.momentum * ra_var.value + (1 - self.momentum) * var
+            )
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        shift = bias.astype(jnp.float32) - mean * inv
+        return inv, shift, jnp.promote_types(scale.dtype, bias.dtype)
+
+
+def _mean_var(s1: jax.Array, s2: jax.Array, count: int):
+    """flax ``use_fast_variance`` stats from the kernel's f32 sums."""
+    mean = s1 / count
+    return mean, jnp.maximum(0.0, s2 / count - mean * mean)
+
+
 def _conv(
     features: int,
     kernel: int,
@@ -82,6 +152,8 @@ class BasicBlock(nn.Module):
     base_width: int = 64
     dilation: int = 1
     expansion: int = 1
+    fused_bn: bool = False  # accepted for tree-uniformity; 3x3-only
+    # blocks have no 1x1 convs to fuse, so the flag is a no-op here
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -99,7 +171,17 @@ class BasicBlock(nn.Module):
 
 class Bottleneck(nn.Module):
     """reference ``resnet.py`` Bottleneck; expansion 4; stride on conv2
-    (torch places stride at 3x3, the "ResNet V1.5" variant)."""
+    (torch places stride at 3x3, the "ResNet V1.5" variant).
+
+    ``fused_bn=True`` routes training-mode calls through the fused
+    1x1-conv + BN-stats Pallas path (``ops/_pallas/conv1x1_bn.py``): the
+    1x1 convs compute their BN statistics in a VMEM epilogue and the
+    expand conv folds bn2's normalize+ReLU into its input read, cutting
+    the train-mode BatchNorm bandwidth XLA cannot fuse away. Same
+    variable tree, same semantics (flax fast-variance stats, momentum
+    update) to f32 round-off; eval-mode calls always take the standard
+    path.
+    """
 
     planes: int
     stride: int = 1
@@ -108,10 +190,13 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     dilation: int = 1
     expansion: int = 4
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        if self.fused_bn and train:
+            return self._fused_train(x, width)
         identity = x
         out = _conv(width, 1, name="conv1")(x)
         out = _bn(train, "bn1")(out)
@@ -126,6 +211,58 @@ class Bottleneck(nn.Module):
             identity = _bn(train, "downsample.1")(identity)
         return nn.relu(out + identity)
 
+    def _fused_train(self, x: jax.Array, width: int) -> jax.Array:
+        from vision_tpu.ops._pallas.conv1x1_bn import matmul_stats
+
+        b, h, w_, cin = x.shape
+        cout = self.planes * self.expansion
+        xf = x.reshape(-1, cin)
+
+        k1 = _Kernel1x1(cin, width, name="conv1")()
+        y1, a1, b1 = matmul_stats(xf, k1.reshape(cin, width))
+        inv1, sh1, pdt = _BNAffine(width, name="bn1")(
+            *_mean_var(a1, b1, y1.shape[0])
+        )
+        odt = jnp.promote_types(y1.dtype, pdt)
+        y1n = nn.relu(y1.astype(jnp.float32) * inv1 + sh1).astype(odt)
+
+        y2 = _conv(
+            width, 3, self.stride, groups=self.groups,
+            dilation=self.dilation, name="conv2",
+        )(y1n.reshape(b, h, w_, width))
+        # bn2 stats: flax-style fused single pass over the 3x3 output;
+        # its normalize+ReLU never materializes — it rides conv3's
+        # prologue below
+        y2f = y2.astype(jnp.float32)
+        mu2 = jnp.mean(y2f, axis=(0, 1, 2))
+        var2 = jnp.maximum(
+            0.0, jnp.mean(y2f * y2f, axis=(0, 1, 2)) - mu2 * mu2
+        )
+        inv2, sh2, _ = _BNAffine(width, name="bn2")(mu2, var2)
+
+        h2, w2 = y2.shape[1], y2.shape[2]
+        k3 = _Kernel1x1(width, cout, name="conv3")()
+        y3, a3, b3 = matmul_stats(
+            y2.reshape(-1, width), k3.reshape(width, cout), inv2, sh2
+        )
+        inv3, sh3, _ = _BNAffine(cout, name="bn3")(
+            *_mean_var(a3, b3, y3.shape[0])
+        )
+
+        if self.downsample:
+            xd = x[:, :: self.stride, :: self.stride, :].reshape(-1, cin)
+            kd = _Kernel1x1(cin, cout, name="downsample.0")()
+            yd, ad, bd = matmul_stats(xd, kd.reshape(cin, cout))
+            invd, shd, _ = _BNAffine(cout, name="downsample.1")(
+                *_mean_var(ad, bd, yd.shape[0])
+            )
+            idn = yd.astype(jnp.float32) * invd + shd
+        else:
+            idn = x.reshape(-1, cout).astype(jnp.float32)
+
+        out = nn.relu(y3.astype(jnp.float32) * inv3 + sh3 + idn).astype(odt)
+        return out.reshape(b, h2, w2, cout)
+
 
 class _ResLayer(nn.Module):
     block: Type[nn.Module]
@@ -137,6 +274,7 @@ class _ResLayer(nn.Module):
     dilation: int
     prev_dilation: int
     in_planes: int
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -149,6 +287,7 @@ class _ResLayer(nn.Module):
             groups=self.groups,
             base_width=self.base_width,
             dilation=self.prev_dilation,
+            fused_bn=self.fused_bn,
             name="0",
         )(x, train=train)
         for i in range(1, self.num_blocks):
@@ -157,6 +296,7 @@ class _ResLayer(nn.Module):
                 groups=self.groups,
                 base_width=self.base_width,
                 dilation=self.dilation,
+                fused_bn=self.fused_bn,
                 name=str(i),
             )(x, train=train)
         return x
@@ -171,6 +311,7 @@ class ResNet(nn.Module):
     groups: int = 1
     width_per_group: int = 64
     replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, False)
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(
@@ -211,6 +352,7 @@ class ResNet(nn.Module):
                 dilation=dilation,
                 prev_dilation=prev_dilation,
                 in_planes=in_planes,
+                fused_bn=self.fused_bn,
                 name=f"layer{i + 1}",
             )(x, train=train)
             in_planes = planes * expansion
