@@ -816,6 +816,19 @@ def _bench_detection_e2e(size=832, n_iters=10):
 
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.rand(1, size, size, 3).astype(np.float32))
+    img16 = img.astype(jnp.bfloat16)
+
+    def amp_vars(tree):
+        """--amp eval variables: float params/stats -> bf16. Box-coordinate
+        math stays f32 regardless via the coder/NMS f32 entry casts (the
+        reference's autocast policy: convs reduced-precision, box ops
+        f32-registered in csrc/ops/autocast/)."""
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
 
     def timed_on(fn, x, batch):
         @jax.jit
@@ -851,8 +864,20 @@ def _bench_detection_e2e(size=832, n_iters=10):
         )
         return (d.boxes, d.scores, d.labels)
 
+    rvars16 = amp_vars(rvars)
+
+    def retina_amp(x):
+        heads = rmod.apply(rvars16, x, train=False)
+        d = rmod.apply(
+            rvars16, *heads, (size, size), method="postprocess_detections"
+        )
+        return (d.boxes, d.scores, d.labels)
+
     out["retinanet_resnet50_fpn"] = {
         "e2e_images_per_sec": round(timed(retina_full), 2),
+        # --amp eval (engine.py compute_dtype=bf16): convs bf16, box math
+        # f32 via the coder/NMS entry casts
+        "e2e_amp_images_per_sec": round(timed_on(retina_amp, img16, 1), 2),
         "heads_only_images_per_sec": round(
             timed(lambda x: rmod.apply(rvars, x, train=False)[0]), 2
         ),
@@ -917,7 +942,7 @@ def _bench_detection_e2e(size=832, n_iters=10):
     out["retinanet_resnet50_fpn"]["train_step_b4_images_per_sec"] = round(
         timed_on(retina_train_step, timg, tb), 2
     )
-    del retina, rvars, rparams, rrest
+    del retina, rvars, rvars16, rparams, rrest
 
     with fast_init():
         frcnn = get_model("fasterrcnn_resnet50_fpn")
@@ -939,8 +964,15 @@ def _bench_detection_e2e(size=832, n_iters=10):
         rois = m._make_rois(props.boxes)
         return m._box_branch(feats, rois, image_size)[0]
 
+    fvars16 = amp_vars(fvars)
+
+    def frcnn_amp(x):
+        d = fmod.apply(fvars16, x, train=False)
+        return (d.boxes, d.scores, d.labels)
+
     out["fasterrcnn_resnet50_fpn"] = {
         "e2e_images_per_sec": round(timed(frcnn_full), 2),
+        "e2e_amp_images_per_sec": round(timed_on(frcnn_amp, img16, 1), 2),
         # cumulative-prefix decomposition (VERDICT r4 item 3): marginal
         # cost of each stage = delta between consecutive rows
         "backbone_images_per_sec": round(
@@ -966,7 +998,7 @@ def _bench_detection_e2e(size=832, n_iters=10):
             2,
         ),
     }
-    del frcnn, fvars
+    del frcnn, fvars, fvars16
 
     with fast_init():
         mask = get_model("maskrcnn_resnet50_fpn")
@@ -979,10 +1011,20 @@ def _bench_detection_e2e(size=832, n_iters=10):
         )
         return (d.boxes, d.scores, pasted)
 
+    mvars16 = amp_vars(mvars)
+
+    def mask_amp(x):
+        d = mmod.apply(mvars16, x, train=False)
+        pasted = paste_masks_in_image(
+            d.masks[0].astype(jnp.float32), d.boxes[0], size, size
+        )
+        return (d.boxes, d.scores, pasted)
+
     out["maskrcnn_resnet50_fpn_paste"] = {
         "e2e_images_per_sec": round(timed(mask_full), 2),
+        "e2e_amp_images_per_sec": round(timed_on(mask_amp, img16, 1), 2),
     }
-    del mask, mvars
+    del mask, mvars, mvars16
 
     # BASELINE config #5: the deform-conv backbone variant as a whole
     # pipeline (deformable 3x3s in C3-C5 -> im2col gather + grouped

@@ -60,8 +60,12 @@ class BoxCoder:
 
     def decode(self, rel_codes: jax.Array, boxes: jax.Array) -> jax.Array:
         """reference decode_single; rel_codes [..., N, K*4], boxes
-        [..., N, 4] -> [..., N, K, 4]."""
-        boxes = boxes.astype(rel_codes.dtype)
+        [..., N, 4] -> [..., N, K, 4] (always f32: box-coordinate math is
+        an f32-registered op under mixed precision, like the reference's
+        autocast registrations in ``csrc/ops/autocast/`` — bf16 has ~3 px
+        resolution at an 800 px canvas)."""
+        rel_codes = rel_codes.astype(jnp.float32)
+        boxes = boxes.astype(jnp.float32)
         widths = boxes[..., 2] - boxes[..., 0]
         heights = boxes[..., 3] - boxes[..., 1]
         ctr_x = boxes[..., 0] + 0.5 * widths
@@ -113,7 +117,9 @@ class BoxLinearCoder:
         return targets
 
     def decode(self, rel_codes: jax.Array, boxes: jax.Array) -> jax.Array:
-        boxes = boxes.astype(rel_codes.dtype)
+        # f32-registered like BoxCoder.decode (autocast seam)
+        rel_codes = rel_codes.astype(jnp.float32)
+        boxes = boxes.astype(jnp.float32)
         cx = (boxes[..., 0] + boxes[..., 2]) / 2
         cy = (boxes[..., 1] + boxes[..., 3]) / 2
         if self.normalize_by_size:

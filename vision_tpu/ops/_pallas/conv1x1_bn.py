@@ -43,6 +43,21 @@ Reference being replaced: ``torchvision`` has no analog (cuDNN exposes
 fused conv+BN epilogues in inference only); the spec for the BN math is
 ``flax.linen.normalization`` and reference semantics
 ``torchvision/models/resnet.py:Bottleneck`` (conv->bn->relu chains).
+
+MEASURED NEGATIVE RESULT (v5e-1, 2026-08-19, same-session A/B at
+ResNet-50 b128 bf16): routing the Bottleneck 1x1 convs through this
+kernel (``ResNet(fused_bn=True)``) *lost* throughput end to end —
+train_true 1,485.9 img/s fused vs 2,185.6 standard; live-BN train step
+1,592.7 vs 2,484.0. The stats-bandwidth saving is real but small next
+to what the pallas_call boundaries give up: XLA's 1x1 convs come out of
+the conv emitter with input/output fusions and layout freedom, while
+every ``matmul_stats`` call pins its operands/results to materialized
+[M, K]/[M, N] buffers, and the custom-VJP backward materializes the
+f32 ``dy + ds1 + 2*y*ds2`` cotangent instead of fusing it into the
+backward matmuls. ``fused_bn`` therefore stays **opt-in** (default
+False); the kernel is kept as a correct, tested building block (exact
+flax-parity stats + gradients, ``tests/test_fused_bn.py``) for a
+future whole-block kernel where the 3x3 conv also lives in VMEM.
 """
 
 from __future__ import annotations
