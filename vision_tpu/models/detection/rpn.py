@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from vision_tpu.models.detection import _utils as det_utils
-from vision_tpu.ops.nms import batched_nms_mask
+from vision_tpu.ops.nms import nms_mask
 
 __all__ = ["RPNHead", "RegionProposalNetwork", "Proposals"]
 
@@ -107,10 +107,11 @@ class RegionProposalNetwork:
         deltas = [jax.lax.stop_gradient(d) for d in deltas]
 
         def per_image(obj_per_lvl, dl_per_lvl):
-            boxes_l, scores_l, lvl_l, valid_l = [], [], [], []
-            for lvl, (obj, dl, anch) in enumerate(
-                zip(obj_per_lvl, dl_per_lvl, anchors)
-            ):
+            boxes_l, scores_l, valid_l = [], [], []
+            kmax = max(
+                min(self.pre_nms_top_n, o.shape[0]) for o in obj_per_lvl
+            )
+            for obj, dl, anch in zip(obj_per_lvl, dl_per_lvl, anchors):
                 k = min(self.pre_nms_top_n, obj.shape[0])
                 from vision_tpu.ops._topk import top_k_flat
 
@@ -123,19 +124,30 @@ class RegionProposalNetwork:
                 hs = dec[:, 3] - dec[:, 1]
                 valid = (ws >= self.min_size) & (hs >= self.min_size)
                 valid &= jax.nn.sigmoid(top_scores) > self.score_thresh
+                if k < kmax:  # small levels pad to a uniform row length
+                    dec = jnp.pad(dec, ((0, kmax - k), (0, 0)))
+                    top_scores = jnp.pad(
+                        top_scores, (0, kmax - k),
+                        constant_values=-jnp.inf,
+                    )
+                    valid = jnp.pad(valid, (0, kmax - k))
                 boxes_l.append(dec)
                 scores_l.append(top_scores)
-                lvl_l.append(jnp.full((k,), lvl, jnp.int32))
                 valid_l.append(valid)
 
-            boxes = jnp.concatenate(boxes_l)
-            scores = jnp.concatenate(scores_l)
-            lvls = jnp.concatenate(lvl_l)
-            valid = jnp.concatenate(valid_l)
-            keep = batched_nms_mask(
-                boxes, scores, lvls, self.nms_thresh, valid=valid
-            )
-            kept_scores = jnp.where(keep, scores, -jnp.inf)
+            # batched NMS with level-as-class = independent per-level NMS:
+            # levels never suppress each other, so run the kernel with the
+            # level as a leading (vmapped -> grid) dim instead of the
+            # coordinate-offset trick over the 5x concatenation — ~L x less
+            # pairwise IoU work and per-level (not global) score sorts.
+            boxes = jnp.stack(boxes_l)  # [L, kmax, 4]
+            scores = jnp.stack(scores_l)  # [L, kmax]
+            valid = jnp.stack(valid_l)  # [L, kmax]
+            keep = jax.vmap(
+                lambda b, s, v: nms_mask(b, s, self.nms_thresh, valid=v)
+            )(boxes, scores, valid)
+            kept_scores = jnp.where(keep, scores, -jnp.inf).reshape(-1)
+            boxes = boxes.reshape(-1, 4)
             p = min(self.post_nms_top_n, boxes.shape[0])
             top_scores, top_idx = jax.lax.top_k(kept_scores, p)
             return boxes[top_idx], top_scores, top_scores > -jnp.inf

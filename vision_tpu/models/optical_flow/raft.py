@@ -222,33 +222,54 @@ class MaskPredictor(nn.Module):
         return self.multiplier * x
 
 
-def _bilinear_sample_absolute(img, coords):
-    """grid_sample(align_corners=True) with absolute pixel coords
-    (reference ``optical_flow/_utils.py`` grid_sample): img [B, H, W, C],
-    coords [B, S, 2] (x, y) -> [B, S, C]; zeros padding."""
-    _, h, w, _ = img.shape
-    x, y = coords[..., 0], coords[..., 1]
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    lx, ly = x - x0, y - y0
+def _axis_tap_weights(centers, deltas, size):
+    """Per-query separable bilinear tap weights along one axis.
 
-    def corner(yy, xx, wgt):
-        valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
-        yc = jnp.clip(yy, 0, h - 1)
-        xc = jnp.clip(xx, 0, w - 1)
-        v = jnp.take_along_axis(
-            img.reshape(img.shape[0], h * w, -1),
-            (yc * w + xc)[..., None],
-            axis=1,
-        )
-        return v * (wgt * valid)[..., None]
+    grid_sample(align_corners=True, padding=zeros) semantics per sample
+    coordinate ``c = centers[q] + deltas[s]``: two taps ``floor(c)`` /
+    ``floor(c)+1`` with weights ``1-frac`` / ``frac``; a tap outside
+    ``[0, size)`` contributes zero. Because the validity and the weight
+    both factor per axis, the 4-corner formula is exactly the outer
+    product of these per-axis tap rows.
 
-    return (
-        corner(y0, x0, (1 - ly) * (1 - lx))
-        + corner(y0, x0 + 1, (1 - ly) * lx)
-        + corner(y0 + 1, x0, ly * (1 - lx))
-        + corner(y0 + 1, x0 + 1, ly * lx)
-    )
+    centers: [Q]; deltas: [S]. Returns ``w [Q, S, size]`` dense one-hot
+    tap weights (f32).
+    """
+    c = centers[:, None] + deltas[None, :]  # [Q, S]
+    lo = jnp.floor(c).astype(jnp.int32)
+    frac = c - lo
+    v_lo = (lo >= 0) & (lo < size)
+    v_hi = (lo + 1 >= 0) & (lo + 1 < size)
+    w = jax.nn.one_hot(jnp.clip(lo, 0, size - 1), size) * jnp.where(
+        v_lo, 1.0 - frac, 0.0
+    )[..., None]
+    w += jax.nn.one_hot(jnp.clip(lo + 1, 0, size - 1), size) * jnp.where(
+        v_hi, frac, 0.0
+    )[..., None]
+    return w
+
+
+def _axis_tap_weights_local(centers, deltas, size, origin, width):
+    """As :func:`_axis_tap_weights`, but tap columns are indexed relative
+    to a per-query window ``[origin, origin + width)``. Validity is still
+    judged against the GLOBAL ``[0, size)`` extent (a clamped-into-window
+    out-of-image tap keeps weight zero). Every valid tap provably lands in
+    the window when ``origin = clip(floor(center) - r, 0, size - width)``
+    and ``width >= 2r + 2``. Returns ``[Q, S, width]``."""
+    c = centers[:, None] + deltas[None, :]
+    lo = jnp.floor(c).astype(jnp.int32)
+    frac = c - lo
+    v_lo = (lo >= 0) & (lo < size)
+    v_hi = (lo + 1 >= 0) & (lo + 1 < size)
+    lo_loc = jnp.clip(lo - origin[:, None], 0, width - 1)
+    hi_loc = jnp.clip(lo + 1 - origin[:, None], 0, width - 1)
+    w = jax.nn.one_hot(lo_loc, width) * jnp.where(
+        v_lo, 1.0 - frac, 0.0
+    )[..., None]
+    w += jax.nn.one_hot(hi_loc, width) * jnp.where(
+        v_hi, frac, 0.0
+    )[..., None]
+    return w
 
 
 class CorrBlock:
@@ -280,22 +301,51 @@ class CorrBlock:
         side = 2 * r + 1
         b, h, w, _ = coords.shape
         di = jnp.linspace(-r, r, side)
-        delta_xy = jnp.stack(
-            jnp.meshgrid(di, di, indexing="ij"), axis=-1
-        )  # [side, side, 2], di-major channel order
         # The reference adds the raw (di, dj) delta straight onto the (x, y)
         # centroids (``raft.py:405-409``): offset x = di, y = dj. The
         # neighborhood is square so the value SET matches either way, but the
         # channel ORDER feeds learned conv weights — pinned by
         # tests/test_models_oracle2.py::test_raft_corr_block_matches_torch_grid_sample.
-        c = coords.reshape(b * h * w, 1, 2)
+        #
+        # TPU formulation: the 81 sample points per query form a separable
+        # 9x9 grid (x varies with i, y with j), so grid_sample decomposes
+        # into two dense per-query tap-weight contractions instead of
+        # 4-corner scalar gathers (which run at ~1/128 lane utilization on
+        # TPU and measured 1.4 img/s whole-model). Each query reads only a
+        # ``win x win`` window of its own correlation plane
+        # (vmap(dynamic_slice)); levels smaller than the window use the
+        # whole plane as the "window".
+        c = coords.reshape(b * h * w, 2)
+        cx, cy = c[:, 0], c[:, 1]
+        di_j = jnp.asarray(di, jnp.float32)
+        win = 2 * r + 2  # tap span of the 9x9 grid: floor(c)-r .. floor(c)+r+1
 
         feats = []
         for vol in pyramid:
-            pts = c + delta_xy.reshape(1, side * side, 2)
-            sampled = _bilinear_sample_absolute(vol, pts)  # [BHW, S*S, 1]
+            q, hl, wl = vol.shape[0], vol.shape[1], vol.shape[2]
+            v2 = vol.reshape(q, hl, wl)
+            if hl <= win or wl <= win:
+                wy = _axis_tap_weights(cy, di_j, hl)  # [Q, side, hl]
+                wx = _axis_tap_weights(cx, di_j, wl)  # [Q, side, wl]
+                windows = v2
+            else:
+                oy = jnp.clip(
+                    jnp.floor(cy).astype(jnp.int32) - r, 0, hl - win
+                )
+                ox = jnp.clip(
+                    jnp.floor(cx).astype(jnp.int32) - r, 0, wl - win
+                )
+                windows = jax.vmap(
+                    lambda v, y0, x0: jax.lax.dynamic_slice(
+                        v, (y0, x0), (win, win)
+                    )
+                )(v2, oy, ox)  # [Q, win, win]
+                wy = _axis_tap_weights_local(cy, di_j, hl, oy, win)
+                wx = _axis_tap_weights_local(cx, di_j, wl, ox, win)
+            tmp = jnp.einsum("qjy,qyx->qjx", wy, windows)
+            sampled = jnp.einsum("qix,qjx->qij", wx, tmp)
             feats.append(sampled.reshape(b, h, w, side * side))
-            c = c / 2
+            cx, cy = cx / 2, cy / 2
         return jnp.concatenate(feats, axis=-1)
 
 
