@@ -1225,7 +1225,10 @@ def main():
                     "(a trivial copy kernel measured the same per-call "
                     "cost as full NMS at n<=4k). detection_e2e = whole "
                     "models (backbone->FPN->heads->decode->batched NMS) "
-                    "in one jit at 832x832 batch 1, f32, random weights.",
+                    "in one jit at 832x832 batch 1, f32, random weights; "
+                    "e2e_amp rows = the engine's --amp recipe (convs "
+                    "bf16, box-coordinate math f32-registered at the "
+                    "coder/NMS seams).",
                 },
             }
         )
@@ -1246,6 +1249,11 @@ def main():
             k: v.get("e2e_images_per_sec")
             for k, v in detection_e2e.items()
             if isinstance(v, dict)
+        }
+        summary["detection_e2e_amp_images_per_sec"] = {
+            k: v.get("e2e_amp_images_per_sec")
+            for k, v in detection_e2e.items()
+            if isinstance(v, dict) and "e2e_amp_images_per_sec" in v
         }
     line = json.dumps(summary)
     if len(line) > 1800:  # never let the parsed line outgrow the tail

@@ -408,3 +408,22 @@ def test_roi_align_mxu_training_precision_parity(rng):
     np.testing.assert_allclose(
         np.asarray(exact), np.asarray(ref), atol=2e-6, rtol=1e-5
     )
+
+
+def test_nms_mask_presorted_matches_default(rng):
+    """presorted=True on descending-score rows (incl. interleaved invalid
+    rows) must equal the default sort-then-kernel path."""
+    for n, thr in [(64, 0.5), (300, 0.3), (1024, 0.7)]:
+        boxes = _random_boxes(rng, n)
+        scores = np.sort(rng.rand(n).astype(np.float32))[::-1].copy()
+        valid = rng.rand(n) > 0.2  # interleaved invalids
+        args = (jnp.asarray(boxes), jnp.asarray(scores), thr)
+        ref = np.asarray(nms_mask(*args, valid=jnp.asarray(valid)))
+        out = np.asarray(
+            nms_mask(*args, valid=jnp.asarray(valid), presorted=True)
+        )
+        np.testing.assert_array_equal(out, ref)
+        # and without a valid mask
+        ref2 = np.asarray(nms_mask(*args))
+        out2 = np.asarray(nms_mask(*args, presorted=True))
+        np.testing.assert_array_equal(out2, ref2)

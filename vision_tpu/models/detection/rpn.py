@@ -143,8 +143,12 @@ class RegionProposalNetwork:
             boxes = jnp.stack(boxes_l)  # [L, kmax, 4]
             scores = jnp.stack(scores_l)  # [L, kmax]
             valid = jnp.stack(valid_l)  # [L, kmax]
+            # rows come straight out of top_k (descending scores), so the
+            # argsort + [N,4] permutation gathers inside nms_mask are skipped
             keep = jax.vmap(
-                lambda b, s, v: nms_mask(b, s, self.nms_thresh, valid=v)
+                lambda b, s, v: nms_mask(
+                    b, s, self.nms_thresh, valid=v, presorted=True
+                )
             )(boxes, scores, valid)
             kept_scores = jnp.where(keep, scores, -jnp.inf).reshape(-1)
             boxes = boxes.reshape(-1, 4)

@@ -94,7 +94,7 @@ def _windowed_multiscale(
     n, _, _, c = feats[0].shape
     heights = [f.shape[1] for f in feats]
     widths = [f.shape[2] for f in feats]
-    wmax = max(max(widths), win)
+    wmax = max(max(widths), win + 8)  # winx below never outgrows the pad
     sumh = sum(heights)
 
     orig_dtype = feats[0].dtype
@@ -147,8 +147,8 @@ def _windowed_multiscale(
         + (ii[None, None, :] + 0.5) * (bin_w[:, None, None] / sr)
     )  # [K, PW, SR]
 
-    def local_weights(coord, size_k, origin):
-        """[K, P, SR] coords -> ([K, P, win] local bilinear row weights,
+    def local_weights(coord, size_k, origin, width=win):
+        """[K, P, SR] coords -> ([K, P, width] local bilinear row weights,
         [K] exact overflow flag). ``size_k`` [K] is the level extent;
         ``origin`` [K] the window start. CUDA edge rules: samples outside
         [-1, size] contribute zero; corners clamp to size-1."""
@@ -167,15 +167,22 @@ def _windowed_multiscale(
         w_hi = jnp.where(zmask, frac, 0.0)
         lo_loc = lo - origin[:, None, None]
         hi_loc = hi - origin[:, None, None]
-        overflow = jnp.max(hi_loc, axis=(1, 2)) >= win
+        overflow = jnp.max(hi_loc, axis=(1, 2)) >= width
         oh = (
-            jax.nn.one_hot(lo_loc, win) * w_lo[..., None]
-            + jax.nn.one_hot(hi_loc, win) * w_hi[..., None]
+            jax.nn.one_hot(lo_loc, width) * w_lo[..., None]
+            + jax.nn.one_hot(hi_loc, width) * w_hi[..., None]
         )
         return oh.sum(2), overflow
 
     # window origin: first corner row/col, clamped so the window stays
-    # inside the level (origin in LEVEL-local coordinates)
+    # inside the level (origin in LEVEL-local coordinates). The x-origin
+    # is additionally rounded DOWN to a multiple of 8 and the x-window
+    # widened by 8: the W axis is the second-minor (sublane-tiled) dim of
+    # ``stacked``, and 8-aligned dynamic-slice starts keep the per-roi
+    # window gather on the aligned fast path (semantics unchanged — tap
+    # validity is judged against the level extent, and the widened window
+    # still covers every tap: origin_aligned <= origin, span <= win + 7).
+    winx = win + 8
     y0 = jnp.clip(
         jnp.clip(y[:, 0, 0], 0.0).astype(jnp.int32),
         0,
@@ -186,14 +193,16 @@ def _windowed_multiscale(
         0,
         jnp.maximum(w_k - win, 0),
     )
+    x0 = (x0 // 8) * 8
+    x0 = jnp.minimum(x0, max(wmax - winx, 0))
     w_y, of_y = local_weights(y, h_k, y0)  # [K, PH, win]
-    w_x, of_x = local_weights(x, w_k, x0)  # [K, PW, win]
+    w_x, of_x = local_weights(x, w_k, x0, width=winx)  # [K, PW, winx]
     overflow = of_y | of_x
 
     row0 = batch_ind * sumh + row_off[lvl] + y0  # [K] global window row
     windows = jax.vmap(
-        lambda r, q: jax.lax.dynamic_slice(stacked, (r, q, 0), (win, win, c))
-    )(row0, x0).astype(jnp.float32)  # [K, win, win, C]
+        lambda r, q: jax.lax.dynamic_slice(stacked, (r, q, 0), (win, winx, c))
+    )(row0, x0).astype(jnp.float32)  # [K, win, winx, C]
 
     precision = "default" if orig_dtype == jnp.bfloat16 else "high"
     rows = jnp.einsum(
