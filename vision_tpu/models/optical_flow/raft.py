@@ -249,27 +249,6 @@ def _axis_tap_weights(centers, deltas, size):
     return w
 
 
-def _axis_tap_weights_local(centers, deltas, size, origin, width):
-    """As :func:`_axis_tap_weights`, but tap columns are indexed relative
-    to a per-query window ``[origin, origin + width)``. Validity is still
-    judged against the GLOBAL ``[0, size)`` extent (a clamped-into-window
-    out-of-image tap keeps weight zero). Every valid tap provably lands in
-    the window when ``origin = clip(floor(center) - r, 0, size - width)``
-    and ``width >= 2r + 2``. Returns ``[Q, S, width]``."""
-    c = centers[:, None] + deltas[None, :]
-    lo = jnp.floor(c).astype(jnp.int32)
-    frac = c - lo
-    v_lo = (lo >= 0) & (lo < size)
-    v_hi = (lo + 1 >= 0) & (lo + 1 < size)
-    lo_loc = jnp.clip(lo - origin[:, None], 0, width - 1)
-    hi_loc = jnp.clip(lo + 1 - origin[:, None], 0, width - 1)
-    w = jax.nn.one_hot(lo_loc, width) * jnp.where(
-        v_lo, 1.0 - frac, 0.0
-    )[..., None]
-    w += jax.nn.one_hot(hi_loc, width) * jnp.where(
-        v_hi, frac, 0.0
-    )[..., None]
-    return w
 
 
 class CorrBlock:
@@ -309,40 +288,23 @@ class CorrBlock:
         #
         # TPU formulation: the 81 sample points per query form a separable
         # 9x9 grid (x varies with i, y with j), so grid_sample decomposes
-        # into two dense per-query tap-weight contractions instead of
-        # 4-corner scalar gathers (which run at ~1/128 lane utilization on
-        # TPU and measured 1.4 img/s whole-model). Each query reads only a
-        # ``win x win`` window of its own correlation plane
-        # (vmap(dynamic_slice)); levels smaller than the window use the
-        # whole plane as the "window".
+        # into two dense per-query tap-weight contractions over each
+        # query's own correlation plane. Measured per 12-update loop at
+        # 512px b2 (v5e): 4-corner scalar gathers 8.5 s-class (r4), a
+        # vmap(dynamic_slice) 10x10-window variant 712 ms (the batched 2D
+        # dynamic-slice lowers pathologically inside the loop), this dense
+        # batched einsum 58 ms — and it is bit-exact vs the windowed form.
         c = coords.reshape(b * h * w, 2)
         cx, cy = c[:, 0], c[:, 1]
         di_j = jnp.asarray(di, jnp.float32)
-        win = 2 * r + 2  # tap span of the 9x9 grid: floor(c)-r .. floor(c)+r+1
 
         feats = []
         for vol in pyramid:
             q, hl, wl = vol.shape[0], vol.shape[1], vol.shape[2]
             v2 = vol.reshape(q, hl, wl)
-            if hl <= win or wl <= win:
-                wy = _axis_tap_weights(cy, di_j, hl)  # [Q, side, hl]
-                wx = _axis_tap_weights(cx, di_j, wl)  # [Q, side, wl]
-                windows = v2
-            else:
-                oy = jnp.clip(
-                    jnp.floor(cy).astype(jnp.int32) - r, 0, hl - win
-                )
-                ox = jnp.clip(
-                    jnp.floor(cx).astype(jnp.int32) - r, 0, wl - win
-                )
-                windows = jax.vmap(
-                    lambda v, y0, x0: jax.lax.dynamic_slice(
-                        v, (y0, x0), (win, win)
-                    )
-                )(v2, oy, ox)  # [Q, win, win]
-                wy = _axis_tap_weights_local(cy, di_j, hl, oy, win)
-                wx = _axis_tap_weights_local(cx, di_j, wl, ox, win)
-            tmp = jnp.einsum("qjy,qyx->qjx", wy, windows)
+            wy = _axis_tap_weights(cy, di_j, hl)  # [Q, side, hl]
+            wx = _axis_tap_weights(cx, di_j, wl)  # [Q, side, wl]
+            tmp = jnp.einsum("qjy,qyx->qjx", wy, v2)
             sampled = jnp.einsum("qix,qjx->qij", wx, tmp)
             feats.append(sampled.reshape(b, h, w, side * side))
             cx, cy = cx / 2, cy / 2
