@@ -107,35 +107,6 @@ def shifted_window_attention(
     qkv_out = qkv_out.transpose(2, 0, 3, 1, 4)
     q, k, v = qkv_out[0], qkv_out[1], qkv_out[2]
 
-    # MXU window packing: a ws=49 window makes [49, d] @ [d, 49] attention
-    # matmuls — one systolic pass each at ~15% tile occupancy, and the
-    # pass count (B*nW*heads per einsum) dominates Swin-T's step time.
-    # Concatenate PAIRS of windows along the sequence axis (98 <= 128, so
-    # still one pass) and mask the cross-window blocks with -1e9, which
-    # underflows to exactly 0 in the f32 softmax — bit-identical outputs,
-    # half the MXU passes. Pairs are adjacent windows of one image except
-    # at the 7x7 stage (nW == 1, shift disabled there), where they pair
-    # across images — equally masked, equally exact.
-    # shifted blocks additionally need an even window count so pairs carry
-    # a uniform block-diagonal shift mask (odd nW would pair windows at
-    # different shift positions across image boundaries)
-    pack = (
-        2
-        if (
-            ws <= 64
-            and x.shape[0] % 2 == 0
-            and (sum(shift_size) == 0 or num_windows % 2 == 0)
-        )
-        else 1
-    )
-    if pack == 2:
-        def _pack(t):  # [Bn, H, ws, d] -> [Bn/2, H, 2*ws, d]
-            bn, nh, s, d = t.shape
-            t = t.reshape(bn // 2, 2, nh, s, d).transpose(0, 2, 1, 3, 4)
-            return t.reshape(bn // 2, nh, 2 * s, d)
-
-        q, k, v = _pack(q), _pack(k), _pack(v)
-
     if logit_scale is not None:
         # v2 cosine attention
         qn = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
@@ -150,17 +121,7 @@ def shifted_window_attention(
         attn = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         )
-    if pack == 2:
-        # block-diagonal bias; cross-window blocks get -1e9 (underflows
-        # to 0 in the f32 softmax — exact masking, not approximate)
-        off = jnp.broadcast_to(
-            jnp.float32(-1e9), relative_position_bias.shape
-        )
-        top = jnp.concatenate([relative_position_bias, off], axis=-1)
-        bot = jnp.concatenate([off, relative_position_bias], axis=-1)
-        attn = attn + jnp.concatenate([top, bot], axis=-2)
-    else:
-        attn = attn + relative_position_bias
+    attn = attn + relative_position_bias
 
     if sum(shift_size) > 0:
         # attention mask for windows straddling the cyclic shift boundary
@@ -184,29 +145,12 @@ def shifted_window_attention(
         mask = mask.transpose(0, 2, 1, 3).reshape(num_windows, ws)
         attn_mask = mask[:, None, :] - mask[:, :, None]
         attn_mask = np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
-        if pack == 2:
-            # shift never triggers at the nW == 1 stage, so pairs here are
-            # always adjacent windows of one image: tile block-diagonally
-            # (off-diagonal blocks already carry the -1e9 packing mask)
-            am = np.zeros(
-                (num_windows // 2, 2 * ws, 2 * ws), np.float32
-            )
-            am[:, :ws, :ws] = attn_mask[0::2]
-            am[:, ws:, ws:] = attn_mask[1::2]
-            attn = attn.reshape(b, num_windows // 2, num_heads, 2 * ws, 2 * ws)
-            attn = attn + jnp.asarray(am)[None, :, None]
-            attn = attn.reshape(-1, num_heads, 2 * ws, 2 * ws)
-        else:
-            attn = attn.reshape(b, num_windows, num_heads, ws, ws)
-            attn = attn + jnp.asarray(attn_mask)[None, :, None]
-            attn = attn.reshape(-1, num_heads, ws, ws)
+        attn = attn.reshape(b, num_windows, num_heads, ws, ws)
+        attn = attn + jnp.asarray(attn_mask)[None, :, None]
+        attn = attn.reshape(-1, num_heads, ws, ws)
 
     attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-    if pack == 2:  # unpack the window pairs
-        bn2, nh, s2, d = out.shape
-        out = out.reshape(bn2, nh, 2, s2 // 2, d).transpose(0, 2, 1, 3, 4)
-        out = out.reshape(bn2 * 2, nh, s2 // 2, d)
     out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], ws, c)
     out = proj(out)
 
