@@ -40,6 +40,53 @@ from vision_tpu.ops.roi_align import roi_align
 __all__ = ["LevelMapper", "MultiScaleRoIAlign"]
 
 
+def _window_pool_xla(
+    stacked: jax.Array,  # [rows, wmax, C] padded level pyramid
+    row0: jax.Array,  # [K] global window row origin
+    x0: jax.Array,  # [K] window column origin
+    w_y: jax.Array,  # [K, PH, win] f32
+    w_x: jax.Array,  # [K, PW, winx] f32
+) -> jax.Array:
+    """Window gather + separable einsum contraction (the XLA windowed
+    path, and the differentiation rule for the fused Pallas kernel)."""
+    win = w_y.shape[2]
+    winx = w_x.shape[2]
+    c = stacked.shape[2]
+    orig_dtype = stacked.dtype
+    windows = jax.vmap(
+        lambda r, q: jax.lax.dynamic_slice(stacked, (r, q, 0), (win, winx, c))
+    )(row0, x0).astype(jnp.float32)  # [K, win, winx, C]
+    precision = "default" if orig_dtype == jnp.bfloat16 else "high"
+    rows = jnp.einsum("kpy,kyxc->kpxc", w_y, windows, precision=precision)
+    out = jnp.einsum("kqx,kpxc->kpqc", w_x, rows, precision=precision)
+    return out.astype(orig_dtype)
+
+
+@jax.custom_vjp
+def _window_pool_fused(stacked, row0, x0, w_y, w_x):
+    """Fused Pallas window pool; differentiates via the XLA path (same
+    semantics — vjp of dynamic_slice is XLA's native window scatter-add,
+    which the Mosaic kernel has no cheaper analog for)."""
+    from vision_tpu.ops._pallas.window_pool import window_pool_pallas
+
+    return window_pool_pallas(stacked, row0, x0, w_y, w_x)
+
+
+def _window_pool_fused_fwd(stacked, row0, x0, w_y, w_x):
+    return (
+        _window_pool_fused(stacked, row0, x0, w_y, w_x),
+        (stacked, row0, x0, w_y, w_x),
+    )
+
+
+def _window_pool_fused_bwd(res, g):
+    _, vjp = jax.vjp(_window_pool_xla, *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+_window_pool_fused.defvjp(_window_pool_fused_fwd, _window_pool_fused_bwd)
+
+
 class LevelMapper:
     """FPN-paper heuristic mapping box area -> pyramid level
     (reference ``ops/poolers.py:47-86``)."""
@@ -80,6 +127,7 @@ def _windowed_multiscale(
     win: int = 32,
     overflow_capacity: int = 64,
     dense_fallback=None,  # callable (rois [M,5]) -> [M, PH, PW, C]
+    fused: bool = False,  # fused Pallas window kernel (TPU, C % 128 == 0)
 ) -> jax.Array:
     """Windowed single-level pooling (see module docstring).
 
@@ -109,7 +157,7 @@ def _windowed_multiscale(
         ],
         axis=1,
     ).reshape(n * sumh, wmax, c)
-    stacked = jnp.pad(stacked, ((0, win), (0, 0), (0, 0)))
+    stacked = jnp.pad(stacked, ((0, win + 8), (0, 0), (0, 0)))
 
     row_off = jnp.asarray(
         np.cumsum([0] + heights[:-1]).astype(np.int32)
@@ -175,14 +223,19 @@ def _windowed_multiscale(
         return oh.sum(2), overflow
 
     # window origin: first corner row/col, clamped so the window stays
-    # inside the level (origin in LEVEL-local coordinates). The x-origin
-    # is additionally rounded DOWN to a multiple of 8 and the x-window
-    # widened by 8: the W axis is the second-minor (sublane-tiled) dim of
-    # ``stacked``, and 8-aligned dynamic-slice starts keep the per-roi
-    # window gather on the aligned fast path (semantics unchanged — tap
-    # validity is judged against the level extent, and the widened window
-    # still covers every tap: origin_aligned <= origin, span <= win + 7).
-    winx = win + 8
+    # inside the level (origin in LEVEL-local coordinates).
+    #
+    # XLA gather path: the x-origin is additionally rounded DOWN to a
+    # multiple of 8 and the x-window widened by 8 — the W axis is the
+    # second-minor (sublane-tiled) dim of ``stacked``, and 8-aligned
+    # dynamic-slice starts keep the per-roi window gather on the aligned
+    # fast path (semantics unchanged — tap validity is judged against the
+    # level extent, and the widened window still covers every tap:
+    # origin_aligned <= origin, span <= win + 7).
+    #
+    # Fused Pallas path: the kernel folds W into the lane axis (W*C), so
+    # any x-origin is 128-lane aligned when C % 128 == 0 — the exact
+    # origin and a ``win``-wide x-window are used, saving the widening.
     y0 = jnp.clip(
         jnp.clip(y[:, 0, 0], 0.0).astype(jnp.int32),
         0,
@@ -193,25 +246,31 @@ def _windowed_multiscale(
         0,
         jnp.maximum(w_k - win, 0),
     )
-    x0 = (x0 // 8) * 8
+    base = batch_ind * sumh + row_off[lvl]  # [K] global row of level start
+    if fused:
+        # Mosaic DMA row offsets must be sublane (8) aligned: align the
+        # GLOBAL window row down and widen the y-window by 8, folding the
+        # shift into the y-weights (y_origin may go below the level start;
+        # taps are still judged against the level extent, so any rows read
+        # from the previous level carry zero weight).
+        winx, winy = win, win + 8
+        row0 = ((base + y0) // 8) * 8  # [K] global, 8-aligned
+        y_origin = row0 - base  # level-local origin for the weights
+    else:
+        winx, winy = win + 8, win
+        x0 = (x0 // 8) * 8
+        row0 = base + y0
+        y_origin = y0
     x0 = jnp.minimum(x0, max(wmax - winx, 0))
-    w_y, of_y = local_weights(y, h_k, y0)  # [K, PH, win]
+    w_y, of_y = local_weights(y, h_k, y_origin, width=winy)  # [K, PH, winy]
     w_x, of_x = local_weights(x, w_k, x0, width=winx)  # [K, PW, winx]
     overflow = of_y | of_x
 
-    row0 = batch_ind * sumh + row_off[lvl] + y0  # [K] global window row
-    windows = jax.vmap(
-        lambda r, q: jax.lax.dynamic_slice(stacked, (r, q, 0), (win, winx, c))
-    )(row0, x0).astype(jnp.float32)  # [K, win, winx, C]
-
-    precision = "default" if orig_dtype == jnp.bfloat16 else "high"
-    rows = jnp.einsum(
-        "kpy,kyxc->kpxc", w_y, windows, precision=precision
-    )
-    out = jnp.einsum(
-        "kqx,kpxc->kpqc", w_x, rows, precision=precision
-    ) / float(sr * sr)
-    out = out.astype(orig_dtype)
+    if fused:
+        out = _window_pool_fused(stacked, row0, x0, w_y, w_x)
+    else:
+        out = _window_pool_xla(stacked, row0, x0, w_y, w_x)
+    out = (out.astype(jnp.float32) / float(sr * sr)).astype(orig_dtype)
 
     if overflow_capacity > 0 and dense_fallback is not None:
         cap = min(overflow_capacity, rois.shape[0])
@@ -263,8 +322,12 @@ class MultiScaleRoIAlign:
         self.canonical_scale = canonical_scale
         self.canonical_level = canonical_level
         # backend: None = auto ("window" on TPU, "dense" elsewhere);
-        # VISION_TPU_MSROI overrides auto.
-        if backend not in (None, "dense", "window"):
+        # VISION_TPU_MSROI overrides auto. "window" itself auto-selects
+        # the fused Pallas kernel on TPU when C % 128 == 0 (else the XLA
+        # gather+einsum formulation); "window_xla" / "window_pallas" pin
+        # one explicitly.
+        if backend not in (None, "dense", "window", "window_xla",
+                           "window_pallas"):
             raise ValueError(f"unknown MultiScaleRoIAlign backend {backend!r}")
         self.backend = backend
         self.window = window
@@ -274,7 +337,7 @@ class MultiScaleRoIAlign:
         if self.backend is not None:
             return self.backend
         env = os.environ.get("VISION_TPU_MSROI")
-        if env in ("dense", "window"):
+        if env in ("dense", "window", "window_xla", "window_pallas"):
             return env
         return "window" if jax.default_backend() == "tpu" else "dense"
 
@@ -320,11 +383,17 @@ class MultiScaleRoIAlign:
                 out = pooled * sel if out is None else out + pooled * sel
             return out
 
-        if self._pick_backend() == "window":
+        picked = self._pick_backend()
+        if picked.startswith("window"):
+            c = feats[0].shape[3]
+            if picked == "window":
+                fused = jax.default_backend() == "tpu" and c % 128 == 0
+            else:
+                fused = picked == "window_pallas"
             return _windowed_multiscale(
                 feats, scales, levels, rois, self.output_size,
                 self.sampling_ratio, win=self.window,
                 overflow_capacity=self.overflow_capacity,
-                dense_fallback=dense,
+                dense_fallback=dense, fused=fused,
             )
         return dense(rois)
